@@ -1,0 +1,305 @@
+"""Functional pytree module system — the core of picklebot-tpu.
+
+Design: a Module is a *specification* (hyperparameters + named children), built
+eagerly in ``__init__`` like PyTorch, but it never owns arrays. Parameters and
+mutable state (BatchNorm statistics, MoViNet stream buffers) live in plain
+nested-dict pytrees produced by ``Module.init(key)`` and threaded functionally
+through ``Module.apply(variables, x, ...)``:
+
+    model = MobileNetLarge3D(num_classes=13)
+    variables = model.init(jax.random.key(0))     # {'params': ..., 'state': ...}
+    logits, new_state = model.apply(variables, x, train=True, rng=dropout_key)
+
+Everything is a pure function of its inputs, so ``jax.jit``, ``jax.grad``,
+``jax.lax.scan`` (gradient accumulation), and ``shard_map`` (data parallelism)
+compose without ceremony. Nested-dict paths mirror PyTorch ``state_dict`` keys
+(``block1.0.weight`` ↔ ``params['block1']['0']['w']``), which makes the
+``.pth`` → pytree checkpoint converter (picklebot_tpu/train/checkpoint.py) a
+simple key walk.
+
+This replaces the reference's ``torch.nn.Module`` layer (capability map:
+/root/reference/mobilenet.py, movinet.py, mobilevit.py are all nn.Module
+hierarchies) with an explicit-state design that is idiomatic under XLA: no
+in-place mutation, no Python-side control flow inside jit.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+PyTree = Any
+Variables = Dict[str, PyTree]  # {'params': ..., 'state': ...}
+
+
+def _name_key(rng: jax.Array, name: str) -> jax.Array:
+    """Deterministically derive a child RNG from a stable hash of its name."""
+    return jax.random.fold_in(rng, zlib.crc32(name.encode()) & 0x7FFFFFFF)
+
+
+class DtypePolicy:
+    """Mixed-precision policy (replaces torch.amp autocast, train.py:263-265).
+
+    On TPU, bfloat16 is native: parameters are stored in ``param_dtype``
+    (float32 master copies) and cast to ``compute_dtype`` at use inside
+    matmul/conv ops. Normalization statistics stay float32 (matching
+    autocast's behavior of running BN in fp32). No GradScaler is needed for
+    bf16 — a documented divergence from the reference's redundant scaler.
+    """
+
+    def __init__(self, param_dtype=jnp.float32, compute_dtype=jnp.float32):
+        self.param_dtype = param_dtype
+        self.compute_dtype = compute_dtype
+
+    @property
+    def matmul_precision(self) -> str:
+        """float32 compute implies exact (HIGHEST) dot/conv precision —
+        JAX's 'default' silently downcasts matmul/conv inputs, which breaks
+        checkpoint logit-parity. bf16 compute keeps the fast default."""
+        return "float32" if self.compute_dtype == jnp.float32 else "default"
+
+    @staticmethod
+    def bf16() -> "DtypePolicy":
+        return DtypePolicy(jnp.float32, jnp.bfloat16)
+
+    @staticmethod
+    def f32() -> "DtypePolicy":
+        return DtypePolicy(jnp.float32, jnp.float32)
+
+
+class Ctx:
+    """Per-apply execution context: binds one module's params/state slice.
+
+    Composite modules' ``forward(cx, x)`` call children via ``cx(child, x)``;
+    the context routes each child its sub-pytrees, collects updated state, and
+    threads RNG + train flag + dtype policy down the tree.
+    """
+
+    __slots__ = ("module", "params", "state", "train", "rng", "policy",
+                 "new_state", "_rng_counter")
+
+    def __init__(self, module: "Module", params, state, train: bool,
+                 rng: Optional[jax.Array], policy: DtypePolicy):
+        self.module = module
+        self.params = params if params is not None else {}
+        self.state = state if state is not None else {}
+        self.train = train
+        self.rng = rng
+        self.policy = policy
+        self.new_state: Dict[str, Any] = {}
+        self._rng_counter = 0
+
+    # -- RNG ---------------------------------------------------------------
+    def next_rng(self) -> jax.Array:
+        if self.rng is None:
+            raise ValueError(
+                "This module needs an rng (dropout in train mode) but none "
+                "was passed to apply(..., rng=...).")
+        key = jax.random.fold_in(self.rng, self._rng_counter)
+        self._rng_counter += 1
+        return key
+
+    # -- child dispatch ------------------------------------------------------
+    def __call__(self, child: "Module", *args, **kwargs):
+        name = self.module._child_name(child)
+        sub = Ctx(child,
+                  self.params.get(name),
+                  self.state.get(name),
+                  self.train,
+                  None if self.rng is None else _name_key(self.rng, name),
+                  self.policy)
+        out = child.forward(sub, *args, **kwargs)
+        if sub.collected_state() is not None:
+            self.new_state[name] = sub.collected_state()
+        return out
+
+    def collected_state(self):
+        """Merged state after forward: child updates overlay the old state."""
+        if not self.state and not self.new_state:
+            return None
+        merged = dict(self.state)
+        merged.update(self.new_state)
+        return merged
+
+    # -- leaf helpers --------------------------------------------------------
+    def param(self, name: str):
+        return self.params[name]
+
+    def get_state(self, name: str):
+        return self.state[name]
+
+    def put_state(self, name: str, value):
+        self.new_state[name] = value
+
+
+class Module:
+    """Base class. Subclasses build children/hyperparams in ``__init__``.
+
+    Leaf modules override ``param_spec()`` / ``state_spec()`` (returning
+    name → init-fn dicts) and ``forward(cx, x)``. Composites only build
+    children and override ``forward``.
+    """
+
+    def __init__(self):
+        object.__setattr__(self, "_children", {})
+
+    # -- child tracking (PyTorch-style attribute registration) ---------------
+    def __setattr__(self, name: str, value):
+        if isinstance(value, Module):
+            self._children[name] = value
+        elif isinstance(value, (list, tuple)) and value and all(
+                isinstance(v, Module) for v in value):
+            for i, v in enumerate(value):
+                self._children[f"{name}.{i}"] = v
+        object.__setattr__(self, name, value)
+
+    def _child_name(self, child: "Module") -> str:
+        for name, c in self._children.items():
+            if c is child:
+                return name
+        raise KeyError(
+            f"{child!r} is not a registered child of {type(self).__name__}")
+
+    def named_children(self):
+        return dict(self._children)
+
+    # -- leaf overrides --------------------------------------------------------
+    def param_spec(self) -> Dict[str, Callable[[jax.Array], jax.Array]]:
+        """name → fn(key) -> array. Leaves with params override this."""
+        return {}
+
+    def state_spec(self) -> Dict[str, Callable[[], jax.Array]]:
+        """name → fn() -> array. Leaves with mutable state override this."""
+        return {}
+
+    def forward(self, cx: Ctx, *args, **kwargs):
+        raise NotImplementedError(type(self).__name__)
+
+    # -- init / apply -----------------------------------------------------------
+    def init_params(self, key: jax.Array) -> PyTree:
+        spec = self.param_spec()
+        out: Dict[str, Any] = {}
+        for name, fn in spec.items():
+            out[name] = fn(_name_key(key, name))
+        for name, child in self._children.items():
+            sub = child.init_params(_name_key(key, name))
+            if sub:
+                out[name] = sub
+        return out
+
+    def init_state(self) -> PyTree:
+        out: Dict[str, Any] = {}
+        for name, fn in self.state_spec().items():
+            out[name] = fn()
+        for name, child in self._children.items():
+            sub = child.init_state()
+            if sub:
+                out[name] = sub
+        return out
+
+    def init(self, key: jax.Array) -> Variables:
+        return {"params": self.init_params(key), "state": self.init_state()}
+
+    def apply(self, variables: Variables, *args, train: bool = False,
+              rng: Optional[jax.Array] = None,
+              policy: Optional[DtypePolicy] = None, **kwargs):
+        """Pure forward pass. Returns ``(out, new_state)``."""
+        policy = policy or DtypePolicy.f32()
+        cx = Ctx(self, variables.get("params"), variables.get("state"),
+                 train, rng, policy)
+        with jax.default_matmul_precision(policy.matmul_precision):
+            out = self.forward(cx, *args, **kwargs)
+        new_state = cx.collected_state()
+        return out, (new_state if new_state is not None else {})
+
+
+class Sequential(Module):
+    """Ordered chain; children named '0', '1', ... (mirrors nn.Sequential so
+    converted torch state_dict keys line up, e.g. reference mobilenet.py:140)."""
+
+    def __init__(self, *layers: Module):
+        super().__init__()
+        self.layers = list(layers)  # registered as 'layers.0', ...
+        # re-register under bare indices to match torch naming
+        self._children.clear()
+        for i, l in enumerate(layers):
+            self._children[str(i)] = l
+
+    def forward(self, cx: Ctx, x):
+        for i in range(len(self.layers)):
+            x = cx(self.layers[i], x)
+        return x
+
+    def __iter__(self):
+        return iter(self.layers)
+
+    def __getitem__(self, i):
+        return self.layers[i]
+
+
+class ModuleList(Module):
+    """List container with torch-style integer child names."""
+
+    def __init__(self, mods: Sequence[Module] = ()):
+        super().__init__()
+        self.mods = list(mods)
+        self._children.clear()
+        for i, m in enumerate(self.mods):
+            self._children[str(i)] = m
+
+    def append(self, m: Module):
+        self.mods.append(m)
+        self._children[str(len(self.mods) - 1)] = m
+
+    def __iter__(self):
+        return iter(self.mods)
+
+    def __len__(self):
+        return len(self.mods)
+
+    def __getitem__(self, i):
+        return self.mods[i]
+
+
+class Lambda(Module):
+    """Stateless function as a module (e.g. activations inside Sequential)."""
+
+    def __init__(self, fn: Callable):
+        super().__init__()
+        self.fn = fn
+
+    def forward(self, cx: Ctx, x):
+        return self.fn(x)
+
+
+def param_count(params: PyTree) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+def flatten_dict(tree: PyTree, sep: str = ".") -> Dict[str, jax.Array]:
+    """Nested dict → {'a.b.c': leaf} (torch state_dict-style keys)."""
+    out = {}
+
+    def rec(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(f"{prefix}{sep}{k}" if prefix else str(k), v)
+        else:
+            out[prefix] = node
+
+    rec("", tree)
+    return out
+
+
+def unflatten_dict(flat: Dict[str, Any], sep: str = ".") -> PyTree:
+    out: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split(sep)
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return out

@@ -1,0 +1,132 @@
+"""Attention primitives: multi-head SDPA and separable linear attention.
+
+MultiHeadAttention replaces the reference MobileViT ``Attention``
+(mobilevit.py:43-86): pre-LN (no affine), fused qkv projection, 8 heads x 16
+dim_head, scaled dot-product, output projection. The reference's flash path
+is broken as committed (it never merges heads back before ``to_out`` —
+mobilevit.py:82-85); we implement the evident intent (the head-merge present
+in profiling_mobilevit.py:102) — a documented divergence.
+
+Backends:
+  * 'xla'    — plain einsum softmax attention; XLA fuses well at these sizes.
+  * 'pallas' — first-party blockwise flash-attention kernel
+               (ops/pallas/flash_attention.py), used when seq-len is large
+               enough to matter and shapes are TPU-tile friendly.
+
+LinearSelfAttention is MobileViT V2's O(n) separable attention
+(mobilevitv2.py:9-55), reformulated channels-last: scores softmax over the
+patch axis from a 1-dim query projection, context = sum(k * scores),
+out = relu(v) * context.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from picklebot_tpu.core import initializers as pinit
+from picklebot_tpu.core.module import Ctx, Module
+from picklebot_tpu.ops.linear import Dense, Dropout
+from picklebot_tpu.ops.norm import LayerNorm
+
+
+def sdpa_xla(q, k, v, scale: float, dropout_p: float = 0.0,
+             rng: Optional[jax.Array] = None):
+    """Softmax attention over (..., N, D) with f32 softmax accumulation."""
+    logits = jnp.einsum("...nd,...md->...nm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_p > 0.0 and rng is not None:
+        keep = 1.0 - dropout_p
+        mask = jax.random.bernoulli(rng, keep, probs.shape)
+        probs = jnp.where(mask, probs / keep, 0)
+    probs = probs.astype(v.dtype)
+    return jnp.einsum("...nm,...md->...nd", probs, v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+class MultiHeadAttention(Module):
+    """Pre-LN MHA with fused qkv, as used inside MobileViT blocks.
+
+    Input: (..., N, embed_dim) — leading dims are batch-like (MobileViT passes
+    (B, P, N, D) with P=8 patch-position groups).
+    """
+
+    def __init__(self, embed_dim: int, heads: int = 8, dim_head: int = 16,
+                 dropout: float = 0.0, backend: str = "auto"):
+        super().__init__()
+        self.embed_dim = embed_dim
+        self.heads = heads
+        self.dim_head = dim_head
+        self.inner_dim = heads * dim_head
+        self.scale = dim_head ** -0.5
+        self.dropout_p = dropout
+        self.backend = backend
+        self.norm = LayerNorm(embed_dim, affine=False)
+        self.to_qkv = Dense(embed_dim, self.inner_dim * 3, bias=False)
+        self.to_out = Dense(self.inner_dim, embed_dim, bias=False)
+        self.out_dropout = Dropout(dropout)
+
+    def _attend(self, cx: Ctx, q, k, v):
+        backend = self.backend
+        if backend == "auto":
+            n = q.shape[-2]
+            # pallas flash kernel pays off once sequences are long; tiny
+            # sequences (MobileViT's deep stages have 16-80 tokens) stay XLA.
+            backend = "pallas" if (
+                n >= 256 and q.dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu") else "xla"
+        if backend == "pallas":
+            from picklebot_tpu.ops.pallas.flash_attention import flash_attention
+            return flash_attention(q, k, v, scale=self.scale)
+        rng = cx.next_rng() if (cx.train and self.dropout_p > 0) else None
+        return sdpa_xla(q, k, v, self.scale,
+                        self.dropout_p if cx.train else 0.0, rng)
+
+    def forward(self, cx: Ctx, x):
+        x = cx(self.norm, x)
+        qkv = cx(self.to_qkv, x)                       # (..., N, 3*inner)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):  # (..., N, H*D) -> (..., H, N, D)
+            t = t.reshape(t.shape[:-1] + (self.heads, self.dim_head))
+            return jnp.swapaxes(t, -2, -3)
+
+        out = self._attend(cx, split_heads(q), split_heads(k), split_heads(v))
+        out = jnp.swapaxes(out, -2, -3)                # (..., N, H, D)
+        out = out.reshape(out.shape[:-2] + (self.inner_dim,))  # head merge
+        out = cx(self.to_out, out)
+        return cx(self.out_dropout, out)
+
+
+class LinearSelfAttention(Module):
+    """MobileViT V2 separable linear attention, channels-last.
+
+    Input: (B, P, N, C) where P = pixels-per-patch, N = num patches,
+    C = embed_dim (the reference keeps (B, C, P, N); we keep channels last).
+    qkv is a single 1x1 conv to 1 + 2C channels (a dense over C here).
+    """
+
+    def __init__(self, embed_dim: int, dropout: float = 0.0):
+        super().__init__()
+        self.embed_dim = embed_dim
+        self.qkv_proj = Dense(embed_dim, 1 + 2 * embed_dim, bias=True)
+        self.attn_dropout = Dropout(dropout)
+        self.out_proj = Dense(embed_dim, embed_dim, bias=True)
+
+    def forward(self, cx: Ctx, x):
+        c = self.embed_dim
+        qkv = cx(self.qkv_proj, x)                      # (B, P, N, 1+2C)
+        query = qkv[..., :1]                            # (B, P, N, 1)
+        key = qkv[..., 1:1 + c]
+        value = qkv[..., 1 + c:]
+        # softmax over the patch axis N (reference softmaxes dim=-1 of
+        # (B, 1, P, N), mobilevitv2.py:41)
+        scores = jax.nn.softmax(query.astype(jnp.float32), axis=-2
+                                ).astype(x.dtype)
+        scores = cx(self.attn_dropout, scores)
+        context = jnp.sum(key * scores, axis=-2, keepdims=True)  # (B,P,1,C)
+        out = jnp.maximum(value, 0) * context           # broadcast over N
+        return cx(self.out_proj, out)

@@ -1,0 +1,99 @@
+"""Inverted-bottleneck blocks — the shared ops layer of the model zoo.
+
+Reproduces reference Bottleneck3D/Bottleneck2D (mobilenet.py:47-130) exactly,
+including the deliberate quirks that checkpoint-parity depends on:
+
+  * depthwise kernel is (1, k, k) — temporal kernel 1 — but the *integer*
+    stride and padding apply to T as well, so T inflates by 2*(k//2) per
+    stride-1 block and is re-strided on stride-2 blocks (mobilenet.py:67-75);
+  * there is NO residual connection;
+  * BatchNorm + nonlinearity come AFTER the projection conv (the MobileNetV3
+    paper puts BN after every conv — the reference does not);
+  * channel dropout (Dropout3d) at the end, train-only.
+
+Layout is channels-last (NTHWC / NHWC): the pointwise 1x1 convs become big
+(B*T*H*W, C) x (C, E) matmuls on the MXU; the depthwise conv runs as an XLA
+grouped conv (a Pallas fusion of depthwise+SE is tracked in ops/pallas/).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from picklebot_tpu.core.module import Ctx, Module
+from picklebot_tpu.ops import activations as act
+from picklebot_tpu.ops.conv import Conv2d, Conv3d
+from picklebot_tpu.ops.linear import ChannelDropout
+from picklebot_tpu.ops.norm import BatchNorm
+from picklebot_tpu.ops.se import SEBlock
+
+
+class Bottleneck3D(Module):
+    def __init__(self, in_channels: int, out_channels: int,
+                 expanded_channels: int, stride: int = 1,
+                 use_se: bool = False, kernel_size: int = 3,
+                 nonlinearity: Callable = act.hardswish,
+                 batchnorm: bool = True, dropout: float = 0.0,
+                 bias: bool = False):
+        super().__init__()
+        self.pointwise_conv1 = Conv3d(in_channels, expanded_channels, 1,
+                                      bias=bias)
+        # Quirk preserved: int stride/padding hit the temporal dim although
+        # the temporal kernel is 1 (reference mobilenet.py:67-75).
+        self.depthwise_conv = Conv3d(
+            expanded_channels, expanded_channels,
+            kernel_size=(1, kernel_size, kernel_size),
+            stride=stride, padding=kernel_size // 2,
+            groups=expanded_channels, bias=bias)
+        self.squeeze_excite = SEBlock(expanded_channels) if use_se else None
+        self.pointwise_conv2 = Conv3d(expanded_channels, out_channels, 1,
+                                      bias=bias)
+        self.batchnorm = BatchNorm(out_channels) if batchnorm else None
+        self.nonlinearity = nonlinearity
+        self.dropout = ChannelDropout(dropout)
+
+    def forward(self, cx: Ctx, x):
+        x = cx(self.pointwise_conv1, x)
+        x = cx(self.depthwise_conv, x)
+        if self.squeeze_excite is not None:
+            x = cx(self.squeeze_excite, x)
+        x = cx(self.pointwise_conv2, x)
+        if self.batchnorm is not None:
+            x = cx(self.batchnorm, x)
+        x = self.nonlinearity(x)
+        x = cx(self.dropout, x)
+        return x
+
+
+class Bottleneck2D(Module):
+    def __init__(self, in_channels: int, out_channels: int,
+                 expanded_channels: int, stride: int = 1,
+                 use_se: bool = False, kernel_size: int = 3,
+                 nonlinearity: Callable = act.hardswish,
+                 batchnorm: bool = True, dropout: float = 0.0,
+                 bias: bool = False):
+        super().__init__()
+        self.pointwise_conv1 = Conv2d(in_channels, expanded_channels, 1,
+                                      bias=bias)
+        self.depthwise_conv = Conv2d(
+            expanded_channels, expanded_channels, kernel_size,
+            stride=stride, padding=kernel_size // 2,
+            groups=expanded_channels, bias=bias)
+        self.squeeze_excite = SEBlock(expanded_channels) if use_se else None
+        self.pointwise_conv2 = Conv2d(expanded_channels, out_channels, 1,
+                                      bias=bias)
+        self.batchnorm = BatchNorm(out_channels) if batchnorm else None
+        self.nonlinearity = nonlinearity
+        # NB: reference Bottleneck2D constructs nn.Dropout2d but never calls
+        # it in forward (mobilenet.py:120-130); we match by omitting it.
+
+    def forward(self, cx: Ctx, x):
+        x = cx(self.pointwise_conv1, x)
+        x = cx(self.depthwise_conv, x)
+        if self.squeeze_excite is not None:
+            x = cx(self.squeeze_excite, x)
+        x = cx(self.pointwise_conv2, x)
+        if self.batchnorm is not None:
+            x = cx(self.batchnorm, x)
+        x = self.nonlinearity(x)
+        return x

@@ -1,0 +1,209 @@
+"""Checkpointing: Orbax for native state + torch ``.pth`` interop.
+
+Native checkpoints (params / optimizer state / BN state / step / LR schedule
+position) go through Orbax — unlike the reference, which saves only the model
+``state_dict`` and silently restarts the schedule on resume (train.py:316-318,
+230-235; its ``start_epoch`` is assigned the checkpoint *path* and never
+used).
+
+Torch interop loads a reference ``.pth`` zip (weights-only pickle) into our
+pytree so logits can be compared within float tolerance, and exports back.
+Key mapping is mechanical because our nested-dict paths mirror torch
+state_dict keys; only tensor layouts change:
+
+  conv   torch (O, I/g, k...)        -> ours (k..., I/g, O)
+  dense  torch (O, I)                -> ours (I, O)
+  1x1-conv-as-dense torch (O, I, 1..)-> ours (I, O)
+  SE     se.1/se.3 conv weights      -> w1/w2 dense weights
+  BN     weight/bias/running_mean/var-> scale/bias + state mean/var
+  LSTM   weight_ih_l{k} (4H, in)     -> w_ih_l{k} (in, 4H)
+
+``state_dict_converter`` parity: torch.compile's ``_orig_mod.`` prefixes are
+stripped like reference train.py:38-44.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from picklebot_tpu.core.module import (Variables, flatten_dict,
+                                       unflatten_dict)
+
+
+# --------------------------------------------------------------------------
+# torch .pth -> pytree
+# --------------------------------------------------------------------------
+
+def strip_compile_prefix(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference train.py:38-44: drop torch.compile's '_orig_mod.' prefix."""
+    out = {}
+    for k, v in state_dict.items():
+        out[k[len("_orig_mod."):] if k.startswith("_orig_mod.") else k] = v
+    return out
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth into numpy arrays (host-side tool; torch-cpu only)."""
+    import torch  # local import: torch is a host-side interop dep only
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = strip_compile_prefix(sd)
+    return {k: v.detach().to(torch.float32).numpy()
+            for k, v in sd.items() if isinstance(v, torch.Tensor)}
+
+
+def _convert_leaf(torch_key: str, value: np.ndarray,
+                  target: jax.Array) -> np.ndarray:
+    """Convert one torch tensor to our layout, guided by the target shape."""
+    v = value
+    if v.ndim == target.ndim and v.shape == target.shape:
+        return v
+    # conv weight (O, I, k...) -> (k..., I, O)
+    if v.ndim >= 3 and target.ndim == v.ndim:
+        perm = tuple(range(2, v.ndim)) + (1, 0)
+        vt = np.transpose(v, perm)
+        if vt.shape == target.shape:
+            return vt
+    # 1x1 conv used as dense: (O, I, 1...) -> (I, O)
+    if v.ndim > 2 and all(d == 1 for d in v.shape[2:]):
+        vt = v.reshape(v.shape[0], v.shape[1]).T
+        if vt.shape == target.shape:
+            return vt
+    # dense / lstm weights: (O, I) -> (I, O)
+    if v.ndim == 2 and v.T.shape == target.shape:
+        return v.T
+    raise ValueError(
+        f"Cannot convert {torch_key}: torch shape {v.shape} -> "
+        f"target {target.shape}")
+
+
+def _default_key_map(torch_key: str) -> Tuple[str, bool]:
+    """Map a torch state_dict key to (our flat path, is_state).
+
+    Returns the path into params (is_state=False) or state (True).
+    """
+    k = torch_key
+    is_state = False
+    # BatchNorm
+    if k.endswith(".running_mean"):
+        return k[:-len("running_mean")] + "mean", True
+    if k.endswith(".running_var"):
+        return k[:-len("running_var")] + "var", True
+    if k.endswith(".num_batches_tracked"):
+        return "", True  # dropped
+    # SE blocks: torch 'se.1.weight' / 'se.3.weight' conv stack -> w1/w2
+    k = re.sub(r"\bse\.1\.weight$", "w1", k)
+    k = re.sub(r"\bse\.1\.bias$", "b1", k)
+    k = re.sub(r"\bse\.3\.weight$", "w2", k)
+    k = re.sub(r"\bse\.3\.bias$", "b2", k)
+    # generic weight/bias
+    if k.endswith(".weight"):
+        k = k[:-len(".weight")] + ".w"
+    elif k.endswith(".bias"):
+        k = k[:-len(".bias")] + ".b"
+    # LSTM: torch 'lstm.weight_ih_l0' -> 'lstm.w_ih_l0'
+    k = re.sub(r"\.weight_(ih|hh)_l(\d+)$", r".w_\1_l\2", k)
+    k = re.sub(r"\.bias_(ih|hh)_l(\d+)$", r".b_\1_l\2", k)
+    return k, is_state
+
+
+def import_torch_state_dict(
+        sd: Dict[str, np.ndarray], variables: Variables,
+        key_map=None, strict: bool = True) -> Variables:
+    """Graft a torch state_dict onto an initialized variables pytree.
+
+    ``key_map(torch_key) -> (flat_path, is_state) | None`` lets models remap
+    structurally-renamed layers (e.g. classifier convs that became Dense).
+    BatchNorm affine params map weight->scale, bias->bias within params.
+    """
+    flat_params = flatten_dict(variables["params"])
+    flat_state = flatten_dict(variables["state"])
+    new_params = dict(flat_params)
+    new_state = dict(flat_state)
+    unused = []
+    for tk, v in sd.items():
+        mapped = key_map(tk) if key_map else None
+        if mapped is None:
+            path, is_state = _default_key_map(tk)
+        else:
+            path, is_state = mapped
+        if path == "":
+            continue  # intentionally dropped
+        if is_state:
+            if path not in flat_state:
+                if strict:
+                    raise KeyError(f"{tk} -> state path {path} not found")
+                unused.append(tk)
+                continue
+            new_state[path] = jnp.asarray(
+                _convert_leaf(tk, v, flat_state[path]),
+                flat_state[path].dtype)
+        else:
+            # BN affine: our param names are scale/bias, torch weight/bias
+            if path not in flat_params:
+                alt = None
+                if path.endswith(".w"):
+                    alt = path[:-2] + ".scale"
+                elif path.endswith(".b"):
+                    alt = path[:-2] + ".bias"
+                if alt and alt in flat_params:
+                    path = alt
+                else:
+                    if strict:
+                        raise KeyError(f"{tk} -> param path {path} not found")
+                    unused.append(tk)
+                    continue
+            new_params[path] = jnp.asarray(
+                _convert_leaf(tk, v, flat_params[path]),
+                flat_params[path].dtype)
+    if unused:
+        print(f"[checkpoint] {len(unused)} torch keys unused: {unused[:8]}...")
+    return {"params": unflatten_dict(new_params),
+            "state": unflatten_dict(new_state)}
+
+
+def load_pth(path: str, variables: Variables, key_map=None,
+             strict: bool = True) -> Variables:
+    """One-call reference-checkpoint import (north-star parity gate)."""
+    return import_torch_state_dict(load_torch_state_dict(path), variables,
+                                   key_map=key_map, strict=strict)
+
+
+# --------------------------------------------------------------------------
+# Orbax native checkpoints
+# --------------------------------------------------------------------------
+
+def save_checkpoint(directory: str, step: int, payload: Any) -> str:
+    """Save a full training snapshot (params, opt state, BN state, step)."""
+    import orbax.checkpoint as ocp
+    directory = os.path.abspath(directory)
+    path = os.path.join(directory, f"step_{step}")
+    ckptr = ocp.StandardCheckpointer()
+    payload = jax.tree_util.tree_map(np.asarray, payload)
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(path: str, target: Any) -> Any:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=target)
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    if not os.path.isdir(directory):
+        return None
+    steps = []
+    for name in os.listdir(directory):
+        m = re.fullmatch(r"step_(\d+)", name)
+        if m:
+            steps.append(int(m.group(1)))
+    if not steps:
+        return None
+    return os.path.join(directory, f"step_{max(steps)}")
