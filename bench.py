@@ -1,0 +1,100 @@
+"""Benchmark: MobileNetLarge3D training-step throughput on one TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Workload mirrors the reference's profiled steady state (SURVEY.md §6 /
+BASELINE.md): MobileNetLarge3D, 13 classes, batch 16, bf16, CrossEntropy,
+full forward + backward + 8-bit AdamW update. The reference sustains
+~2.1 clips/s/GPU (train_stats.prof: ~7.5 s/batch of 16 on the training GPU);
+vs_baseline = our clips/s/chip divided by 2.1.
+
+Data is pre-placed on device so the number measures compute, not the host
+tunnel; input clips are T=32 frames at 224x224 (a ~1s pitch clip at 30fps —
+the artifact doesn't record the exact T the reference used; fixed here for
+reproducibility across rounds).
+
+Usage: python bench.py [--mode train|infer] [--batch 16] [--frames 32]
+                       [--steps 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_CLIPS_PER_SEC = 2.1  # reference steady-state train step (BASELINE.md)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="train", choices=["train", "infer"])
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--frames", type=int, default=32)
+    p.add_argument("--size", type=int, default=224)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=3)
+    args = p.parse_args()
+
+    from picklebot_tpu.core.module import DtypePolicy
+    from picklebot_tpu.models.mobilenet3d import MobileNetLarge3D
+    from picklebot_tpu.train.optim import AdamW8bit, cosine_annealing_lr
+    from picklebot_tpu.train.step import (create_train_state, make_predict_fn,
+                                          make_train_step)
+
+    model = MobileNetLarge3D(num_classes=13)
+    policy = DtypePolicy.bf16()
+    rng = np.random.RandomState(0)
+    feats_np = rng.randint(
+        0, 255, (args.batch, args.frames, args.size, args.size, 3)
+    ).astype(np.uint8)
+
+    if args.mode == "train":
+        opt = AdamW8bit(weight_decay=5e-4)
+        sched = cosine_annealing_lr(3e-4, 100)
+        step = make_train_step(model, opt, "CE", sched, policy=policy,
+                               donate=False)
+        state = create_train_state(model, opt, jax.random.key(0))
+        feats = jax.device_put(feats_np[None])          # accum=1
+        labels = jax.device_put(
+            rng.randint(0, 13, (1, args.batch)).astype(np.int32))
+
+        def run(i):
+            nonlocal state
+            state, metrics = step(state, feats, labels, jax.random.key(i))
+            return metrics["loss"]
+    else:
+        predict = make_predict_fn(model, policy)
+        variables = model.init(jax.random.key(0))
+        feats = jax.device_put(feats_np)
+
+        def run(i):
+            return predict(variables, feats)
+
+    for i in range(args.warmup):
+        jax.block_until_ready(run(i))
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        out = run(args.warmup + i)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / args.steps
+    clips_per_sec = args.batch / dt
+
+    name = ("train step fwd+bwd+adamw8bit" if args.mode == "train"
+            else "batched inference")
+    print(json.dumps({
+        "metric": f"clips/sec/chip (MobileNetLarge3D {name}, "
+                  f"bs={args.batch} T={args.frames} {args.size}x{args.size} "
+                  f"bf16)",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

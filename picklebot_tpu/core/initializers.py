@@ -1,4 +1,12 @@
-"""Weight initializers matching PyTorch's schemes.
+"""Weight initializers matching PyTorch's schemes — host-side numpy.
+
+Initialization runs ONCE on the host: initializers take an integer seed and
+return numpy arrays (a counter-based Philox generator keyed on the seed).
+This is a deliberate TPU-first choice: doing init with jax.random would
+either dispatch hundreds of tiny ops to the device (pathological over a
+remote-device tunnel) or force an expensive one-off XLA compile of the whole
+init graph; numpy gives deterministic params instantly, which then transfer
+to the device/mesh in one device_put.
 
 The reference relies on torch's *default* layer init almost everywhere — its
 MobileNet ``initialize_weights`` checks a nonexistent ``module.nonlinearity``
@@ -14,10 +22,13 @@ from __future__ import annotations
 import math
 from typing import Callable, Sequence
 
-import jax
-import jax.numpy as jnp
+import numpy as np
 
-Initializer = Callable[[jax.Array, Sequence[int], jnp.dtype], jax.Array]
+Initializer = Callable[[int, Sequence[int]], np.ndarray]
+
+
+def _gen(seed: int) -> np.random.Generator:
+    return np.random.Generator(np.random.Philox(seed & 0xFFFFFFFF))
 
 
 def _fan_in_out(shape: Sequence[int], fan_axes: str = "auto"):
@@ -37,7 +48,7 @@ def kaiming_uniform(a: float = math.sqrt(5.0), mode: str = "fan_in",
     """torch.nn.init.kaiming_uniform_. With a=√5 this is torch's default
     conv/linear weight init."""
 
-    def init(key, shape, dtype=jnp.float32):
+    def init(key, shape, dtype=np.float32):
         fan_in, fan_out = _fan_in_out(shape)
         fan = fan_in if mode == "fan_in" else fan_out
         if nonlinearity == "relu":
@@ -47,35 +58,35 @@ def kaiming_uniform(a: float = math.sqrt(5.0), mode: str = "fan_in",
         else:
             gain = 1.0
         bound = gain * math.sqrt(3.0 / fan)
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
+        return _gen(key).uniform(-bound, bound, shape).astype(dtype)
 
     return init
 
 
 def kaiming_normal(mode: str = "fan_out",
                    nonlinearity: str = "relu") -> Initializer:
-    def init(key, shape, dtype=jnp.float32):
+    def init(key, shape, dtype=np.float32):
         fan_in, fan_out = _fan_in_out(shape)
         fan = fan_in if mode == "fan_in" else fan_out
         gain = math.sqrt(2.0) if nonlinearity == "relu" else 1.0
         std = gain / math.sqrt(fan)
-        return std * jax.random.normal(key, shape, dtype)
+        return (std * _gen(key).standard_normal(shape)).astype(dtype)
 
     return init
 
 
 def xavier_uniform() -> Initializer:
-    def init(key, shape, dtype=jnp.float32):
+    def init(key, shape, dtype=np.float32):
         fan_in, fan_out = _fan_in_out(shape)
         bound = math.sqrt(6.0 / (fan_in + fan_out))
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
+        return _gen(key).uniform(-bound, bound, shape).astype(dtype)
 
     return init
 
 
 def normal(std: float = 0.02, mean: float = 0.0) -> Initializer:
-    def init(key, shape, dtype=jnp.float32):
-        return mean + std * jax.random.normal(key, shape, dtype)
+    def init(key, shape, dtype=np.float32):
+        return (mean + std * _gen(key).standard_normal(shape)).astype(dtype)
 
     return init
 
@@ -83,21 +94,21 @@ def normal(std: float = 0.02, mean: float = 0.0) -> Initializer:
 def torch_default_bias(fan_in: int) -> Initializer:
     """torch default bias: U(-1/√fan_in, 1/√fan_in)."""
 
-    def init(key, shape, dtype=jnp.float32):
+    def init(key, shape, dtype=np.float32):
         bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
+        return _gen(key).uniform(-bound, bound, shape).astype(dtype)
 
     return init
 
 
 def zeros() -> Initializer:
-    return lambda key, shape, dtype=jnp.float32: jnp.zeros(shape, dtype)
+    return lambda key, shape, dtype=np.float32: np.zeros(shape, dtype)
 
 
 def ones() -> Initializer:
-    return lambda key, shape, dtype=jnp.float32: jnp.ones(shape, dtype)
+    return lambda key, shape, dtype=np.float32: np.ones(shape, dtype)
 
 
 def uniform(low: float, high: float) -> Initializer:
-    return lambda key, shape, dtype=jnp.float32: jax.random.uniform(
-        key, shape, dtype, low, high)
+    return lambda key, shape, dtype=np.float32: _gen(key).uniform(
+        low, high, shape).astype(dtype)

@@ -40,6 +40,20 @@ def _name_key(rng: jax.Array, name: str) -> jax.Array:
     return jax.random.fold_in(rng, zlib.crc32(name.encode()) & 0x7FFFFFFF)
 
 
+def _name_seed(seed: int, name: str) -> int:
+    """Child init seed: crc32 chain over the module path (host-side)."""
+    return zlib.crc32(name.encode(), seed & 0xFFFFFFFF) & 0xFFFFFFFF
+
+
+def as_seed(seed_or_key) -> int:
+    """Accept an int seed or a jax PRNG key (tests/back-compat)."""
+    if isinstance(seed_or_key, int):
+        return seed_or_key
+    import numpy as np
+    data = np.asarray(jax.random.key_data(seed_or_key)).reshape(-1)
+    return int(data[-1]) & 0xFFFFFFFF
+
+
 class DtypePolicy:
     """Mixed-precision policy (replaces torch.amp autocast, train.py:263-265).
 
@@ -179,13 +193,16 @@ class Module:
         raise NotImplementedError(type(self).__name__)
 
     # -- init / apply -----------------------------------------------------------
-    def init_params(self, key: jax.Array) -> PyTree:
+    # Initialization is host-side (numpy): instant, deterministic, no device
+    # round-trips or XLA compile. Params transfer in one device_put later.
+    def init_params(self, seed) -> PyTree:
+        seed = as_seed(seed)
         spec = self.param_spec()
         out: Dict[str, Any] = {}
         for name, fn in spec.items():
-            out[name] = fn(_name_key(key, name))
+            out[name] = fn(_name_seed(seed, name))
         for name, child in self._children.items():
-            sub = child.init_params(_name_key(key, name))
+            sub = child.init_params(_name_seed(seed, name))
             if sub:
                 out[name] = sub
         return out
@@ -200,8 +217,9 @@ class Module:
                 out[name] = sub
         return out
 
-    def init(self, key: jax.Array) -> Variables:
-        return {"params": self.init_params(key), "state": self.init_state()}
+    def init(self, seed) -> Variables:
+        """seed: int or jax PRNG key. Returns host-numpy variable pytrees."""
+        return {"params": self.init_params(seed), "state": self.init_state()}
 
     def apply(self, variables: Variables, *args, train: bool = False,
               rng: Optional[jax.Array] = None,

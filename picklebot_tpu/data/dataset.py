@@ -1,0 +1,141 @@
+"""Clip dataset: CSV annotations + pluggable video decode backends.
+
+Capability parity with reference dataloader.py:26-63 (PicklebotDataset):
+a CSV with ``filename`` / ``zone`` columns (read via pyarrow), a video
+directory, per-item full-clip decode to (T, H, W, C) uint8 RGB.
+
+Backends:
+  opencv     cv2.VideoCapture frame loop + BGR->RGB (reference's default)
+  npy        .npy/.npz clips (fast path for preprocessed datasets)
+  synthetic  deterministic random clips keyed by index — lets the full
+             training stack run and be tested without the Picklebot videos
+
+TPU-first divergence from the reference: the reference pads every batch to
+its own max T (dataloader.py:10-23), which under XLA would recompile the
+train step for every new shape. We pad T to a *bucket* (next multiple of
+``t_bucket``, clamped to ``max_frames``) so the step compiles once per
+bucket; clips longer than max_frames are truncated (head), shorter ones
+zero-padded — zero frames are what the reference's collate produces too.
+
+Per-host sharding (``shard``/``num_shards``) replaces DistributedSampler
+(reference train.py:59-60): each host reads only its slice of the CSV.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def read_annotations(csv_path: str) -> Tuple[List[str], np.ndarray]:
+    """CSV -> (filenames, zone labels). pyarrow like the reference
+    (dataloader.py:28), pandas/python fallback."""
+    try:
+        import pyarrow.csv as pacsv
+        table = pacsv.read_csv(csv_path)
+        names = table.column("filename").to_pylist()
+        zones = np.asarray(table.column("zone").to_pylist(), np.int64)
+        return names, zones
+    except Exception:
+        import csv as _csv
+        names, zones = [], []
+        with open(csv_path, newline="", encoding="ISO-8859-1") as f:
+            for row in _csv.DictReader(f):
+                names.append(row["filename"])
+                zones.append(int(float(row["zone"])))
+        return names, np.asarray(zones, np.int64)
+
+
+def decode_opencv(path: str) -> np.ndarray:
+    """mp4 -> (T, H, W, 3) uint8 RGB (reference dataloader.py:46-56)."""
+    import cv2
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    if not frames:
+        raise IOError(f"no frames decoded from {path}")
+    return np.stack(frames)
+
+
+def decode_npy(path: str) -> np.ndarray:
+    arr = np.load(path)
+    if hasattr(arr, "files"):  # npz
+        arr = arr[arr.files[0]]
+    assert arr.ndim == 4 and arr.shape[-1] == 3, arr.shape
+    return np.ascontiguousarray(arr, np.uint8)
+
+
+class ClipDataset:
+    def __init__(self, annotations_file: str, video_dir: str,
+                 backend: str = "opencv",
+                 shard: int = 0, num_shards: int = 1,
+                 synthetic_shape: Tuple[int, int, int] = (16, 224, 224),
+                 synthetic_len: Optional[int] = None):
+        self.video_dir = video_dir
+        self.backend = backend
+        if backend == "synthetic":
+            n = synthetic_len or 64
+            self.filenames = [f"synthetic_{i}.mp4" for i in range(n)]
+            self.labels = (np.arange(n) % 13).astype(np.int64)
+        else:
+            self.filenames, self.labels = read_annotations(annotations_file)
+        self.synthetic_shape = synthetic_shape
+        # contiguous per-host shard (each host sees len/num_shards items)
+        if num_shards > 1:
+            self.filenames = self.filenames[shard::num_shards]
+            self.labels = self.labels[shard::num_shards]
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
+        label = int(self.labels[idx])
+        if self.backend == "synthetic":
+            t, h, w = self.synthetic_shape
+            rng = np.random.RandomState(idx)
+            # vary T to exercise the bucket/padding path
+            t_i = max(1, t - (idx % 4))
+            clip = rng.randint(0, 255, (t_i, h, w, 3)).astype(np.uint8)
+            return clip, label
+        path = os.path.join(self.video_dir, self.filenames[idx])
+        if self.backend == "opencv":
+            return decode_opencv(path), label
+        if self.backend == "npy":
+            return decode_npy(path), label
+        raise ValueError(f"unknown backend {self.backend}")
+
+
+def bucket_frames(t: int, t_bucket: int, max_frames: int) -> int:
+    """Round T up to the next bucket multiple, clamp to max_frames."""
+    b = -(-t // t_bucket) * t_bucket
+    return min(b, max_frames)
+
+
+def pad_collate(clips: Sequence[np.ndarray], labels: Sequence[int],
+                t_bucket: int = 8, max_frames: int = 256,
+                native: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Zero-pad clips on T to a shared bucket and stack to (B, T, H, W, C).
+
+    Same output convention as reference custom_collate (dataloader.py:10-23)
+    except the target T is bucketed (static-shape policy, see module doc).
+    Uses the C++ collate core when available (parallel memcpy, no GIL).
+    """
+    t_max = max(c.shape[0] for c in clips)
+    t_out = bucket_frames(t_max, t_bucket, max_frames)
+    h, w, ch = clips[0].shape[1:]
+    batch = np.zeros((len(clips), t_out, h, w, ch), np.uint8)
+    if native:
+        from picklebot_tpu.data.native import native_collate
+        if native_collate(batch, clips):
+            return batch, np.asarray(labels, np.int64)
+    for i, clip in enumerate(clips):
+        t_i = min(clip.shape[0], t_out)
+        batch[i, :t_i] = clip[:t_i]
+    return batch, np.asarray(labels, np.int64)

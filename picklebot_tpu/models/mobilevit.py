@@ -1,0 +1,238 @@
+"""MobileViT V1 for video (3D): local convs + unfold→transformer→fold.
+
+Architecture parity with reference mobilevit.py:107-215: s2 conv stem →
+4 Bottleneck3D → 3 trunk stages of (Bottleneck3D s2 + MobileViTBlock) →
+1x1 conv → global mean → linear head. Each MobileViTBlock pads (T, H, W) to
+multiples of the (2, 2, 2) patch, regroups into 8 patch-position sequences of
+t·h·w tokens, runs a pre-LN transformer (8 heads × 16 dim_head), folds back,
+crops, and fuses with a concat conv.
+
+Known reference bug, intentionally diverged: the committed flash-attention
+path never merges heads before the output projection (mobilevit.py:82-85 —
+it crashes at runtime); we implement the evident intent, the head-merge from
+profiling_mobilevit.py:102. Parity tests patch the reference accordingly.
+
+Faithful quirks kept: the transformer's FeedForward has NO pre-norm (only
+Attention normalizes, mobilevit.py:100-103); conv_nxn_bn uses padding=1
+regardless of kernel size and its BatchNorm is affine=False
+(mobilevit.py:12-24); stride-2 stem convs halve T as well.
+
+Channels-last throughout; the unfold/fold are einops rearranges that XLA
+lowers to transposes/reshapes fused around the attention matmuls. The
+attention itself can run on the first-party Pallas flash kernel
+(attention_backend='pallas'|'auto') — stage-1 sequences reach thousands of
+tokens at full clip sizes, exactly the flash regime.
+
+Init parity: every conv/dense weight ~ N(0, 0.02²), biases zero
+(reference mobilevit.py:207-215); BN stays at defaults.
+
+Param counts (verified in tests): xxs 2,030,368 / xs 3,483,984 / s 8,453,136.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+
+from picklebot_tpu.core import initializers as pinit
+from picklebot_tpu.core.module import Ctx, Module, ModuleList, Sequential
+from picklebot_tpu.ops import activations as act
+from picklebot_tpu.ops.attention import MultiHeadAttention
+from picklebot_tpu.ops.bottleneck import Bottleneck3D
+from picklebot_tpu.ops.conv import Conv3d
+from picklebot_tpu.ops.linear import Dense, Dropout
+from picklebot_tpu.ops.norm import BatchNorm
+
+_W_INIT = pinit.normal(std=0.02)
+_ZEROS = pinit.zeros()
+
+
+class _ConvBNSiLU(Module):
+    """conv_1x1_bn / conv_nxn_bn (reference mobilevit.py:12-24):
+    conv (bias=False) + BatchNorm(affine=False) + SiLU. nxn keeps the
+    reference's fixed padding=1."""
+
+    def __init__(self, cin, cout, kernel_size=1, stride=1, padding=0):
+        super().__init__()
+        self.conv = Conv3d(cin, cout, kernel_size, stride=stride,
+                           padding=padding, bias=False, w_init=_W_INIT)
+        self.bn = BatchNorm(cout, affine=False)
+
+    def forward(self, cx: Ctx, x):
+        return act.silu(cx(self.bn, cx(self.conv, x)))
+
+
+def conv_1x1_bn(cin, cout):
+    return _ConvBNSiLU(cin, cout, 1, 1, 0)
+
+
+def conv_nxn_bn(cin, cout, kernel_size=3, stride=1):
+    return _ConvBNSiLU(cin, cout, kernel_size, stride, 1)
+
+
+class FeedForward(Module):
+    """reference mobilevit.py:28-40 — note: no pre-norm."""
+
+    def __init__(self, embed_dim, hidden_dim, dropout=0.0):
+        super().__init__()
+        self.fc1 = Dense(embed_dim, hidden_dim, bias=False, w_init=_W_INIT)
+        self.drop1 = Dropout(dropout)
+        self.fc2 = Dense(hidden_dim, embed_dim, bias=False, w_init=_W_INIT)
+        self.drop2 = Dropout(dropout)
+
+    def forward(self, cx: Ctx, x):
+        x = cx(self.drop1, act.silu(cx(self.fc1, x)))
+        return cx(self.drop2, cx(self.fc2, x))
+
+
+class MobileViTBlock(Module):
+    """reference mobilevit.py:107-143."""
+
+    def __init__(self, embed_dim, depth, channel, kernel_size=3,
+                 patch_size=(2, 2, 2), ffw_dim=None, dropout=0.0,
+                 backend="auto"):
+        super().__init__()
+        self.pt, self.ph, self.pw = patch_size
+        self.conv1 = conv_nxn_bn(channel, channel, kernel_size)
+        self.conv2 = conv_1x1_bn(channel, embed_dim)
+        self.transformer = TransformerStack(embed_dim, depth, 8, 16, ffw_dim,
+                                            dropout, backend)
+        self.conv3 = conv_1x1_bn(embed_dim, channel)
+        self.conv4 = conv_nxn_bn(2 * channel, channel, kernel_size)
+
+    def forward(self, cx: Ctx, x):
+        y = x
+        x = cx(self.conv1, x)
+        x = cx(self.conv2, x)
+        _, t, h, w, _ = x.shape
+        t_pad = (self.pt - t % self.pt) % self.pt
+        h_pad = (self.ph - h % self.ph) % self.ph
+        w_pad = (self.pw - w % self.pw) % self.pw
+        if t_pad or h_pad or w_pad:
+            x = jnp.pad(x, ((0, 0), (0, t_pad), (0, h_pad), (0, w_pad),
+                            (0, 0)))
+        # unfold: (B, T, H, W, D) -> (B, pt*ph*pw, t*h*w, D)
+        x = rearrange(x, "b (t pt) (h ph) (w pw) d -> b (pt ph pw) (t h w) d",
+                      pt=self.pt, ph=self.ph, pw=self.pw)
+        x = cx(self.transformer, x)
+        x = rearrange(x, "b (pt ph pw) (t h w) d -> b (t pt) (h ph) (w pw) d",
+                      pt=self.pt, ph=self.ph, pw=self.pw,
+                      t=(t + t_pad) // self.pt, h=(h + h_pad) // self.ph,
+                      w=(w + w_pad) // self.pw)
+        x = x[:, :t, :h, :w, :]
+        x = cx(self.conv3, x)
+        x = jnp.concatenate([x, y.astype(x.dtype)], axis=-1)
+        return cx(self.conv4, x)
+
+
+class TransformerStack(Module):
+    """Depth × (pre-LN attention + residual, FF + residual)."""
+
+    def __init__(self, embed_dim, depth, heads, dim_head, ffw_dim,
+                 dropout=0.0, backend="auto"):
+        super().__init__()
+        self.attns = ModuleList([
+            MultiHeadAttention(embed_dim, heads, dim_head, dropout,
+                               backend=backend) for _ in range(depth)])
+        self.ffs = ModuleList([
+            FeedForward(embed_dim, ffw_dim, dropout) for _ in range(depth)])
+
+    def forward(self, cx: Ctx, x):
+        for i in range(len(self.attns)):
+            x = cx(self.attns[i], x) + x
+            x = cx(self.ffs[i], x) + x
+        return x
+
+
+class MobileViT(Module):
+    """reference mobilevit.py:146-205."""
+
+    def __init__(self, dims: Sequence[int], channels: Sequence[int],
+                 num_classes: int, expansion: int = 4,
+                 kernel_size: int = 3,
+                 patch_size: Tuple[int, int, int] = (2, 2, 2),
+                 depths: Tuple[int, int, int] = (2, 4, 3),
+                 attention_backend: str = "auto"):
+        super().__init__()
+        assert len(dims) == 3 and len(depths) == 3
+        ch = list(channels)
+        init_dim, last_dim = ch[0], ch[-1]
+        be = attention_backend
+
+        self.conv1 = conv_nxn_bn(3, init_dim, stride=2)
+        B = Bottleneck3D
+        self.stem = ModuleList([
+            B(ch[0], ch[1], expanded_channels=ch[0] * expansion, stride=1),
+            B(ch[1], ch[2], expanded_channels=ch[1] * expansion, stride=2),
+            B(ch[2], ch[3], expanded_channels=ch[2] * expansion, stride=1),
+            B(ch[2], ch[3], expanded_channels=ch[2] * expansion, stride=1),
+        ])
+        self.trunk = ModuleList([
+            Sequential(
+                B(ch[3], ch[4], expanded_channels=ch[3] * expansion,
+                  stride=2),
+                MobileViTBlock(dims[0], depths[0], ch[5], kernel_size,
+                               patch_size, int(dims[0] * 2), backend=be)),
+            Sequential(
+                B(ch[5], ch[6], expanded_channels=ch[7] * expansion,
+                  stride=2),
+                MobileViTBlock(dims[1], depths[1], ch[7], kernel_size,
+                               patch_size, int(dims[1] * 4), backend=be)),
+            Sequential(
+                B(ch[7], ch[8], expanded_channels=ch[7] * 4, stride=2),
+                MobileViTBlock(dims[2], depths[2], ch[9], kernel_size,
+                               patch_size, int(dims[2] * 4), backend=be)),
+        ])
+        self.to_logits_conv = conv_1x1_bn(ch[-2], last_dim)
+        self.head = Dense(last_dim, num_classes, bias=False, w_init=_W_INIT)
+
+    def forward(self, cx: Ctx, x):
+        x = cx(self.conv1, x)
+        for i in range(len(self.stem)):
+            x = cx(self.stem[i], x)
+        for i in range(len(self.trunk)):
+            x = cx(self.trunk[i], x)
+        x = cx(self.to_logits_conv, x)
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3)).astype(x.dtype)
+        return cx(self.head, x)
+
+    def init_params(self, seed):
+        """Reference initialize_weights re-inits EVERY conv/linear weight to
+        N(0, 0.02²) and zeroes their biases (mobilevit.py:207-215) — that
+        includes the bottleneck and SE weights, so apply it tree-wide here.
+        BN scale/bias stay at 1/0 (torch default, untouched there too)."""
+        import zlib
+
+        import numpy as np
+
+        from picklebot_tpu.core.module import (as_seed, flatten_dict,
+                                               unflatten_dict)
+        seed = as_seed(seed)
+        params = super().init_params(seed)
+        out = {}
+        for path, leaf in flatten_dict(params).items():
+            name = path.rsplit(".", 1)[-1]
+            if name in ("w", "w1", "w2"):
+                sub = zlib.crc32(path.encode(), seed) & 0xFFFFFFFF
+                gen = np.random.Generator(np.random.Philox(sub))
+                out[path] = (0.02 * gen.standard_normal(leaf.shape)
+                             ).astype(np.float32)
+            elif name in ("b", "b1", "b2"):
+                out[path] = np.zeros_like(leaf)
+            else:
+                out[path] = leaf
+        return unflatten_dict(out)
+
+
+# configs from reference config/mobilevit_{xxs,xs,s}.json
+MOBILEVIT_CONFIGS = {
+    "xxs": dict(dims=[64, 80, 96],
+                channels=[16, 16, 24, 24, 48, 48, 64, 64, 80, 80, 320]),
+    "xs": dict(dims=[96, 120, 144],
+               channels=[16, 32, 48, 48, 64, 64, 80, 80, 96, 96, 384]),
+    "s": dict(dims=[144, 192, 240],
+              channels=[16, 32, 64, 64, 96, 96, 128, 128, 160, 160, 640]),
+}

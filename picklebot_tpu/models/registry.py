@@ -1,0 +1,78 @@
+"""Model registry: name -> constructor (reference valid_models,
+train.py:155-184, plus the models the reference defines but never registers).
+
+MobileViT takes dims/channels/num_classes from the config
+(train.py:166-171); everything else takes num_classes only.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+
+def _mobilenet_large3d(cfg):
+    from picklebot_tpu.models.mobilenet3d import MobileNetLarge3D
+    return MobileNetLarge3D(num_classes=cfg.num_classes)
+
+
+def _mobilenet_small3d(cfg):
+    from picklebot_tpu.models.mobilenet3d import MobileNetSmall3D
+    return MobileNetSmall3D(num_classes=cfg.num_classes)
+
+
+def _movinet_a2(cfg):
+    from picklebot_tpu.models.movinet import MoViNetA2
+    return MoViNetA2(num_classes=cfg.num_classes)
+
+
+def _movinet_a2_stream(cfg):
+    from picklebot_tpu.models.movinet import MoViNetA2Stream
+    return MoViNetA2Stream(num_classes=cfg.num_classes)
+
+
+def _mobilevit(cfg):
+    from picklebot_tpu.models.mobilevit import MobileViT
+    assert cfg.dims is not None and cfg.channels is not None, \
+        "MobileViT config needs 'dims' and 'channels'"
+    return MobileViT(dims=cfg.dims, channels=cfg.channels,
+                     num_classes=cfg.num_classes,
+                     attention_backend=getattr(cfg, "attention_backend",
+                                               "auto"))
+
+
+def _mobilevit_v2(cfg):
+    from picklebot_tpu.models.mobilevitv2 import MobileViTV2
+    return MobileViTV2()
+
+
+def _mobilenet_large2d(cfg):
+    from picklebot_tpu.models.mobilenet2d_lstm import MobileNetLarge2D
+    return MobileNetLarge2D(num_classes=cfg.num_classes)
+
+
+def _mobilenet_small2d(cfg):
+    from picklebot_tpu.models.mobilenet2d_lstm import MobileNetSmall2D
+    return MobileNetSmall2D(num_classes=cfg.num_classes)
+
+
+MODELS: Dict[str, Callable[[Any], Any]] = {
+    # registered in the reference (train.py:156-161)
+    "MoViNetA2": _movinet_a2,
+    "MobileNetLarge3D": _mobilenet_large3d,
+    "MobileNetSmall3D": _mobilenet_small3d,
+    "MobileViT": _mobilevit,
+    # defined by the reference but unregistered; first-class here
+    "MobileNetLarge2D": _mobilenet_large2d,
+    "MobileNetSmall2D": _mobilenet_small2d,
+    "MobileViTV2": _mobilevit_v2,
+    # capability extension: streaming MoViNet
+    "MoViNetA2Stream": _movinet_a2_stream,
+}
+
+
+def initialize_model(cfg):
+    """Reference initialize_model (train.py:155-184): registry lookup +
+    construction. Weight init is part of our Module.init."""
+    if cfg.model_name not in MODELS:
+        raise ValueError(f"Invalid model name: {cfg.model_name}")
+    return MODELS[cfg.model_name](cfg)

@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from picklebot_tpu.core import initializers as pinit
 from picklebot_tpu.core.module import Ctx, Module
@@ -44,14 +45,14 @@ class BatchNorm(Module):
         if not self.affine:
             return {}
         return {
-            "scale": lambda k: jnp.ones((self.num_features,), jnp.float32),
-            "bias": lambda k: jnp.zeros((self.num_features,), jnp.float32),
+            "scale": lambda k: np.ones((self.num_features,), np.float32),
+            "bias": lambda k: np.zeros((self.num_features,), np.float32),
         }
 
     def state_spec(self):
         return {
-            "mean": lambda: jnp.zeros((self.num_features,), jnp.float32),
-            "var": lambda: jnp.ones((self.num_features,), jnp.float32),
+            "mean": lambda: np.zeros((self.num_features,), np.float32),
+            "var": lambda: np.ones((self.num_features,), np.float32),
         }
 
     def forward(self, cx: Ctx, x):
@@ -95,8 +96,8 @@ class LayerNorm(Module):
         if not self.affine:
             return {}
         return {
-            "scale": lambda k: jnp.ones((self.num_features,), jnp.float32),
-            "bias": lambda k: jnp.zeros((self.num_features,), jnp.float32),
+            "scale": lambda k: np.ones((self.num_features,), np.float32),
+            "bias": lambda k: np.zeros((self.num_features,), np.float32),
         }
 
     def forward(self, cx: Ctx, x):
@@ -130,8 +131,8 @@ class GroupNorm(Module):
         if not self.affine:
             return {}
         return {
-            "scale": lambda k: jnp.ones((self.num_channels,), jnp.float32),
-            "bias": lambda k: jnp.zeros((self.num_channels,), jnp.float32),
+            "scale": lambda k: np.ones((self.num_channels,), np.float32),
+            "bias": lambda k: np.zeros((self.num_channels,), np.float32),
         }
 
     def forward(self, cx: Ctx, x):

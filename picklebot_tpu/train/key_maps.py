@@ -1,0 +1,152 @@
+"""Per-model torch-key → pytree-path maps for checkpoint conversion.
+
+Most keys convert via the default rules in checkpoint.py (weight/bias
+renames, BN running stats, SE conv stacks, LSTM). These tables cover the
+places where our TPU-native structure legitimately differs from the torch
+module tree: classifier 1x1 convs that became Dense heads, Sequential
+conv+BN stems unrolled into named children, etc.
+
+Used by ``load_pth(..., key_map=key_map_for(model_name))`` and the training
+loop's ``config.checkpoint`` path (reference train.py:230-235).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Optional, Tuple
+
+
+def _se_rewrite(tk: str) -> Optional[Tuple[str, bool]]:
+    """'...<se-module>.se.{1,3}.{weight,bias}' -> '...<se-module>.{w,b}{1,2}'
+    for SE blocks named other than the default 'se' child handled in
+    checkpoint.py (bottlenecks name theirs squeeze_excite)."""
+    if ".squeeze_excite.se." in tk:
+        prefix, rest = tk.split(".se.", 1)
+        idx, kind = rest.split(".")
+        n = {"1": "1", "3": "2"}[idx]
+        return (f"{prefix}.{'w' if kind == 'weight' else 'b'}{n}", False)
+    return None
+
+
+def _bn_triplet(torch_prefix: str, ours: str):
+    return {
+        f"{torch_prefix}.weight": (f"{ours}.scale", False),
+        f"{torch_prefix}.bias": (f"{ours}.bias", False),
+        f"{torch_prefix}.running_mean": (f"{ours}.mean", True),
+        f"{torch_prefix}.running_var": (f"{ours}.var", True),
+        f"{torch_prefix}.num_batches_tracked": ("", True),
+    }
+
+
+_MOBILENET3D_TABLE = {
+    # classifier 1x1 convs on pooled features -> Dense heads
+    "classifier.1.weight": ("fc1.w", False),
+    "classifier.1.bias": ("fc1.b", False),
+    "classifier.3.weight": ("fc2.w", False),
+    "classifier.3.bias": ("fc2.b", False),
+    # stem / head _ConvBNAct children
+    "block1.0.weight": ("block1.conv.w", False),
+    "block1.0.bias": ("block1.conv.b", False),
+    **_bn_triplet("block1.1", "block1.bn"),
+    "block6.0.weight": ("block6.conv.w", False),
+    "block6.0.bias": ("block6.conv.b", False),
+    **_bn_triplet("block6.1", "block6.bn"),
+    # Small3D block4 conv/SE/BN unrolled
+    "block4.0.weight": ("b4_conv.w", False),
+    "block4.0.bias": ("b4_conv.b", False),
+    "block4.1.se.1.weight": ("b4_se.w1", False),
+    "block4.1.se.1.bias": ("b4_se.b1", False),
+    "block4.1.se.3.weight": ("b4_se.w2", False),
+    "block4.1.se.3.bias": ("b4_se.b2", False),
+    **_bn_triplet("block4.2", "b4_bn"),
+}
+
+
+def mobilenet3d_key_map(tk: str):
+    if tk in _MOBILENET3D_TABLE:
+        return _MOBILENET3D_TABLE[tk]
+    return _se_rewrite(tk)
+
+
+_MOVINET_TABLE = {
+    "block1.0.weight": ("stem_conv.w", False),
+    **_bn_triplet("block1.1", "stem_bn"),
+    "conv.0.weight": ("head_conv.w", False),
+    **_bn_triplet("conv.1", "head_bn"),
+    "classifier.2.weight": ("fc1.w", False),
+    "classifier.2.bias": ("fc1.b", False),
+    **_bn_triplet("classifier.3", "fc1_bn"),
+    "classifier.6.weight": ("fc2.w", False),
+    "classifier.6.bias": ("fc2.b", False),
+}
+
+
+def movinet_key_map(tk: str):
+    if tk in _MOVINET_TABLE:
+        return _MOVINET_TABLE[tk]
+    return _se_rewrite(tk)
+
+
+def movinet_stream_key_map(tk: str):
+    """Same weights grafted under the stream wrapper's 'net' child."""
+    mapped = movinet_key_map(tk)
+    if mapped is not None:
+        path, is_state = mapped
+        return (f"net.{path}", is_state) if path else mapped
+    return None  # default rules run, then caller prefixes
+
+
+def mobilevit_key_map(tk: str):
+    # trunk stages are Sequential(conv, vit-block): torch trunk.N.0/.1 and
+    # our ModuleList keep identical indices, so generic rules cover most keys
+    table = {
+        "to_logits.0.0.weight": ("to_logits_conv.conv.w", False),
+        "to_logits.0.1.running_mean": ("to_logits_conv.bn.mean", True),
+        "to_logits.0.1.running_var": ("to_logits_conv.bn.var", True),
+        "to_logits.0.1.num_batches_tracked": ("", True),
+        "to_logits.2.weight": ("head.w", False),
+    }
+    if tk in table:
+        return table[tk]
+    # conv_nxn_bn/conv_1x1_bn Sequentials: '<name>.0.weight' conv,
+    # '<name>.1.*' BN(affine=False -> state only)
+    m = re.match(r"^(.*(?:conv1|conv2|conv3|conv4))\.0\.weight$", tk)
+    if m:
+        return (f"{m.group(1)}.conv.w", False)
+    m = re.match(r"^(.*(?:conv1|conv2|conv3|conv4))\.1\.running_(mean|var)$",
+                 tk)
+    if m:
+        return (f"{m.group(1)}.bn.{m.group(2)}", True)
+    if re.match(r"^.*\.1\.num_batches_tracked$", tk):
+        return ("", True)
+    # transformer: torch 'transformer.layers.N.0.*' attention,
+    # 'transformer.layers.N.1.*' feedforward
+    m = re.match(r"^(.*)\.transformer\.layers\.(\d+)\.0\.to_qkv\.weight$", tk)
+    if m:
+        return (f"{m.group(1)}.transformer.attns.{m.group(2)}.to_qkv.w",
+                False)
+    m = re.match(r"^(.*)\.transformer\.layers\.(\d+)\.0\.to_out\.0\.weight$",
+                 tk)
+    if m:
+        return (f"{m.group(1)}.transformer.attns.{m.group(2)}.to_out.w",
+                False)
+    m = re.match(r"^(.*)\.transformer\.layers\.(\d+)\.1\.net\.0\.weight$", tk)
+    if m:
+        return (f"{m.group(1)}.transformer.ffs.{m.group(2)}.fc1.w", False)
+    m = re.match(r"^(.*)\.transformer\.layers\.(\d+)\.1\.net\.3\.weight$", tk)
+    if m:
+        return (f"{m.group(1)}.transformer.ffs.{m.group(2)}.fc2.w", False)
+    return _se_rewrite(tk)
+
+
+KEY_MAPS = {
+    "MobileNetLarge3D": mobilenet3d_key_map,
+    "MobileNetSmall3D": mobilenet3d_key_map,
+    "MoViNetA2": movinet_key_map,
+    "MoViNetA2Stream": movinet_stream_key_map,
+    "MobileViT": mobilevit_key_map,
+}
+
+
+def key_map_for(model_name: str) -> Optional[Callable]:
+    return KEY_MAPS.get(model_name)

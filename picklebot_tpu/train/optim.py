@@ -1,0 +1,271 @@
+"""Optimizers: AdamW and first-party blockwise 8-bit AdamW, plus cosine LR.
+
+AdamW8bit replaces the reference's bitsandbytes CUDA optimizer
+(train.py:208-212): both Adam moments are stored as 8-bit codes with
+per-block (256-element) absmax scales — a 4x optimizer-memory saving, which
+on TPU frees HBM for bigger batches. bitsandbytes uses a *dynamic* 8-bit
+code; we use signed linear int8 for m and unsigned for v (documented
+divergence — same memory, simpler dequant, and the quantization error is
+dominated by Adam's own noise floor; see tests/test_optim.py for the
+convergence check). The quantize/dequantize runs as fused XLA elementwise
+ops; a Pallas kernel variant lives in ops/pallas/quant.py for the large-model
+regime where HBM round-trips dominate.
+
+Both optimizers follow torch AdamW semantics exactly (decoupled weight decay
+p -= lr*wd*p, bias-corrected moments, eps inside the sqrt denominator) so
+training dynamics are comparable with the reference.
+
+The LR schedule is torch CosineAnnealingLR with eta_min = lr/10, stepped per
+epoch (reference train.py:214-215, 295).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PyTree = Any
+
+BLOCK = 256           # quantization block size (bnb uses 256 for 8-bit)
+MIN_8BIT_SIZE = 4096  # params smaller than this stay fp32 (bnb default)
+
+
+# ---------------------------------------------------------------------------
+# blockwise dynamic 8-bit <-> fp32
+#
+# Linear int8 is fatal for Adam's second moment: entries far below the block
+# absmax quantize to 0 and the 1/(sqrt(v)+eps) update explodes. Like
+# bitsandbytes, we use a *dynamic* (log-spaced) 8-bit codebook: values are
+# normalized by the blockwise absmax, then rounded to the nearest entry of a
+# minifloat-style table (3 mantissa bits + wide exponent), giving <=6%
+# relative error across ~9 (signed) / ~9.3 (unsigned) decades. Encoding is a
+# searchsorted into the 256-entry table; decoding is a gather — both fuse
+# into the optimizer's elementwise XLA graph.
+# ---------------------------------------------------------------------------
+
+def _make_codebook(signed: bool) -> jnp.ndarray:
+    mantissas = 1.0 + jnp.arange(8, dtype=jnp.float32) / 8.0
+    if signed:
+        exps = 2.0 ** jnp.arange(-15.0, 0.0)            # 15 octaves
+        mags = (exps[:, None] * mantissas[None, :]).reshape(-1)
+        vals = jnp.concatenate([-mags[::-1], jnp.zeros((1,)), mags])
+    else:
+        exps = 2.0 ** jnp.arange(-31.0, 0.0)            # 31 octaves
+        mags = (exps[:, None] * mantissas[None, :]).reshape(-1)
+        vals = jnp.concatenate([jnp.zeros((1,)), mags])
+    pad = 256 - vals.shape[0]
+    # pad with the max value so stray codes stay in-range
+    return jnp.concatenate([vals, jnp.full((pad,), vals[-1])])
+
+
+_SIGNED_CODE = _make_codebook(signed=True)      # 241 live entries
+_UNSIGNED_CODE = _make_codebook(signed=False)   # 249 live entries
+
+
+def _encode(xb: jax.Array, codebook: jnp.ndarray) -> jax.Array:
+    """Nearest-codebook-entry indices for normalized values xb in [-1, 1]."""
+    hi = jnp.searchsorted(codebook, xb, side="left")
+    hi = jnp.clip(hi, 1, codebook.shape[0] - 1)
+    lo = hi - 1
+    pick_hi = (codebook[hi] - xb) <= (xb - codebook[lo])
+    return jnp.where(pick_hi, hi, lo).astype(jnp.uint8)
+
+
+def _quantize(x: jax.Array, codebook: jnp.ndarray
+              ) -> Tuple[jax.Array, jax.Array]:
+    """fp32 -> uint8 dynamic codes + per-block absmax."""
+    n = x.size
+    pad = (-n) % BLOCK
+    xb = jnp.pad(x.reshape(-1), (0, pad)).reshape(-1, BLOCK)
+    absmax = jnp.max(jnp.abs(xb), axis=1, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax, 1.0)
+    codes = _encode(xb / scale, codebook)
+    return codes, scale.astype(jnp.float32)
+
+
+def _dequantize(codes: jax.Array, scale: jax.Array, shape,
+                codebook: jnp.ndarray) -> jax.Array:
+    x = (codebook[codes] * scale).reshape(-1)
+    n = math.prod(shape) if shape else 1
+    return x[:n].reshape(shape)
+
+
+def _quantize_signed(x):
+    return _quantize(x, _SIGNED_CODE)
+
+
+def _dequantize_signed(codes, scale, shape):
+    return _dequantize(codes, scale, shape, _SIGNED_CODE)
+
+
+def _quantize_unsigned(x):
+    return _quantize(x, _UNSIGNED_CODE)
+
+
+def _dequantize_unsigned(codes, scale, shape):
+    return _dequantize(codes, scale, shape, _UNSIGNED_CODE)
+
+
+# ---------------------------------------------------------------------------
+# Optimizers
+# ---------------------------------------------------------------------------
+
+class Optimizer:
+    """Minimal optimizer protocol: functional init/update with explicit lr
+    (the schedule is data, not state — resume never restarts it)."""
+
+    def init(self, params: PyTree) -> PyTree:
+        raise NotImplementedError
+
+    def update(self, grads: PyTree, opt_state: PyTree, params: PyTree,
+               lr: jax.Array) -> Tuple[PyTree, PyTree]:
+        raise NotImplementedError
+
+
+class AdamW(Optimizer):
+    def __init__(self, betas=(0.9, 0.999), eps: float = 1e-8,
+                 weight_decay: float = 0.0):
+        self.b1, self.b2 = betas
+        self.eps = eps
+        self.weight_decay = weight_decay
+
+    def init(self, params):
+        # host-side numpy init: no device round-trips, one device_put later
+        zeros = lambda p: np.zeros(p.shape, np.float32)
+        return {
+            "step": np.zeros((), np.int32),
+            "m": jax.tree_util.tree_map(zeros, params),
+            "v": jax.tree_util.tree_map(zeros, params),
+        }
+
+    def update(self, grads, opt_state, params, lr):
+        step = opt_state["step"] + 1
+        b1, b2 = self.b1, self.b2
+        bc1 = 1 - b1 ** step.astype(jnp.float32)
+        bc2 = 1 - b2 ** step.astype(jnp.float32)
+
+        def upd(p, g, m, v):
+            g = g.astype(jnp.float32)
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            denom = jnp.sqrt(v / bc2) + self.eps
+            p32 = p.astype(jnp.float32)
+            p32 = p32 - lr * (m / bc1 / denom + self.weight_decay * p32)
+            return p32.astype(p.dtype), m, v
+
+        flat_p, treedef = jax.tree_util.tree_flatten(params)
+        flat_g = treedef.flatten_up_to(grads)
+        flat_m = treedef.flatten_up_to(opt_state["m"])
+        flat_v = treedef.flatten_up_to(opt_state["v"])
+        out = [upd(p, g, m, v)
+               for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+        new_p = treedef.unflatten([o[0] for o in out])
+        new_m = treedef.unflatten([o[1] for o in out])
+        new_v = treedef.unflatten([o[2] for o in out])
+        return new_p, {"step": step, "m": new_m, "v": new_v}
+
+
+class AdamW8bit(Optimizer):
+    """Blockwise 8-bit AdamW (bitsandbytes AdamW8bit capability,
+    reference train.py:208-212). Moments of tensors with >= min_8bit_size
+    elements are stored quantized; small tensors stay fp32 like bnb."""
+
+    def __init__(self, betas=(0.9, 0.999), eps: float = 1e-8,
+                 weight_decay: float = 0.0,
+                 min_8bit_size: int = MIN_8BIT_SIZE,
+                 use_pallas: bool = False):
+        self.b1, self.b2 = betas
+        self.eps = eps
+        self.weight_decay = weight_decay
+        self.min_8bit_size = min_8bit_size
+        self.use_pallas = use_pallas
+
+    def _quant8(self, p) -> bool:
+        return p.size >= self.min_8bit_size
+
+    def init(self, params):
+        # host-side numpy init; zero moments encode to code index of 0.0
+        zero_code_s = int(np.argmin(np.abs(np.asarray(_SIGNED_CODE))))
+        zero_code_u = 0  # _UNSIGNED_CODE[0] == 0.0
+
+        def blocks(p):
+            return -(-p.size // BLOCK)
+
+        def init_m(p):
+            if self._quant8(p):
+                return {"q": np.full((blocks(p), BLOCK), zero_code_s,
+                                     np.uint8),
+                        "s": np.ones((blocks(p), 1), np.float32)}
+            return np.zeros(p.shape, np.float32)
+
+        def init_v(p):
+            if self._quant8(p):
+                return {"q": np.full((blocks(p), BLOCK), zero_code_u,
+                                     np.uint8),
+                        "s": np.ones((blocks(p), 1), np.float32)}
+            return np.zeros(p.shape, np.float32)
+
+        return {
+            "step": np.zeros((), np.int32),
+            "m": jax.tree_util.tree_map(init_m, params),
+            "v": jax.tree_util.tree_map(init_v, params),
+        }
+
+    def update(self, grads, opt_state, params, lr):
+        step = opt_state["step"] + 1
+        b1, b2 = self.b1, self.b2
+        bc1 = 1 - b1 ** step.astype(jnp.float32)
+        bc2 = 1 - b2 ** step.astype(jnp.float32)
+
+        def upd(p, g, m_st, v_st):
+            g = g.astype(jnp.float32)
+            if self._quant8(p):
+                m = _dequantize_signed(m_st["q"], m_st["s"], p.shape)
+                v = _dequantize_unsigned(v_st["q"], v_st["s"], p.shape)
+            else:
+                m, v = m_st, v_st
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            denom = jnp.sqrt(v / bc2) + self.eps
+            p32 = p.astype(jnp.float32)
+            p32 = p32 - lr * (m / bc1 / denom + self.weight_decay * p32)
+            if self._quant8(p):
+                mq, ms = _quantize_signed(m)
+                vq, vs = _quantize_unsigned(v)
+                return p32.astype(p.dtype), {"q": mq, "s": ms}, \
+                    {"q": vq, "s": vs}
+            return p32.astype(p.dtype), m, v
+
+        flat_p, treedef = jax.tree_util.tree_flatten(params)
+        flat_g = treedef.flatten_up_to(grads)
+        flat_m = treedef.flatten_up_to(opt_state["m"])
+        flat_v = treedef.flatten_up_to(opt_state["v"])
+        out = [upd(p, g, m, v)
+               for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+        new_p = treedef.unflatten([o[0] for o in out])
+        new_m = treedef.unflatten([o[1] for o in out])
+        new_v = treedef.unflatten([o[2] for o in out])
+        return new_p, {"step": step, "m": new_m, "v": new_v}
+
+
+def cosine_annealing_lr(base_lr: float, t_max: int,
+                        eta_min: Optional[float] = None
+                        ) -> Callable[[jax.Array], jax.Array]:
+    """torch CosineAnnealingLR; reference uses eta_min = lr/10
+    (train.py:214-215) stepped once per epoch."""
+    eta = base_lr / 10.0 if eta_min is None else eta_min
+
+    def schedule(epoch):
+        e = jnp.asarray(epoch, jnp.float32)
+        return eta + (base_lr - eta) * 0.5 * (
+            1 + jnp.cos(jnp.pi * e / max(t_max, 1)))
+
+    return schedule
+
+
+OPTIMIZERS = {"adamw": AdamW, "adamw8bit": AdamW8bit}

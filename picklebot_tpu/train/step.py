@@ -1,0 +1,190 @@
+"""The jitted training/eval steps: grad-accumulation scan + shard_map DP.
+
+One ``train_step`` call consumes a full *effective* batch shaped
+(accum_steps, local_batch, T, H, W, C) uint8 and performs, entirely
+on-device inside a single XLA program:
+
+  1. preprocessing (cast bf16, /255 — reference extract_features_labels,
+     train.py:102-108, minus the permute: we are channels-last natively);
+  2. a ``lax.scan`` over microbatches, each computing loss + grads + updated
+     BatchNorm state (reference accumulates grads across loader iterations,
+     train.py:283-289 — grads are summed unscaled, faithfully reproduced);
+  3. a cross-replica ``pmean`` of the accumulated grads (what DDP's bucketed
+     NCCL all-reduce does, train.py:204) and of BN running stats (divergence:
+     the reference keeps per-replica stats and saves rank 0's — averaging is
+     needed to keep our replicated-state invariant and is strictly no worse);
+  4. one optimizer update, replicated.
+
+Normalization semantics match DDP: batch statistics are computed from the
+*local* shard (per-replica BN, not SyncBN).
+
+The whole step runs under ``shard_map`` over Mesh('data','model'); batch
+arrays are sharded on 'data', parameters replicated. XLA lowers the pmean to
+ICI all-reduces overlapping the backward pass. Per-microbatch losses are
+returned so logging density matches the reference's per-batch TB scalars.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from picklebot_tpu.core.module import DtypePolicy, Module
+from picklebot_tpu.train.losses import LOSSES, prepare_labels
+from picklebot_tpu.train.optim import Optimizer
+
+PyTree = Any
+
+
+class TrainState(NamedTuple):
+    params: PyTree
+    model_state: PyTree      # BatchNorm statistics etc.
+    opt_state: PyTree
+    epoch: jax.Array         # current epoch (drives the cosine schedule)
+
+
+def create_train_state(model: Module, optimizer: Optimizer,
+                       seed) -> TrainState:
+    """Host-side (numpy) init — instant, no device traffic; place the result
+    with one device_put / jit donation afterwards."""
+    import numpy as np
+    variables = model.init(seed)
+    return TrainState(
+        params=variables["params"],
+        model_state=variables["state"],
+        opt_state=optimizer.init(variables["params"]),
+        epoch=np.zeros((), np.int32),
+    )
+
+
+def preprocess(features: jax.Array, compute_dtype) -> jax.Array:
+    """uint8 (..., T, H, W, C) -> [0,1] compute-dtype. On-device, fused."""
+    return features.astype(compute_dtype) / jnp.asarray(255, compute_dtype)
+
+
+def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
+                    schedule: Callable[[jax.Array], jax.Array],
+                    policy: Optional[DtypePolicy] = None,
+                    mesh: Optional[Mesh] = None,
+                    donate: bool = True):
+    """Build the jitted train step.
+
+    Returns step(state, features, labels, rng) ->
+      (state, {'loss': (A,), 'correct': (), 'samples': (), 'lr': ()})
+    with features (A, B, T, H, W, C) uint8 and labels (A, B) int32;
+    under a mesh, B is the *global* batch and arrays are sharded on 'data'.
+    """
+    policy = policy or DtypePolicy.bf16()
+    loss_fn, acc_fn = LOSSES[criterion]
+
+    def micro_loss(params, model_state, feats, labels, rng):
+        x = preprocess(feats, policy.compute_dtype)
+        logits, new_state = model.apply(
+            {"params": params, "state": model_state}, x,
+            train=True, rng=rng, policy=policy)
+        lbl = prepare_labels(criterion, labels)
+        loss = loss_fn(logits, lbl)
+        correct = acc_fn(logits, lbl)
+        return loss, (new_state, correct)
+
+    grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+    def local_step(state: TrainState, features, labels, rng):
+        lr = schedule(state.epoch)
+
+        def micro(carry, inp):
+            grads_acc, model_state, i = carry
+            feats, lbls = inp
+            (loss, (model_state, correct)), grads = grad_fn(
+                state.params, model_state, feats, lbls,
+                jax.random.fold_in(rng, i))
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(jnp.float32), grads_acc, grads)
+            return (grads_acc, model_state, i + 1), (loss, correct)
+
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        (grads, model_state, _), (losses, corrects) = jax.lax.scan(
+            micro, (zero_grads, state.model_state, jnp.zeros((), jnp.int32)),
+            (features, labels))
+
+        if mesh is not None:
+            # DDP-equivalent gradient mean + replicated-state repair
+            grads = jax.lax.pmean(grads, "data")
+            model_state = jax.lax.pmean(model_state, "data")
+            losses = jax.lax.pmean(losses, "data")
+            corrects = jax.lax.psum(corrects, "data")
+
+        new_params, opt_state = optimizer.update(
+            grads, state.opt_state, state.params, lr)
+        samples = jnp.asarray(features.shape[0] * features.shape[1],
+                              jnp.float32)
+        if mesh is not None:
+            samples = jax.lax.psum(samples, "data")
+        # per-microbatch losses/corrects -> logging density matches the
+        # reference's per-batch TB scalars (train.py:291-293)
+        metrics = {"loss": losses, "correct": corrects,
+                   "samples": samples, "lr": lr}
+        return TrainState(new_params, model_state, opt_state,
+                          state.epoch), metrics
+
+    if mesh is None:
+        return jax.jit(local_step, donate_argnums=(0,) if donate else ())
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(None, "data"), P(None, "data"), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: Module, criterion: str,
+                   policy: Optional[DtypePolicy] = None,
+                   mesh: Optional[Mesh] = None):
+    """eval_step(state, features, labels) -> {'loss_sum','correct','samples'}
+    features (B, T, H, W, C) uint8, labels (B,). BN in eval mode (running
+    stats), mirroring reference estimate_loss (train.py:123-153)."""
+    policy = policy or DtypePolicy.bf16()
+    loss_fn, acc_fn = LOSSES[criterion]
+
+    def local_eval(state: TrainState, features, labels):
+        x = preprocess(features, policy.compute_dtype)
+        logits, _ = model.apply(
+            {"params": state.params, "state": state.model_state}, x,
+            train=False, policy=policy)
+        lbl = prepare_labels(criterion, labels)
+        loss = loss_fn(logits, lbl)
+        correct = acc_fn(logits, lbl)
+        n = jnp.asarray(features.shape[0], jnp.float32)
+        if mesh is not None:
+            loss = jax.lax.pmean(loss, "data")
+            correct = jax.lax.psum(correct, "data")
+            n = jax.lax.psum(n, "data")
+        return {"loss": loss, "correct": correct, "samples": n}
+
+    if mesh is None:
+        return jax.jit(local_eval)
+    sharded = shard_map(
+        local_eval, mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=P(),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_predict_fn(model: Module, policy: Optional[DtypePolicy] = None):
+    """Batched inference: uint8 clips -> logits. The bench.py entry point."""
+    policy = policy or DtypePolicy.bf16()
+
+    def predict(variables, features):
+        x = preprocess(features, policy.compute_dtype)
+        logits, _ = model.apply(variables, x, train=False, policy=policy)
+        return logits
+
+    return jax.jit(predict)

@@ -1,0 +1,104 @@
+"""Config system: the reference's flat JSON configs, parsed and validated.
+
+Accepts the reference's config/*.json files verbatim (full key schema at
+SURVEY.md §5 / reference train.py:97-100 — one positional CLI arg, flat JSON,
+no validation there). Here every key lands in a typed dataclass with
+defaults, divides-evenly checks (reference train.py:245), and warnings for
+unknown keys. Keys the reference declares but never uses (``mean``/``std``
+are never applied — train.py:106 only divides by 255) are accepted and
+carried for compatibility; ``apply_mean_std=True`` opts into actually using
+them (capability the reference intended).
+
+Extension keys (all optional, defaulted) configure TPU-specific behavior:
+data backend, temporal bucketing, optimizer choice, mesh shape, directories.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import warnings
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class Config:
+    # --- reference schema (config/*.json) ---
+    model_name: str = "MobileNetLarge3D"
+    learning_rate: float = 3e-4
+    batch_size: int = 16
+    max_iters: int = 1                  # epochs (reference naming)
+    eval_interval: int = 1
+    weight_decay: float = 5e-4
+    std: Optional[List[float]] = None   # declared, unused by reference
+    mean: Optional[List[float]] = None
+    use_autocast: bool = True           # -> bf16 compute policy
+    compile: bool = True                # jit is always on; kept for parity
+    criterion: str = "CE"
+    checkpoint: Optional[str] = None
+    train_annotations_file: str = ""
+    val_annotations_file: str = ""
+    video_paths: str = ""
+    num_classes: int = 2
+    effective_batch_size: int = 16
+    dims: Optional[List[int]] = None        # MobileViT only
+    channels: Optional[List[int]] = None    # MobileViT only
+    varying_input_size: bool = False
+
+    # --- picklebot-tpu extensions ---
+    optimizer: str = "adamw8bit"        # adamw | adamw8bit
+    data_backend: str = "opencv"        # opencv | npy | synthetic
+    num_workers: int = 4
+    t_bucket: int = 8
+    max_frames: int = 256
+    apply_mean_std: bool = False        # actually use mean/std keys
+    data_parallel: Optional[int] = None  # None -> all local devices
+    seed: int = 1234                    # reference torch.manual_seed(1234)
+    checkpoint_dir: str = "checkpoints"
+    log_dir: str = "runs"
+    synthetic_len: Optional[int] = None
+    synthetic_shape: Tuple[int, int, int] = (16, 224, 224)
+    profile: bool = False               # jax.profiler trace of first steps
+    attention_backend: str = "auto"     # auto | xla | pallas
+
+    def validate(self) -> "Config":
+        from picklebot_tpu.models.registry import MODELS
+        if self.model_name not in MODELS:
+            raise ValueError(
+                f"Invalid model name: {self.model_name} "
+                f"(valid: {sorted(MODELS)})")
+        if self.criterion not in ("CE", "BCE"):
+            raise ValueError(f"Invalid criterion: {self.criterion}")
+        if self.effective_batch_size % self.batch_size != 0:
+            raise ValueError(  # reference asserts this (train.py:245)
+                "Batch size must divide effective batch size")
+        if self.optimizer not in ("adamw", "adamw8bit"):
+            raise ValueError(f"Invalid optimizer: {self.optimizer}")
+        return self
+
+    @property
+    def grad_accum_steps(self) -> int:
+        return self.effective_batch_size // self.batch_size
+
+    def run_name(self) -> str:
+        # reference: f"{model_name}_{criterion}" where criterion is the
+        # torch repr (train.py:227); keep those exact strings so runs/
+        # directories line up.
+        crit = {"CE": "CrossEntropyLoss()",
+                "BCE": "BCEWithLogitsLoss()"}[self.criterion]
+        return f"{self.model_name}_{crit}"
+
+
+def load_config(path: str) -> Config:
+    """json file -> validated Config (reference load_config train.py:97-100
+    plus typing/validation)."""
+    with open(path) as fh:
+        raw: Dict[str, Any] = json.load(fh)
+    known = {f.name for f in dataclasses.fields(Config)}
+    unknown = {k: v for k, v in raw.items() if k not in known}
+    if unknown:
+        warnings.warn(f"unknown config keys ignored: {sorted(unknown)}")
+    kwargs = {k: v for k, v in raw.items() if k in known}
+    if "synthetic_shape" in kwargs:
+        kwargs["synthetic_shape"] = tuple(kwargs["synthetic_shape"])
+    return Config(**kwargs).validate()

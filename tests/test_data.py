@@ -1,0 +1,101 @@
+"""Data pipeline tests: dataset backends, bucketed collate (incl. the C++
+core), loader ordering/shuffling/sharding, accumulation grouping."""
+
+import numpy as np
+import pytest
+
+from picklebot_tpu.data.dataset import (ClipDataset, bucket_frames,
+                                        pad_collate)
+from picklebot_tpu.data.loader import DataLoader, accumulate_batches
+
+
+def test_bucket_frames():
+    assert bucket_frames(1, 8, 64) == 8
+    assert bucket_frames(8, 8, 64) == 8
+    assert bucket_frames(9, 8, 64) == 16
+    assert bucket_frames(100, 8, 64) == 64  # clamp
+
+
+def test_pad_collate_matches_reference_semantics(rng):
+    clips = [rng.randint(0, 255, (t, 4, 4, 3)).astype(np.uint8)
+             for t in (3, 7, 5)]
+    batch, labels = pad_collate(clips, [1, 2, 3], t_bucket=8, max_frames=32)
+    assert batch.shape == (3, 8, 4, 4, 3)
+    assert labels.dtype == np.int64
+    # content preserved, tail zero-padded
+    np.testing.assert_array_equal(batch[0, :3], clips[0])
+    assert batch[0, 3:].sum() == 0
+    np.testing.assert_array_equal(batch[1, :7], clips[1])
+
+
+def test_native_collate_matches_numpy(rng):
+    from picklebot_tpu.data.native import get_lib, native_collate
+    if get_lib() is None:
+        pytest.skip("C++ collate lib unavailable")
+    clips = [rng.randint(0, 255, (t, 6, 5, 3)).astype(np.uint8)
+             for t in (2, 9, 4, 9)]
+    want, _ = pad_collate(clips, [0, 0, 0, 0], native=False)
+    got = np.zeros_like(want)
+    assert native_collate(got, clips)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_synthetic_dataset_and_loader():
+    ds = ClipDataset("", "", backend="synthetic",
+                     synthetic_shape=(8, 16, 16), synthetic_len=10)
+    assert len(ds) == 10
+    clip, label = ds[3]
+    assert clip.shape[1:] == (16, 16, 3) and clip.dtype == np.uint8
+    clip2, _ = ds[3]
+    np.testing.assert_array_equal(clip, clip2)  # deterministic
+
+    loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2,
+                        t_bucket=8, max_frames=16, drop_last=True)
+    assert len(loader) == 2
+    batches = list(loader)
+    assert len(batches) == 2
+    for feats, labels in batches:
+        assert feats.shape[0] == 4 and feats.dtype == np.uint8
+        assert labels.shape == (4,)
+
+    # shuffling changes with epoch, deterministic per epoch
+    loader.set_epoch(0)
+    a = [tuple(l) for _, l in loader]
+    loader.set_epoch(0)
+    b = [tuple(l) for _, l in loader]
+    loader.set_epoch(1)
+    c = [tuple(l) for _, l in loader]
+    assert a == b
+    assert a != c
+
+
+def test_dataset_sharding():
+    full = ClipDataset("", "", backend="synthetic", synthetic_len=16)
+    shards = [ClipDataset("", "", backend="synthetic", synthetic_len=16,
+                          shard=i, num_shards=4) for i in range(4)]
+    assert sum(len(s) for s in shards) == len(full)
+    seen = set()
+    for s in shards:
+        seen.update(s.filenames)
+    assert len(seen) == 16  # disjoint cover
+
+
+def test_accumulate_batches(rng):
+    def gen():
+        for t in (8, 16, 8, 8, 16, 8):
+            yield (rng.randint(0, 255, (2, t, 4, 4, 3)).astype(np.uint8),
+                   np.zeros((2,), np.int64))
+
+    groups = list(accumulate_batches(gen(), 2))
+    assert len(groups) == 3
+    feats, labels = groups[0]
+    assert feats.shape == (2, 2, 16, 4, 4, 3)  # re-padded to group max
+    assert labels.shape == (2, 2)
+
+
+def test_csv_reading(tmp_path):
+    csv = tmp_path / "ann.csv"
+    csv.write_text("filename,zone\na.mp4,3\nb.mp4,11\n")
+    ds = ClipDataset(str(csv), str(tmp_path), backend="npy")
+    assert len(ds) == 2
+    assert list(ds.labels) == [3, 11]
