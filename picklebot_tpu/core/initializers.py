@@ -112,3 +112,25 @@ def ones() -> Initializer:
 def uniform(low: float, high: float) -> Initializer:
     return lambda key, shape, dtype=np.float32: _gen(key).uniform(
         low, high, shape).astype(dtype)
+
+
+def reinit_normal_002(params, seed: int):
+    """The MobileViT-family init (reference mobilevit.py:207-215,
+    mobilevitv2.py:307-314): EVERY conv/linear weight ~ N(0, 0.02²), biases
+    zeroed, norm scale/bias untouched. Applied tree-wide to a params pytree
+    (weight leaves are named w/w1/w2, bias leaves b/b1/b2 by convention)."""
+    import zlib
+
+    from picklebot_tpu.core.module import flatten_dict, unflatten_dict
+    out = {}
+    for path, leaf in flatten_dict(params).items():
+        name = path.rsplit(".", 1)[-1]
+        if name in ("w", "w1", "w2"):
+            sub = zlib.crc32(path.encode(), seed & 0xFFFFFFFF) & 0xFFFFFFFF
+            out[path] = (0.02 * _gen(sub).standard_normal(leaf.shape)
+                         ).astype(np.float32)
+        elif name in ("b", "b1", "b2"):
+            out[path] = np.zeros_like(leaf)
+        else:
+            out[path] = leaf
+    return unflatten_dict(out)

@@ -45,6 +45,16 @@ def _name_seed(seed: int, name: str) -> int:
     return zlib.crc32(name.encode(), seed & 0xFFFFFFFF) & 0xFFFFFFFF
 
 
+def _deep_merge(old, new):
+    out = dict(old) if old else {}
+    for k, v in new.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 def as_seed(seed_or_key) -> int:
     """Accept an int seed or a jax PRNG key (tests/back-compat)."""
     if isinstance(seed_or_key, int):
@@ -118,25 +128,31 @@ class Ctx:
 
     # -- child dispatch ------------------------------------------------------
     def __call__(self, child: "Module", *args, **kwargs):
-        name = self.module._child_name(child)
-        sub = Ctx(child,
-                  self.params.get(name),
-                  self.state.get(name),
-                  self.train,
-                  None if self.rng is None else _name_key(self.rng, name),
-                  self.policy)
+        # resolve possibly-nested children (e.g. self.stem[i] inside a
+        # ModuleList registered as 'stem') to their dotted path
+        path = self.module._child_path(child)
+        params, state = self.params, self.state
+        rng = self.rng
+        for name in path:
+            params = params.get(name) if params else None
+            state = state.get(name) if state else None
+            rng = None if rng is None else _name_key(rng, name)
+        sub = Ctx(child, params, state, self.train, rng, self.policy)
         out = child.forward(sub, *args, **kwargs)
-        if sub.collected_state() is not None:
-            self.new_state[name] = sub.collected_state()
+        collected = sub.collected_state()
+        if collected is not None:
+            node = self.new_state
+            for name in path[:-1]:
+                node = node.setdefault(name, {})
+            node[path[-1]] = collected
         return out
 
     def collected_state(self):
-        """Merged state after forward: child updates overlay the old state."""
+        """Deep-merged state after forward: child updates overlay old state
+        without dropping untouched siblings."""
         if not self.state and not self.new_state:
             return None
-        merged = dict(self.state)
-        merged.update(self.new_state)
-        return merged
+        return _deep_merge(self.state, self.new_state)
 
     # -- leaf helpers --------------------------------------------------------
     def param(self, name: str):
@@ -176,6 +192,18 @@ class Module:
                 return name
         raise KeyError(
             f"{child!r} is not a registered child of {type(self).__name__}")
+
+    def _child_path(self, child: "Module"):
+        """Dotted-path segments to a (possibly nested) descendant module."""
+        for name, c in self._children.items():
+            if c is child:
+                return name.split(".")
+            try:
+                return name.split(".") + c._child_path(child)
+            except KeyError:
+                continue
+        raise KeyError(
+            f"{child!r} is not a descendant of {type(self).__name__}")
 
     def named_children(self):
         return dict(self._children)

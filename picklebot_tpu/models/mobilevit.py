@@ -202,29 +202,10 @@ class MobileViT(Module):
     def init_params(self, seed):
         """Reference initialize_weights re-inits EVERY conv/linear weight to
         N(0, 0.02²) and zeroes their biases (mobilevit.py:207-215) — that
-        includes the bottleneck and SE weights, so apply it tree-wide here.
-        BN scale/bias stay at 1/0 (torch default, untouched there too)."""
-        import zlib
-
-        import numpy as np
-
-        from picklebot_tpu.core.module import (as_seed, flatten_dict,
-                                               unflatten_dict)
+        includes the bottleneck and SE weights, so apply it tree-wide."""
+        from picklebot_tpu.core.module import as_seed
         seed = as_seed(seed)
-        params = super().init_params(seed)
-        out = {}
-        for path, leaf in flatten_dict(params).items():
-            name = path.rsplit(".", 1)[-1]
-            if name in ("w", "w1", "w2"):
-                sub = zlib.crc32(path.encode(), seed) & 0xFFFFFFFF
-                gen = np.random.Generator(np.random.Philox(sub))
-                out[path] = (0.02 * gen.standard_normal(leaf.shape)
-                             ).astype(np.float32)
-            elif name in ("b", "b1", "b2"):
-                out[path] = np.zeros_like(leaf)
-            else:
-                out[path] = leaf
-        return unflatten_dict(out)
+        return pinit.reinit_normal_002(super().init_params(seed), seed)
 
 
 # configs from reference config/mobilevit_{xxs,xs,s}.json

@@ -83,6 +83,9 @@ class _ConvNd(Module):
     def forward(self, cx: Ctx, x):
         w = cx.param("w").astype(cx.policy.compute_dtype)
         x = x.astype(cx.policy.compute_dtype)
+        # NB: no preferred_element_type — the TPU MXU accumulates bf16
+        # matmuls in f32 internally, and an explicit f32 output dtype breaks
+        # the conv VJP (f32 cotangent vs bf16 weights).
         out = lax.conv_general_dilated(
             x, w,
             window_strides=self.stride,
@@ -90,8 +93,7 @@ class _ConvNd(Module):
             rhs_dilation=self.dilation,
             dimension_numbers=self.dn,
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
-        ).astype(cx.policy.compute_dtype)
+        )
         if self.use_bias:
             out = out + cx.param("b").astype(cx.policy.compute_dtype)
         return out

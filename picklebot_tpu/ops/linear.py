@@ -42,8 +42,7 @@ class Dense(Module):
     def forward(self, cx: Ctx, x):
         w = cx.param("w").astype(cx.policy.compute_dtype)
         x = x.astype(cx.policy.compute_dtype)
-        out = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(
-            cx.policy.compute_dtype)
+        out = jnp.dot(x, w)
         if self.use_bias:
             out = out + cx.param("b").astype(cx.policy.compute_dtype)
         return out
@@ -165,13 +164,11 @@ class LSTM(Module):
 
             # Precompute input projections for all steps as one big matmul
             # (MXU-friendly), then scan only the recurrence.
-            x_proj = jnp.dot(seq, w_ih, preferred_element_type=jnp.float32
-                             ).astype(dtype) + bias
+            x_proj = jnp.dot(seq, w_ih) + bias
 
             def step(carry, xp):
                 h, c = carry
-                gates = xp + jnp.dot(
-                    h, w_hh, preferred_element_type=jnp.float32).astype(dtype)
+                gates = xp + jnp.dot(h, w_hh)
                 i, f, g, o = jnp.split(gates, 4, axis=-1)
                 c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
                 h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)

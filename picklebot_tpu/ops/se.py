@@ -49,12 +49,9 @@ class SEBlock(Module):
         axes = tuple(range(1, x.ndim - 1))
         # squeeze: global average pool (f32 accumulate)
         s = jnp.mean(x.astype(jnp.float32), axis=axes).astype(dtype)  # (B, C)
-        s = relu(jnp.dot(s, cx.param("w1").astype(dtype),
-                         preferred_element_type=jnp.float32).astype(dtype)
+        s = relu(jnp.dot(s, cx.param("w1").astype(dtype))
                  + cx.param("b1").astype(dtype))
-        s = hardsigmoid(jnp.dot(s, cx.param("w2").astype(dtype),
-                                preferred_element_type=jnp.float32
-                                ).astype(dtype)
+        s = hardsigmoid(jnp.dot(s, cx.param("w2").astype(dtype))
                         + cx.param("b2").astype(dtype))
         # excite: broadcast channel scale
         s = s.reshape((x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],))

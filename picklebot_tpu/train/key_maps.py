@@ -139,12 +139,60 @@ def mobilevit_key_map(tk: str):
     return _se_rewrite(tk)
 
 
+_MOBILENET2D_TABLE = {
+    # Large2D head: block6 Sequential(conv, bn, hs, avgpool) -> b6_* children
+    "block6.0.weight": ("b6_conv.w", False),
+    "block6.0.bias": ("b6_conv.b", False),
+    **_bn_triplet("block6.1", "b6_bn"),
+    # Small2D head: block4 Sequential(conv, SE, bn, hs, avgpool) -> b4_*
+    "block4.0.weight": ("b4_conv.w", False),
+    "block4.0.bias": ("b4_conv.b", False),
+    "block4.1.se.1.weight": ("b4_se.w1", False),
+    "block4.1.se.1.bias": ("b4_se.b1", False),
+    "block4.1.se.3.weight": ("b4_se.w2", False),
+    "block4.1.se.3.bias": ("b4_se.b2", False),
+    **_bn_triplet("block4.2", "b4_bn"),
+    # classifier Sequential(Linear) -> Dense
+    "classifier.0.weight": ("classifier.w", False),
+    "classifier.0.bias": ("classifier.b", False),
+    # block1 Sequential(conv, bn, hs) -> _ConvBNAct2D children
+    "block1.0.weight": ("block1.conv.w", False),
+    "block1.0.bias": ("block1.conv.b", False),
+    **_bn_triplet("block1.1", "block1.bn"),
+}
+
+
+def mobilenet2d_key_map(tk: str):
+    # NB: Small2D's block4 table entries only exist on Small2D; unmatched
+    # table keys simply never occur for the other model.
+    if tk in _MOBILENET2D_TABLE:
+        return _MOBILENET2D_TABLE[tk]
+    return _se_rewrite(tk)
+
+
+def mobilevitv2_key_map(tk: str):
+    # torch nests the layer list as 'transformer.layer.N'; ours is
+    # 'transformer.N'
+    if ".transformer.layer." in tk:
+        tk2, _ = (tk.replace(".transformer.layer.", ".transformer."), True)
+        # re-run default-style renames on the rewritten key by returning a
+        # path with generic suffix rules applied manually:
+        if tk2.endswith(".weight"):
+            return (tk2[:-len(".weight")] + ".w", False)
+        if tk2.endswith(".bias"):
+            return (tk2[:-len(".bias")] + ".b", False)
+    return _se_rewrite(tk)
+
+
 KEY_MAPS = {
     "MobileNetLarge3D": mobilenet3d_key_map,
     "MobileNetSmall3D": mobilenet3d_key_map,
     "MoViNetA2": movinet_key_map,
     "MoViNetA2Stream": movinet_stream_key_map,
     "MobileViT": mobilevit_key_map,
+    "MobileViTV2": mobilevitv2_key_map,
+    "MobileNetLarge2D": mobilenet2d_key_map,
+    "MobileNetSmall2D": mobilenet2d_key_map,
 }
 
 
