@@ -73,10 +73,11 @@ class MultiHeadAttention(Module):
         backend = self.backend
         if backend == "auto":
             n = q.shape[-2]
-            # pallas flash kernel pays off once sequences are long; tiny
-            # sequences (MobileViT's deep stages have 16-80 tokens) stay XLA.
+            # pallas flash kernel pays off once the (N, N) score matrix
+            # stops fitting fused in VMEM; below that XLA's fused softmax
+            # attention is at parity (measured on v5e at MobileViT sizes).
             backend = "pallas" if (
-                n >= 256 and q.dtype == jnp.bfloat16
+                n >= 1024 and q.dtype == jnp.bfloat16
                 and jax.default_backend() == "tpu") else "xla"
         if backend == "pallas":
             from picklebot_tpu.ops.pallas.flash_attention import flash_attention
