@@ -1,0 +1,96 @@
+"""Integration: train(config) end-to-end on synthetic data (2 epochs,
+single device and 8-way DP), checkpoint artifacts, CLI config loading."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from picklebot_tpu.train.loop import train
+from picklebot_tpu.utils.config import Config, load_config
+
+
+def _smoke_config(tmp_path, **kw):
+    base = dict(
+        model_name="MobileNetSmall3D", learning_rate=1e-3, batch_size=2,
+        max_iters=2, eval_interval=1, weight_decay=5e-4, use_autocast=False,
+        criterion="CE", num_classes=13, effective_batch_size=4,
+        data_backend="synthetic", synthetic_len=12,
+        synthetic_shape=(8, 32, 32), t_bucket=8, max_frames=8,
+        num_workers=2, optimizer="adamw8bit", data_parallel=1,
+        checkpoint_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "runs"),
+    )
+    base.update(kw)
+    return Config(**base).validate()
+
+
+@pytest.mark.slow
+def test_train_two_epochs_single_device(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = _smoke_config(tmp_path)
+    summary = train(cfg)
+    assert summary["final_val_loss"] is not None
+    assert np.isfinite(summary["final_val_loss"])
+    assert summary["global_step"] > 0
+    # checkpoints written: periodic + finished
+    assert glob.glob(str(tmp_path / "ckpt" / "MobileNetSmall3D" / "step_*"))
+    assert glob.glob(str(tmp_path / "ckpt" / "*_finished" / "step_*"))
+    # tensorboard events with reference tag names
+    ev = glob.glob(str(tmp_path / "runs" / "*" / "events.out.tfevents.*"))
+    assert ev
+    # statistics artifacts (reference statistics/*.npy shape)
+    stats = glob.glob(str(tmp_path / "statistics" / "*_train_losses.npy"))
+    assert stats
+    arr = np.load(stats[0])
+    assert arr.ndim == 2 and arr.shape[1] == 1  # (windows, 1) like reference
+
+
+@pytest.mark.slow
+def test_train_sharded_8way(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = _smoke_config(tmp_path, data_parallel=8, batch_size=1,
+                        effective_batch_size=2, synthetic_len=16)
+    summary = train(cfg, max_steps=1)
+    assert np.isfinite(summary["final_val_loss"])
+
+
+@pytest.mark.slow
+def test_resume_from_orbax_checkpoint(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = _smoke_config(tmp_path, max_iters=1)
+    train(cfg)
+    finished = glob.glob(
+        str(tmp_path / "ckpt" / "*_finished" / "step_*"))[0]
+    cfg2 = _smoke_config(tmp_path, max_iters=2, checkpoint=finished)
+    summary = train(cfg2)
+    assert np.isfinite(summary["final_val_loss"])
+
+
+def test_load_config_accepts_reference_schema(tmp_path):
+    """The reference's config/*.json keys must parse unchanged."""
+    ref_cfg = {
+        "model_name": "MobileNetLarge3D", "learning_rate": 3e-4,
+        "batch_size": 16, "max_iters": 1, "eval_interval": 1,
+        "weight_decay": 5e-4, "std": [0.2, 0.2, 0.2],
+        "mean": [0.4, 0.4, 0.3], "use_autocast": True, "compile": True,
+        "criterion": "CE", "checkpoint": None,
+        "train_annotations_file": "/x/train.csv",
+        "val_annotations_file": "/x/val.csv", "video_paths": "/x/vids",
+        "num_classes": 13, "effective_batch_size": 4096,
+    }
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps(ref_cfg))
+    cfg = load_config(str(p))
+    assert cfg.model_name == "MobileNetLarge3D"
+    assert cfg.grad_accum_steps == 256
+    assert cfg.run_name() == "MobileNetLarge3D_CrossEntropyLoss()"
+
+    # invalid model / criterion / batch divisibility rejected
+    for bad in ({"model_name": "Nope"}, {"criterion": "MSE"},
+                {"effective_batch_size": 17}):
+        cfg_bad = dict(ref_cfg, **bad)
+        p.write_text(json.dumps(cfg_bad))
+        with pytest.raises(ValueError):
+            load_config(str(p))
