@@ -69,18 +69,25 @@ def main():
             return metrics["loss"]
     else:
         predict = make_predict_fn(model, policy)
-        variables = model.init(jax.random.key(0))
+        # device_put once — host-numpy params would re-transfer every call
+        variables = jax.device_put(model.init(0))
         feats = jax.device_put(feats_np)
 
         def run(i):
             return predict(variables, feats)
 
+    def sync(out):
+        # a value readback is the only reliable barrier here: the
+        # environment's remote-TPU tunnel returns from block_until_ready
+        # before execution completes
+        return float(jnp.sum(jnp.asarray(out, jnp.float32)))
+
     for i in range(args.warmup):
-        jax.block_until_ready(run(i))
+        sync(run(i))
     t0 = time.perf_counter()
     for i in range(args.steps):
         out = run(args.warmup + i)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.perf_counter() - t0) / args.steps
     clips_per_sec = args.batch / dt
 

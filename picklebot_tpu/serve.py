@@ -1,0 +1,105 @@
+"""Inference CLI: call balls and strikes on clips from a checkpoint.
+
+The serving counterpart of the reference's HuggingFace demo space
+(reference README.md links): load a config + checkpoint, decode clips,
+batch them through the jitted predictor, print per-clip predictions.
+
+Usage:
+  python -m picklebot_tpu.serve <config.json> --checkpoint ck_dir_or.pth \
+      clip1.mp4 clip2.mp4 ...
+  python -m picklebot_tpu.serve <config.json> --checkpoint ck --csv ann.csv \
+      [--limit N]   # evaluate accuracy over an annotation CSV
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+# 13-class zone task: 0 = ball zones... the 2-class task is ball/strike
+BALL_STRIKE = {0: "ball", 1: "strike"}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Classify pitch clips")
+    p.add_argument("config")
+    p.add_argument("clips", nargs="*")
+    p.add_argument("--checkpoint", required=True,
+                   help="Orbax step dir or torch .pth")
+    p.add_argument("--csv", default=None,
+                   help="annotation csv: evaluate accuracy instead")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--batch", type=int, default=8)
+    args = p.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from picklebot_tpu.core.module import DtypePolicy
+    from picklebot_tpu.data.dataset import ClipDataset, decode_opencv, pad_collate
+    from picklebot_tpu.models.registry import initialize_model
+    from picklebot_tpu.train import checkpoint as ckpt
+    from picklebot_tpu.train.key_maps import key_map_for
+    from picklebot_tpu.train.step import make_predict_fn
+    from picklebot_tpu.utils.config import load_config
+
+    config = load_config(args.config)
+    model = initialize_model(config)
+    variables = model.init(config.seed)
+    if args.checkpoint.endswith(".pth"):
+        variables = ckpt.load_pth(args.checkpoint, variables,
+                                  key_map=key_map_for(config.model_name))
+    else:
+        payload = ckpt.restore_checkpoint(
+            args.checkpoint,
+            {"params": variables["params"], "model_state": variables["state"],
+             "opt_state": None, "epoch": None})
+        variables = {"params": payload["params"],
+                     "state": payload["model_state"]}
+
+    variables = jax.device_put(variables)  # resident params, not per-call
+    policy = DtypePolicy.bf16() if config.use_autocast else DtypePolicy.f32()
+    mean = config.mean if config.apply_mean_std else None
+    std = config.std if config.apply_mean_std else None
+    predict = make_predict_fn(model, policy, mean=mean, std=std)
+
+    def classify(batch_clips, names):
+        feats, _ = pad_collate(batch_clips, [0] * len(batch_clips),
+                               config.t_bucket, config.max_frames)
+        logits = np.asarray(predict(variables, feats), np.float32)
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        preds = logits.argmax(-1)
+        for name, pr, pb in zip(names, preds, probs):
+            label = BALL_STRIKE.get(int(pr), f"zone_{int(pr)}") \
+                if config.num_classes == 2 else f"zone_{int(pr)}"
+            print(json.dumps({"clip": name, "pred": int(pr),
+                              "label": label,
+                              "confidence": round(float(pb[pr]), 4)}))
+        return preds
+
+    if args.csv:
+        ds = ClipDataset(args.csv, config.video_paths,
+                         backend=config.data_backend,
+                         synthetic_shape=config.synthetic_shape,
+                         synthetic_len=config.synthetic_len)
+        n = min(len(ds), args.limit or len(ds))
+        correct = 0
+        for start in range(0, n, args.batch):
+            idxs = range(start, min(start + args.batch, n))
+            clips, labels = zip(*[ds[i] for i in idxs])
+            preds = classify(list(clips), [ds.filenames[i] for i in idxs])
+            correct += int((preds == np.asarray(labels)).sum())
+        print(json.dumps({"evaluated": n, "accuracy": correct / max(n, 1)}))
+    else:
+        if not args.clips:
+            print("no clips given", file=sys.stderr)
+            return 1
+        clips = [decode_opencv(c) for c in args.clips]
+        classify(clips, args.clips)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -175,6 +175,69 @@ def load_pth(path: str, variables: Variables, key_map=None,
 
 
 # --------------------------------------------------------------------------
+# pytree -> torch .pth (export for the reference ecosystem / HF demo)
+# --------------------------------------------------------------------------
+
+def export_torch_state_dict(variables: Variables, key_map=None,
+                            reverse_map: Optional[Dict[str, str]] = None
+                            ) -> Dict[str, Any]:
+    """Inverse of import: our pytree -> a torch state_dict-shaped dict.
+
+    Layout transposes are inferred from rank: conv (k..., I, O) -> (O, I,
+    k...), dense (I, O) -> (O, I). Key renames invert the default rules;
+    ``reverse_map`` overrides {our_flat_path: torch_key} for model-specific
+    structure. Weights trained here can be served by the reference code.
+    """
+    import torch
+    flat_params = flatten_dict(variables["params"])
+    flat_state = flatten_dict(variables["state"])
+    out: Dict[str, Any] = {}
+
+    def to_torch_layout(v: np.ndarray) -> np.ndarray:
+        v = np.asarray(v, np.float32)
+        if v.ndim >= 3:  # conv (k..., I, O) -> (O, I, k...)
+            perm = (v.ndim - 1, v.ndim - 2) + tuple(range(v.ndim - 2))
+            return np.transpose(v, perm)
+        if v.ndim == 2:  # dense (I, O) -> (O, I)
+            return v.T
+        return v
+
+    def default_torch_key(path: str, is_state: bool) -> str:
+        if reverse_map and path in reverse_map:
+            return reverse_map[path]
+        if is_state:
+            if path.endswith(".mean"):
+                return path[:-len("mean")] + "running_mean"
+            if path.endswith(".var"):
+                return path[:-len("var")] + "running_var"
+            return path
+        k = path
+        k = re.sub(r"\.w_(ih|hh)_l(\d+)$", r".weight_\1_l\2", k)
+        k = re.sub(r"\.b_(ih|hh)_l(\d+)$", r".bias_\1_l\2", k)
+        if k != path:
+            return k
+        if k.endswith(".w") or k.endswith(".scale"):
+            return k.rsplit(".", 1)[0] + ".weight"
+        if k.endswith(".b") or k.endswith(".bias"):
+            return k.rsplit(".", 1)[0] + ".bias"
+        return k
+
+    for path, v in flat_params.items():
+        out[default_torch_key(path, False)] = torch.from_numpy(
+            to_torch_layout(np.asarray(jax.device_get(v))))
+    for path, v in flat_state.items():
+        out[default_torch_key(path, True)] = torch.from_numpy(
+            np.asarray(jax.device_get(v), np.float32))
+    return out
+
+
+def save_pth(path: str, variables: Variables, reverse_map=None):
+    import torch
+    torch.save(export_torch_state_dict(variables, reverse_map=reverse_map),
+               path)
+
+
+# --------------------------------------------------------------------------
 # Orbax native checkpoints
 # --------------------------------------------------------------------------
 

@@ -69,10 +69,13 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         weight_decay=config.weight_decay)
     schedule = cosine_annealing_lr(config.learning_rate, config.max_iters)
 
+    mean = config.mean if config.apply_mean_std else None
+    std = config.std if config.apply_mean_std else None
     train_step = make_train_step(model, optimizer, config.criterion,
-                                 schedule, policy=policy, mesh=mesh)
+                                 schedule, policy=policy, mesh=mesh,
+                                 mean=mean, std=std)
     eval_step = make_eval_step(model, config.criterion, policy=policy,
-                               mesh=mesh)
+                               mesh=mesh, mean=mean, std=std)
 
     state = create_train_state(model, optimizer, config.seed)
 

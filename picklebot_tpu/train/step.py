@@ -62,16 +62,28 @@ def create_train_state(model: Module, optimizer: Optimizer,
     )
 
 
-def preprocess(features: jax.Array, compute_dtype) -> jax.Array:
-    """uint8 (..., T, H, W, C) -> [0,1] compute-dtype. On-device, fused."""
-    return features.astype(compute_dtype) / jnp.asarray(255, compute_dtype)
+def preprocess(features: jax.Array, compute_dtype,
+               mean=None, std=None) -> jax.Array:
+    """uint8 (..., T, H, W, C) -> compute-dtype, on-device and fused.
+
+    Default is /255 only (exactly what the reference applies,
+    train.py:106 — its config mean/std are declared but never used).
+    Passing mean/std (per-channel) enables real standardization
+    (config.apply_mean_std)."""
+    x = features.astype(compute_dtype) / jnp.asarray(255, compute_dtype)
+    if mean is not None and std is not None:
+        mean = jnp.asarray(mean, compute_dtype)
+        std = jnp.asarray(std, compute_dtype)
+        x = (x - mean) / std
+    return x
 
 
 def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
                     schedule: Callable[[jax.Array], jax.Array],
                     policy: Optional[DtypePolicy] = None,
                     mesh: Optional[Mesh] = None,
-                    donate: bool = True):
+                    donate: bool = True,
+                    mean=None, std=None):
     """Build the jitted train step.
 
     Returns step(state, features, labels, rng) ->
@@ -83,7 +95,7 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
     loss_fn, acc_fn = LOSSES[criterion]
 
     def micro_loss(params, model_state, feats, labels, rng):
-        x = preprocess(feats, policy.compute_dtype)
+        x = preprocess(feats, policy.compute_dtype, mean, std)
         logits, new_state = model.apply(
             {"params": params, "state": model_state}, x,
             train=True, rng=rng, policy=policy)
@@ -146,7 +158,8 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
 
 def make_eval_step(model: Module, criterion: str,
                    policy: Optional[DtypePolicy] = None,
-                   mesh: Optional[Mesh] = None):
+                   mesh: Optional[Mesh] = None,
+                   mean=None, std=None):
     """eval_step(state, features, labels) -> {'loss_sum','correct','samples'}
     features (B, T, H, W, C) uint8, labels (B,). BN in eval mode (running
     stats), mirroring reference estimate_loss (train.py:123-153)."""
@@ -154,7 +167,7 @@ def make_eval_step(model: Module, criterion: str,
     loss_fn, acc_fn = LOSSES[criterion]
 
     def local_eval(state: TrainState, features, labels):
-        x = preprocess(features, policy.compute_dtype)
+        x = preprocess(features, policy.compute_dtype, mean, std)
         logits, _ = model.apply(
             {"params": state.params, "state": state.model_state}, x,
             train=False, policy=policy)
@@ -178,12 +191,13 @@ def make_eval_step(model: Module, criterion: str,
     return jax.jit(sharded)
 
 
-def make_predict_fn(model: Module, policy: Optional[DtypePolicy] = None):
+def make_predict_fn(model: Module, policy: Optional[DtypePolicy] = None,
+                    mean=None, std=None):
     """Batched inference: uint8 clips -> logits. The bench.py entry point."""
     policy = policy or DtypePolicy.bf16()
 
     def predict(variables, features):
-        x = preprocess(features, policy.compute_dtype)
+        x = preprocess(features, policy.compute_dtype, mean, std)
         logits, _ = model.apply(variables, x, train=False, policy=policy)
         return logits
 
