@@ -1,15 +1,13 @@
 """Optimizers: AdamW and first-party blockwise 8-bit AdamW, plus cosine LR.
 
 AdamW8bit replaces the reference's bitsandbytes CUDA optimizer
-(train.py:208-212): both Adam moments are stored as 8-bit codes with
-per-block (256-element) absmax scales — a 4x optimizer-memory saving, which
-on TPU frees HBM for bigger batches. bitsandbytes uses a *dynamic* 8-bit
-code; we use signed linear int8 for m and unsigned for v (documented
-divergence — same memory, simpler dequant, and the quantization error is
-dominated by Adam's own noise floor; see tests/test_optim.py for the
-convergence check). The quantize/dequantize runs as fused XLA elementwise
-ops; a Pallas kernel variant lives in ops/pallas/quant.py for the large-model
-regime where HBM round-trips dominate.
+(train.py:208-212): both Adam moments are stored as 8-bit *dynamic*
+(log-spaced minifloat) codes with per-block (256-element) absmax scales — a
+4x optimizer-memory saving, which on TPU frees HBM for bigger batches.
+Encode/decode are pure elementwise frexp/exp2 arithmetic that fuses into the
+optimizer's XLA graph (measured free on v5e; a codebook searchsorted cost
+300+ ms/step, and plain linear int8 provably diverges — see
+tests/test_train_step.py::test_adamw8bit_tracks_fp32_adamw).
 
 Both optimizers follow torch AdamW semantics exactly (decoupled weight decay
 p -= lr*wd*p, bias-corrected moments, eps inside the sqrt denominator) so
@@ -42,25 +40,27 @@ MIN_8BIT_SIZE = 4096  # params smaller than this stay fp32 (bnb default)
 # absmax quantize to 0 and the 1/(sqrt(v)+eps) update explodes. Like
 # bitsandbytes, we use a *dynamic* (log-spaced) 8-bit codebook: values are
 # normalized by the blockwise absmax, then rounded to the nearest entry of a
-# minifloat-style table (3 mantissa bits + wide exponent), giving <=6%
-# relative error across ~9 (signed) / ~9.3 (unsigned) decades. Encoding is a
-# searchsorted into the 256-entry table; decoding is a gather — both fuse
-# into the optimizer's elementwise XLA graph.
+# minifloat-style code (3 mantissa bits + wide exponent), giving <=6.25%
+# relative error across ~4.5 (signed) / ~9.3 (unsigned) decades. Encoding and
+# decoding are arithmetic (frexp/exp2), verified bit-identical to
+# nearest-entry lookup in the explicit codebooks below (kept for tests).
 # ---------------------------------------------------------------------------
 
-def _make_codebook(signed: bool) -> jnp.ndarray:
-    mantissas = 1.0 + jnp.arange(8, dtype=jnp.float32) / 8.0
+def _make_codebook(signed: bool) -> np.ndarray:
+    # numpy on purpose: module import must not touch the device
+    mantissas = 1.0 + np.arange(8, dtype=np.float32) / 8.0
     if signed:
-        exps = 2.0 ** jnp.arange(-15.0, 0.0)            # 15 octaves
+        exps = 2.0 ** np.arange(-15.0, 0.0)             # 15 octaves
         mags = (exps[:, None] * mantissas[None, :]).reshape(-1)
-        vals = jnp.concatenate([-mags[::-1], jnp.zeros((1,)), mags])
+        vals = np.concatenate([-mags[::-1], np.zeros((1,)), mags])
     else:
-        exps = 2.0 ** jnp.arange(-31.0, 0.0)            # 31 octaves
+        exps = 2.0 ** np.arange(-31.0, 0.0)             # 31 octaves
         mags = (exps[:, None] * mantissas[None, :]).reshape(-1)
-        vals = jnp.concatenate([jnp.zeros((1,)), mags])
+        vals = np.concatenate([np.zeros((1,)), mags])
     pad = 256 - vals.shape[0]
     # pad with the max value so stray codes stay in-range
-    return jnp.concatenate([vals, jnp.full((pad,), vals[-1])])
+    return np.concatenate([vals, np.full((pad,), vals[-1])]).astype(
+        np.float32)
 
 
 _SIGNED_CODE = _make_codebook(signed=True)      # 241 live entries

@@ -94,3 +94,13 @@ def test_load_config_accepts_reference_schema(tmp_path):
         p.write_text(json.dumps(cfg_bad))
         with pytest.raises(ValueError):
             load_config(str(p))
+
+
+@pytest.mark.slow
+def test_train_bce_criterion(tmp_path, monkeypatch):
+    """BCE path: 1-logit head, float labels (reference train.py:217-221)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = _smoke_config(tmp_path, criterion="BCE", num_classes=1,
+                        synthetic_len=8, max_iters=1)
+    summary = train(cfg, max_steps=1)
+    assert np.isfinite(summary["final_val_loss"])
