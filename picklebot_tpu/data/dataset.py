@@ -87,10 +87,12 @@ class ClipDataset:
         else:
             self.filenames, self.labels = read_annotations(annotations_file)
         self.synthetic_shape = synthetic_shape
-        # contiguous per-host shard (each host sees len/num_shards items)
+        # strided per-host shard, truncated to equal length — hosts must run
+        # identical batch counts or lockstep collectives hang
         if num_shards > 1:
-            self.filenames = self.filenames[shard::num_shards]
-            self.labels = self.labels[shard::num_shards]
+            per_host = len(self.filenames) // num_shards
+            self.filenames = self.filenames[shard::num_shards][:per_host]
+            self.labels = self.labels[shard::num_shards][:per_host]
 
     def __len__(self) -> int:
         return len(self.filenames)

@@ -58,6 +58,9 @@ class DataLoader:
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         order = self._order()
         nb = len(self)
+        if self.drop_last:
+            # don't decode the dropped tail — decode is the host bottleneck
+            order = order[:nb * self.batch_size]
         item_q: "queue.Queue" = queue.Queue(
             maxsize=self.prefetch_batches * self.batch_size)
         stop = threading.Event()

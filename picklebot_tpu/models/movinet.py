@@ -201,7 +201,9 @@ class MoViNetA2Stream(Module):
     def init_stream(self, batch: int, height: int, width: int,
                     dtype=jnp.float32):
         """Zero stream buffers for input frames of (height, width)."""
-        h, w = height // 2, width // 2  # after stem s(1,2,2)
+        # stem conv k3 p1 s2: out = ceil(h/2) (floor would mis-size buffers
+        # for odd inputs)
+        h, w = -(-height // 2), -(-width // 2)
         buffers = []
         for block in self._causal_blocks():
             conv = block.conv

@@ -42,7 +42,7 @@ def _mobilevit(cfg):
 
 def _mobilevit_v2(cfg):
     from picklebot_tpu.models.mobilevitv2 import MobileViTV2
-    return MobileViTV2()
+    return MobileViTV2(num_classes=cfg.num_classes)
 
 
 def _mobilenet_large2d(cfg):

@@ -71,6 +71,7 @@ class MultiHeadAttention(Module):
 
     def _attend(self, cx: Ctx, q, k, v):
         backend = self.backend
+        dropout_active = cx.train and self.dropout_p > 0
         if backend == "auto":
             n = q.shape[-2]
             # pallas flash kernel pays off once the (N, N) score matrix
@@ -79,6 +80,10 @@ class MultiHeadAttention(Module):
             backend = "pallas" if (
                 n >= 1024 and q.dtype == jnp.bfloat16
                 and jax.default_backend() == "tpu") else "xla"
+        if dropout_active:
+            # the flash kernel has no dropout path; silently dropping the
+            # configured attention dropout would change training behavior
+            backend = "xla"
         if backend == "pallas":
             from picklebot_tpu.ops.pallas.flash_attention import flash_attention
             return flash_attention(q, k, v, scale=self.scale)

@@ -63,8 +63,9 @@ class Bottleneck3D(Module):
         if self.fused:
             from picklebot_tpu.ops.pallas.fused_bottleneck import (
                 fused_bottleneck, fused_bottleneck_eligible)
-            if fused_bottleneck_eligible(x.shape[2], self.kernel_size,
-                                         self.stride, self.use_se):
+            if fused_bottleneck_eligible(x.shape[2], x.shape[3],
+                                         self.kernel_size, self.stride,
+                                         self.use_se):
                 import jax.numpy as jnp
                 dt = cx.policy.compute_dtype
                 p = cx.params

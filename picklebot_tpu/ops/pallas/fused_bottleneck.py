@@ -208,16 +208,19 @@ def _fused_forward(x, w1, wd, w2, se_w1, se_b1, se_w2, se_b2, *,
     return out.reshape(b, t_out, h_out, w_out, co)
 
 
-def fused_bottleneck_eligible(h: int, kernel_size: int, stride: int,
+def fused_bottleneck_eligible(h: int, w: int, kernel_size: int, stride: int,
                               use_se: bool, tile_h: int = 8) -> bool:
     """Static check: shapes the compiled TPU kernel supports. Mosaic's
     vector slices only allow unit strides, so stride-2 blocks stay on the
-    XLA path (10 of MobileNetLarge3D's 15 bottlenecks are stride 1)."""
+    XLA path (10 of MobileNetLarge3D's 15 bottlenecks are stride 1); frames
+    narrower than 8 rows/cols crash the remote compiler."""
     p = kernel_size // 2
     h_out = (h + 2 * p - kernel_size) // stride + 1
-    if jax.default_backend() == "tpu" and (stride != 1 or h_out < 8):
+    w_out = (w + 2 * p - kernel_size) // stride + 1
+    if jax.default_backend() == "tpu" and (
+            stride != 1 or h_out < 8 or w_out < 8):
         return False
-    return h_out >= 1
+    return h_out >= 1 and w_out >= 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))

@@ -59,10 +59,13 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 def _convert_leaf(torch_key: str, value: np.ndarray,
                   target: jax.Array) -> np.ndarray:
-    """Convert one torch tensor to our layout, guided by the target shape."""
+    """Convert one torch tensor to our layout, guided by the target shape.
+
+    Layout-specific conversions are tried BEFORE the pass-through: torch 2D
+    weights are always (out, in), so a square Linear weight must still be
+    transposed even though its shape coincidentally equals the target's.
+    """
     v = value
-    if v.ndim == target.ndim and v.shape == target.shape:
-        return v
     # conv weight (O, I, k...) -> (k..., I, O)
     if v.ndim >= 3 and target.ndim == v.ndim:
         perm = tuple(range(2, v.ndim)) + (1, 0)
@@ -77,6 +80,9 @@ def _convert_leaf(torch_key: str, value: np.ndarray,
     # dense / lstm weights: (O, I) -> (I, O)
     if v.ndim == 2 and v.T.shape == target.shape:
         return v.T
+    # pass-through (1D params/state and anything already in our layout)
+    if v.ndim == target.ndim and v.shape == target.shape:
+        return v
     raise ValueError(
         f"Cannot convert {torch_key}: torch shape {v.shape} -> "
         f"target {target.shape}")

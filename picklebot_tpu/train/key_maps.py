@@ -88,12 +88,21 @@ def movinet_key_map(tk: str):
 
 
 def movinet_stream_key_map(tk: str):
-    """Same weights grafted under the stream wrapper's 'net' child."""
+    """Same weights grafted under the stream wrapper's 'net' child. Must
+    resolve EVERY key itself (returning None would let the default rules
+    produce an unprefixed path)."""
+    from picklebot_tpu.train.checkpoint import _default_key_map
     mapped = movinet_key_map(tk)
-    if mapped is not None:
-        path, is_state = mapped
-        return (f"net.{path}", is_state) if path else mapped
-    return None  # default rules run, then caller prefixes
+    if mapped is None:
+        # streaming bottlenecks wrap the depthwise conv in CausalConv3d,
+        # adding one nesting level: blockN.i.conv.* -> blockN.i.conv.conv.*
+        m = re.fullmatch(r"(block\d+\.\d+)\.conv\.weight", tk)
+        if m:
+            mapped = (f"{m.group(1)}.conv.conv.w", False)
+        else:
+            mapped = _default_key_map(tk)
+    path, is_state = mapped
+    return (f"net.{path}", is_state) if path else (path, is_state)
 
 
 def mobilevit_key_map(tk: str):

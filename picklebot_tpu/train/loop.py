@@ -260,7 +260,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             np.save(os.path.join(stats_dir, f"{base}_val_losses.npy"),
                     np.asarray(val_losses))
             np.save(os.path.join(stats_dir, f"{base}_val_percent.npy"),
-                    np.asarray(val_percent[-1] if val_percent else np.nan))
+                    np.asarray(val_percent))
             print("Model and statistics saved!")
             if writer:
                 writer.close()

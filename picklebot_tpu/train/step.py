@@ -108,6 +108,10 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
 
     def local_step(state: TrainState, features, labels, rng):
         lr = schedule(state.epoch)
+        if mesh is not None:
+            # independent dropout per replica (DDP ranks have independent
+            # torch rng; a replicated key would correlate masks globally)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
 
         def micro(carry, inp):
             grads_acc, model_state, i = carry

@@ -82,3 +82,41 @@ def test_training_is_deterministic(rng):
     for x, y in zip(jax.tree_util.tree_leaves(a.params),
                     jax.tree_util.tree_leaves(b.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.golden
+def test_movinet_stream_pth_load():
+    """Regression: a torch MoViNet .pth must load into the STREAM wrapper
+    (keys handled by default rules need the 'net.' prefix too)."""
+    torch = pytest.importorskip("torch")
+    import sys
+    sys.path.insert(0, "/root/reference")
+    import os
+    if not os.path.isdir("/root/reference/config"):
+        pytest.skip("reference unavailable")
+    from movinet import MoViNetA2 as TMoViNet
+    from picklebot_tpu.models.movinet import MoViNetA2Stream
+    from picklebot_tpu.train.key_maps import key_map_for
+
+    torch.manual_seed(0)
+    tmodel = TMoViNet(num_classes=13)
+    sd = {k: v.detach().float().numpy()
+          for k, v in tmodel.state_dict().items()}
+    model = MoViNetA2Stream(num_classes=13)
+    v = import_torch_state_dict(sd, model.init(0),
+                                key_map=key_map_for("MoViNetA2Stream"))
+    # spot check one ordinary (default-rule) key landed under net.
+    np.testing.assert_allclose(
+        np.asarray(v["params"]["net"]["block2"]["0"]["expand"]["w"]
+                   ).transpose(4, 3, 0, 1, 2),
+        sd["block2.0.expand.weight"], rtol=1e-6)
+
+
+def test_square_linear_weight_transposed():
+    """Regression: torch (d, d) Linear weights must transpose on import
+    even though the shape coincidentally matches."""
+    from picklebot_tpu.train.checkpoint import _convert_leaf
+    v = np.arange(9, dtype=np.float32).reshape(3, 3)
+    target = jnp.zeros((3, 3))
+    out = _convert_leaf("fc.weight", v, target)
+    np.testing.assert_array_equal(out, v.T)
