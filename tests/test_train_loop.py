@@ -104,3 +104,32 @@ def test_train_bce_criterion(tmp_path, monkeypatch):
                         synthetic_len=8, max_iters=1)
     summary = train(cfg, max_steps=1)
     assert np.isfinite(summary["final_val_loss"])
+
+
+@pytest.mark.slow
+def test_train_from_real_mp4s(tmp_path, monkeypatch, rng):
+    """The complete reference flow: mp4 videos + annotation CSVs -> train
+    (decode, bucket, accumulate, step, eval, checkpoint)."""
+    cv2 = pytest.importorskip("cv2")
+    monkeypatch.chdir(tmp_path)
+    vid_dir = tmp_path / "videos"
+    vid_dir.mkdir()
+    rows = []
+    for i in range(8):
+        name = f"pitch{i}.mp4"
+        w = cv2.VideoWriter(str(vid_dir / name),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 30, (32, 32))
+        for _ in range(5 + i % 3):
+            w.write(rng.randint(0, 255, (32, 32, 3)).astype(np.uint8))
+        w.release()
+        rows.append(f"{name},{i % 13}")
+    csv = tmp_path / "ann.csv"
+    csv.write_text("filename,zone\n" + "\n".join(rows) + "\n")
+
+    cfg = _smoke_config(
+        tmp_path, data_backend="opencv", max_iters=1,
+        train_annotations_file=str(csv), val_annotations_file=str(csv),
+        video_paths=str(vid_dir), t_bucket=8, max_frames=8)
+    summary = train(cfg)
+    assert np.isfinite(summary["final_val_loss"])
+    assert summary["global_step"] > 0
