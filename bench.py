@@ -33,6 +33,8 @@ BASELINE_CLIPS_PER_SEC = 2.1  # reference steady-state train step (BASELINE.md)
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="train", choices=["train", "infer"])
+    p.add_argument("--model", default="MobileNetLarge3D",
+                   help="any registry model (MobileViT uses xxs dims)")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--frames", type=int, default=32)
     p.add_argument("--size", type=int, default=224)
@@ -41,12 +43,16 @@ def main():
     args = p.parse_args()
 
     from picklebot_tpu.core.module import DtypePolicy
-    from picklebot_tpu.models.mobilenet3d import MobileNetLarge3D
+    from picklebot_tpu.models.registry import initialize_model
     from picklebot_tpu.train.optim import AdamW8bit, cosine_annealing_lr
     from picklebot_tpu.train.step import (create_train_state, make_predict_fn,
                                           make_train_step)
+    from picklebot_tpu.utils.config import Config
 
-    model = MobileNetLarge3D(num_classes=13)
+    cfg = Config(model_name=args.model, num_classes=13,
+                 dims=[64, 80, 96],
+                 channels=[16, 16, 24, 24, 48, 48, 64, 64, 80, 80, 320])
+    model = initialize_model(cfg)
     policy = DtypePolicy.bf16()
     rng = np.random.RandomState(0)
     feats_np = rng.randint(
@@ -94,7 +100,7 @@ def main():
     name = ("train step fwd+bwd+adamw8bit" if args.mode == "train"
             else "batched inference")
     print(json.dumps({
-        "metric": f"clips/sec/chip (MobileNetLarge3D {name}, "
+        "metric": f"clips/sec/chip ({args.model} {name}, "
                   f"bs={args.batch} T={args.frames} {args.size}x{args.size} "
                   f"bf16)",
         "value": round(clips_per_sec, 2),

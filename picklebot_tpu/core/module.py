@@ -26,7 +26,7 @@ in-place mutation, no Python-side control flow inside jit.
 from __future__ import annotations
 
 import zlib
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ Per-host sharding (``shard``/``num_shards``) replaces DistributedSampler
 from __future__ import annotations
 
 import os
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -24,8 +24,6 @@ Param counts (verified): Large2D 3,119,168 / Small2D 1,243,536 (2-class).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from picklebot_tpu.core.module import Ctx, Module, Sequential
 from picklebot_tpu.ops import activations as act
 from picklebot_tpu.ops.bottleneck import Bottleneck2D

@@ -18,10 +18,6 @@ effective scheme is torch's default — which is what our layers default to.
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
-
 from picklebot_tpu.core.module import Ctx, Module, Sequential
 from picklebot_tpu.ops import activations as act
 from picklebot_tpu.ops.bottleneck import Bottleneck3D

@@ -31,9 +31,8 @@ Param counts (verified in tests): xxs 2,030,368 / xs 3,483,984 / s 8,453,136.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple, Union
+from typing import Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 from einops import rearrange
 

@@ -21,10 +21,8 @@ xavier_uniform linear (reference movinet.py:167-179 — this one is real).
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Tuple
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 from picklebot_tpu.core import initializers as pinit

@@ -26,7 +26,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from picklebot_tpu.core import initializers as pinit
 from picklebot_tpu.core.module import Ctx, Module
 from picklebot_tpu.ops.linear import Dense, Dropout
 from picklebot_tpu.ops.norm import LayerNorm

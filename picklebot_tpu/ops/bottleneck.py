@@ -18,7 +18,7 @@ grouped conv (a Pallas fusion of depthwise+SE is tracked in ops/pallas/).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 from picklebot_tpu.core.module import Ctx, Module
 from picklebot_tpu.ops import activations as act

@@ -22,7 +22,7 @@ bit-for-bit (it's load-bearing for checkpoint parity) — see ops/bottleneck.py.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -16,13 +16,10 @@ invariant holds (documented divergence: the reference saves rank 0's stats).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from picklebot_tpu.core import initializers as pinit
 from picklebot_tpu.core.module import Ctx, Module
 
 

@@ -41,13 +41,10 @@ XLA. Known Mosaic limits: stride-2 slices unsupported; W<8 frames
 from __future__ import annotations
 
 import functools
-import math
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _dw_tile(e, wd_ref, k: int, stride: int, th: int, w_out: int):

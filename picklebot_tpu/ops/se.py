@@ -13,7 +13,6 @@ Parameters keep conv-shaped weights so torch checkpoints convert 1:1
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from picklebot_tpu.core import initializers as pinit

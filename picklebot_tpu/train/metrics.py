@@ -22,7 +22,7 @@ from __future__ import annotations
 import os
 import struct
 import time
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

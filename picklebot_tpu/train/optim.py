@@ -20,8 +20,7 @@ epoch (reference train.py:214-215, 295).
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
