@@ -73,10 +73,18 @@ def conv_nxn_bn(cin, cout, kernel_size=3, stride=1):
 
 
 class FeedForward(Module):
-    """reference mobilevit.py:28-40 — note: no pre-norm."""
+    """reference mobilevit.py:28-40 — note: no pre-norm.
 
-    def __init__(self, embed_dim, hidden_dim, dropout=0.0):
+    Tensor-parallel aware (Megatron MLP pattern): setting ``model_axis``
+    REQUIRES running inside a shard_map whose param specs shard fc1
+    column-wise (P(None, axis)) and fc2 row-wise (P(axis, None)); each shard
+    then computes a hidden slice and the partial outputs are psum'd. (With
+    replicated params the psum would wrongly multiply by the axis size —
+    the axis name is the contract that specs shard.)"""
+
+    def __init__(self, embed_dim, hidden_dim, dropout=0.0, model_axis=None):
         super().__init__()
+        self.model_axis = model_axis
         self.fc1 = Dense(embed_dim, hidden_dim, bias=False, w_init=_W_INIT)
         self.drop1 = Dropout(dropout)
         self.fc2 = Dense(hidden_dim, embed_dim, bias=False, w_init=_W_INIT)
@@ -84,7 +92,11 @@ class FeedForward(Module):
 
     def forward(self, cx: Ctx, x):
         x = cx(self.drop1, act.silu(cx(self.fc1, x)))
-        return cx(self.drop2, cx(self.fc2, x))
+        x = cx(self.fc2, x)
+        if self.model_axis is not None:
+            import jax
+            x = jax.lax.psum(x, self.model_axis)
+        return cx(self.drop2, x)
 
 
 class MobileViTBlock(Module):
@@ -92,13 +104,13 @@ class MobileViTBlock(Module):
 
     def __init__(self, embed_dim, depth, channel, kernel_size=3,
                  patch_size=(2, 2, 2), ffw_dim=None, dropout=0.0,
-                 backend="auto"):
+                 backend="auto", model_axis=None):
         super().__init__()
         self.pt, self.ph, self.pw = patch_size
         self.conv1 = conv_nxn_bn(channel, channel, kernel_size)
         self.conv2 = conv_1x1_bn(channel, embed_dim)
         self.transformer = TransformerStack(embed_dim, depth, 8, 16, ffw_dim,
-                                            dropout, backend)
+                                            dropout, backend, model_axis)
         self.conv3 = conv_1x1_bn(embed_dim, channel)
         self.conv4 = conv_nxn_bn(2 * channel, channel, kernel_size)
 
@@ -131,13 +143,14 @@ class TransformerStack(Module):
     """Depth × (pre-LN attention + residual, FF + residual)."""
 
     def __init__(self, embed_dim, depth, heads, dim_head, ffw_dim,
-                 dropout=0.0, backend="auto"):
+                 dropout=0.0, backend="auto", model_axis=None):
         super().__init__()
         self.attns = ModuleList([
             MultiHeadAttention(embed_dim, heads, dim_head, dropout,
                                backend=backend) for _ in range(depth)])
         self.ffs = ModuleList([
-            FeedForward(embed_dim, ffw_dim, dropout) for _ in range(depth)])
+            FeedForward(embed_dim, ffw_dim, dropout, model_axis=model_axis)
+            for _ in range(depth)])
 
     def forward(self, cx: Ctx, x):
         for i in range(len(self.attns)):
@@ -154,12 +167,14 @@ class MobileViT(Module):
                  kernel_size: int = 3,
                  patch_size: Tuple[int, int, int] = (2, 2, 2),
                  depths: Tuple[int, int, int] = (2, 4, 3),
-                 attention_backend: str = "auto"):
+                 attention_backend: str = "auto",
+                 model_axis=None):
         super().__init__()
         assert len(dims) == 3 and len(depths) == 3
         ch = list(channels)
         init_dim, last_dim = ch[0], ch[-1]
         be = attention_backend
+        ma = model_axis
 
         self.conv1 = conv_nxn_bn(3, init_dim, stride=2)
         B = Bottleneck3D
@@ -174,16 +189,19 @@ class MobileViT(Module):
                 B(ch[3], ch[4], expanded_channels=ch[3] * expansion,
                   stride=2),
                 MobileViTBlock(dims[0], depths[0], ch[5], kernel_size,
-                               patch_size, int(dims[0] * 2), backend=be)),
+                               patch_size, int(dims[0] * 2), backend=be,
+                               model_axis=ma)),
             Sequential(
                 B(ch[5], ch[6], expanded_channels=ch[7] * expansion,
                   stride=2),
                 MobileViTBlock(dims[1], depths[1], ch[7], kernel_size,
-                               patch_size, int(dims[1] * 4), backend=be)),
+                               patch_size, int(dims[1] * 4), backend=be,
+                               model_axis=ma)),
             Sequential(
                 B(ch[7], ch[8], expanded_channels=ch[7] * 4, stride=2),
                 MobileViTBlock(dims[2], depths[2], ch[9], kernel_size,
-                               patch_size, int(dims[2] * 4), backend=be)),
+                               patch_size, int(dims[2] * 4), backend=be,
+                               model_axis=ma)),
         ])
         self.to_logits_conv = conv_1x1_bn(ch[-2], last_dim)
         self.head = Dense(last_dim, num_classes, bias=False, w_init=_W_INIT)

@@ -42,6 +42,66 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def param_specs(params, rules, default=P()):
+    """Build a PartitionSpec pytree for a params tree by path pattern.
+
+    rules: [(regex, PartitionSpec)] matched (fullmatch) against flat dotted
+    paths like 'trunk.0.1.transformer.ffs.0.fc1.w'. First match wins.
+    """
+    import re
+
+    from picklebot_tpu.core.module import flatten_dict, unflatten_dict
+    flat = flatten_dict(params)
+    out = {}
+    for path in flat:
+        spec = default
+        for rx, s in rules:
+            if re.fullmatch(rx, path):
+                spec = s
+                break
+        out[path] = spec
+    return unflatten_dict(out)
+
+
+# Megatron-style tensor parallelism for the MobileViT transformer FFNs:
+# fc1 column-sharded, fc2 row-sharded, partial outputs psum'd in the module
+# (models/mobilevit.FeedForward(model_axis=...)).
+MOBILEVIT_TP_RULES = [
+    (r".*\.ffs\.\d+\.fc1\.w", P(None, "model")),
+    (r".*\.ffs\.\d+\.fc2\.w", P("model", None)),
+]
+
+
+def train_state_specs(state, rules):
+    """Spec pytree matching a TrainState: params by rules, BN state and
+    schedule replicated, optimizer moments mirroring the param specs.
+
+    Only fp32-moment optimizers (AdamW) can mirror param shardings — the
+    8-bit optimizer's block-quantized state doesn't partition along param
+    axes (per-shard quantization is a planned extension).
+    """
+    import jax
+
+    from picklebot_tpu.core.module import flatten_dict
+    p_specs = param_specs(state.params, rules)
+    for leaf in jax.tree_util.tree_leaves(
+            state.opt_state, is_leaf=lambda x: isinstance(x, dict) and
+            set(x) == {"q", "s"}):
+        if isinstance(leaf, dict):
+            raise ValueError(
+                "tensor parallelism requires fp32 optimizer moments "
+                "(use AdamW, not AdamW8bit)")
+    opt_specs = {
+        "step": P(),
+        "m": param_specs(state.params, rules),
+        "v": param_specs(state.params, rules),
+    }
+    model_state_specs = jax.tree_util.tree_map(lambda _: P(),
+                                               state.model_state)
+    return type(state)(params=p_specs, model_state=model_state_specs,
+                      opt_state=opt_specs, epoch=P())
+
+
 def init_multihost(coordinator: Optional[str] = None):
     """Multi-host rendezvous (the jax.distributed analog of
     dist.init_process_group, reference train.py:35). No-op single-host."""

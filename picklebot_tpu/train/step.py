@@ -82,7 +82,8 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
                     policy: Optional[DtypePolicy] = None,
                     mesh: Optional[Mesh] = None,
                     donate: bool = True,
-                    mean=None, std=None):
+                    mean=None, std=None,
+                    state_specs=None):
     """Build the jitted train step.
 
     Returns step(state, features, labels, rng) ->
@@ -151,10 +152,13 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
     if mesh is None:
         return jax.jit(local_step, donate_argnums=(0,) if donate else ())
 
+    # state_specs (parallel.mesh.train_state_specs) shards parameters over
+    # the 'model' axis for tensor parallelism; default is replicated (DP)
+    st_specs = state_specs if state_specs is not None else P()
     sharded = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(), P(None, "data"), P(None, "data"), P()),
-        out_specs=(P(), P()),
+        in_specs=(st_specs, P(None, "data"), P(None, "data"), P()),
+        out_specs=(st_specs, P()),
         check_vma=False)
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
