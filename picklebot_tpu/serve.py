@@ -51,10 +51,9 @@ def main(argv=None):
         variables = ckpt.load_pth(args.checkpoint, variables,
                                   key_map=key_map_for(config.model_name))
     else:
-        payload = ckpt.restore_checkpoint(
-            args.checkpoint,
-            {"params": variables["params"], "model_state": variables["state"],
-             "opt_state": None, "epoch": None})
+        # restore the raw tree (no target: serving doesn't know the
+        # optimizer that produced the snapshot) and take weights + BN state
+        payload = ckpt.restore_checkpoint(args.checkpoint, None)
         variables = {"params": payload["params"],
                      "state": payload["model_state"]}
 

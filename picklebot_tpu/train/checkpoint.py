@@ -259,9 +259,13 @@ def save_checkpoint(directory: str, step: int, payload: Any) -> str:
     return path
 
 
-def restore_checkpoint(path: str, target: Any) -> Any:
+def restore_checkpoint(path: str, target: Any = None) -> Any:
+    """Restore a snapshot; ``target=None`` returns the raw saved pytree
+    (numpy leaves) — used by serving, which doesn't know the optimizer."""
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
+    if target is None:
+        return ckptr.restore(os.path.abspath(path))
     return ckptr.restore(os.path.abspath(path), target=target)
 
 

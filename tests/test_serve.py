@@ -1,0 +1,58 @@
+"""Serve CLI: classify clips / evaluate a CSV from a trained checkpoint."""
+
+import glob
+import json
+
+import numpy as np
+import pytest
+
+from picklebot_tpu import serve
+from picklebot_tpu.train.loop import train
+from tests.test_train_loop import _smoke_config
+
+
+@pytest.mark.slow
+def test_serve_from_orbax_checkpoint(tmp_path, monkeypatch, capsys, rng):
+    cv2 = pytest.importorskip("cv2")
+    monkeypatch.chdir(tmp_path)
+    # train one epoch on synthetic data to get a checkpoint
+    cfg = _smoke_config(tmp_path, max_iters=1)
+    train(cfg, max_steps=1)
+    ckpt = glob.glob(str(tmp_path / "ckpt" / "*_finished" / "step_*"))[0]
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_json = {
+        "model_name": "MobileNetSmall3D", "num_classes": 13,
+        "criterion": "CE", "use_autocast": False,
+        "batch_size": 2, "effective_batch_size": 2,
+        "train_annotations_file": "", "val_annotations_file": "",
+        "video_paths": str(tmp_path), "data_backend": "synthetic",
+        "synthetic_len": 4, "synthetic_shape": [8, 32, 32],
+        "t_bucket": 8, "max_frames": 8,
+    }
+    cfg_path.write_text(json.dumps(cfg_json))
+
+    # CSV-evaluation mode over the synthetic dataset
+    rc = serve.main([str(cfg_path), "--checkpoint", ckpt, "--csv", "x",
+                     "--limit", "4", "--batch", "2"])
+    assert rc == 0
+    out_lines = [json.loads(l) for l in
+                 capsys.readouterr().out.strip().splitlines()
+                 if l.startswith("{")]
+    assert "accuracy" in out_lines[-1]
+    preds = [l for l in out_lines if "pred" in l]
+    assert len(preds) == 4
+    assert all(0 <= p["pred"] < 13 for p in preds)
+    assert all(0 < p["confidence"] <= 1 for p in preds)
+
+    # clip mode with a real mp4
+    vid = tmp_path / "c.mp4"
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                        (32, 32))
+    for _ in range(6):
+        w.write(rng.randint(0, 255, (32, 32, 3)).astype(np.uint8))
+    w.release()
+    rc = serve.main([str(cfg_path), "--checkpoint", ckpt, str(vid)])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["clip"] == str(vid) and "label" in line
