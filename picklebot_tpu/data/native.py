@@ -1,4 +1,4 @@
-"""ctypes bridge to the C++ collate core (native/collate.cpp).
+"""ctypes bridge to the C++ collate core (data/native_src/collate.cpp).
 
 Builds the shared library on first use (g++, cached next to the source);
 falls back to pure numpy when a compiler isn't available. The GIL is
@@ -20,8 +20,8 @@ _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native", "collate.cpp")
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "native_src", "collate.cpp")
 
 
 def _build() -> Optional[str]:

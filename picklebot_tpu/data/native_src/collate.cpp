@@ -7,7 +7,8 @@
 // the Python GIL at the ctypes boundary, overlapping collation with decode.
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libcollate.so collate.cpp -lpthread
-// (driven by picklebot_tpu/data/native.py, which builds on first use)
+// (driven by picklebot_tpu/data/native.py, which builds on first use;
+// shipped as package data so installed wheels keep the native path)
 
 #include <cstdint>
 #include <cstring>

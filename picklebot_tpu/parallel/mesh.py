@@ -91,11 +91,7 @@ def train_state_specs(state, rules):
             raise ValueError(
                 "tensor parallelism requires fp32 optimizer moments "
                 "(use AdamW, not AdamW8bit)")
-    opt_specs = {
-        "step": P(),
-        "m": param_specs(state.params, rules),
-        "v": param_specs(state.params, rules),
-    }
+    opt_specs = {"step": P(), "m": p_specs, "v": p_specs}
     model_state_specs = jax.tree_util.tree_map(lambda _: P(),
                                                state.model_state)
     return type(state)(params=p_specs, model_state=model_state_specs,

@@ -67,15 +67,23 @@ def main(argv=None):
         feats, _ = pad_collate(batch_clips, [0] * len(batch_clips),
                                config.t_bucket, config.max_frames)
         logits = np.asarray(predict(variables, feats), np.float32)
-        probs = np.exp(logits - logits.max(-1, keepdims=True))
-        probs /= probs.sum(-1, keepdims=True)
-        preds = logits.argmax(-1)
-        for name, pr, pb in zip(names, preds, probs):
+        if config.criterion == "BCE":
+            # single-logit head: sigmoid threshold (argmax over one logit
+            # would always predict 0)
+            prob1 = 1.0 / (1.0 + np.exp(-logits[:, 0]))
+            preds = (prob1 >= 0.5).astype(np.int64)
+            confs = np.where(preds == 1, prob1, 1.0 - prob1)
+        else:
+            e = np.exp(logits - logits.max(-1, keepdims=True))
+            probs = e / e.sum(-1, keepdims=True)
+            preds = logits.argmax(-1)
+            confs = probs[np.arange(len(preds)), preds]
+        for name, pr, cf in zip(names, preds, confs):
             label = BALL_STRIKE.get(int(pr), f"zone_{int(pr)}") \
-                if config.num_classes == 2 else f"zone_{int(pr)}"
+                if config.num_classes <= 2 else f"zone_{int(pr)}"
             print(json.dumps({"clip": name, "pred": int(pr),
                               "label": label,
-                              "confidence": round(float(pb[pr]), 4)}))
+                              "confidence": round(float(cf), 4)}))
         return preds
 
     if args.csv:
@@ -95,8 +103,9 @@ def main(argv=None):
         if not args.clips:
             print("no clips given", file=sys.stderr)
             return 1
-        clips = [decode_opencv(c) for c in args.clips]
-        classify(clips, args.clips)
+        for start in range(0, len(args.clips), args.batch):
+            chunk = args.clips[start:start + args.batch]
+            classify([decode_opencv(c) for c in chunk], chunk)
     return 0
 
 

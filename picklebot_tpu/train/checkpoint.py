@@ -184,7 +184,7 @@ def load_pth(path: str, variables: Variables, key_map=None,
 # pytree -> torch .pth (export for the reference ecosystem / HF demo)
 # --------------------------------------------------------------------------
 
-def export_torch_state_dict(variables: Variables, key_map=None,
+def export_torch_state_dict(variables: Variables,
                             reverse_map: Optional[Dict[str, str]] = None
                             ) -> Dict[str, Any]:
     """Inverse of import: our pytree -> a torch state_dict-shaped dict.

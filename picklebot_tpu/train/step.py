@@ -166,7 +166,8 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
 def make_eval_step(model: Module, criterion: str,
                    policy: Optional[DtypePolicy] = None,
                    mesh: Optional[Mesh] = None,
-                   mean=None, std=None):
+                   mean=None, std=None,
+                   state_specs=None):
     """eval_step(state, features, labels) -> {'loss_sum','correct','samples'}
     features (B, T, H, W, C) uint8, labels (B,). BN in eval mode (running
     stats), mirroring reference estimate_loss (train.py:123-153)."""
@@ -190,9 +191,12 @@ def make_eval_step(model: Module, criterion: str,
 
     if mesh is None:
         return jax.jit(local_eval)
+    # tensor-parallel models must keep their param shardings in eval too —
+    # replicating TP-sharded params would double FFN psum outputs
+    st_specs = state_specs if state_specs is not None else P()
     sharded = shard_map(
         local_eval, mesh=mesh,
-        in_specs=(P(), P("data"), P("data")),
+        in_specs=(st_specs, P("data"), P("data")),
         out_specs=P(),
         check_vma=False)
     return jax.jit(sharded)

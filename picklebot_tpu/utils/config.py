@@ -74,6 +74,9 @@ class Config:
                 "Batch size must divide effective batch size")
         if self.optimizer not in ("adamw", "adamw8bit"):
             raise ValueError(f"Invalid optimizer: {self.optimizer}")
+        if self.apply_mean_std and (self.mean is None or self.std is None):
+            raise ValueError(
+                "apply_mean_std=true requires 'mean' and 'std' in the config")
         return self
 
     @property

@@ -98,3 +98,34 @@ def test_tp_rejects_8bit_optimizer():
     state = create_train_state(model, opt, 0)
     with pytest.raises(ValueError, match="fp32 optimizer moments"):
         train_state_specs(state, MOBILEVIT_TP_RULES)
+
+
+def test_tp_eval_matches_single_device(rng):
+    """The eval step must also honor param shardings — replicated TP params
+    would double every FFN psum output."""
+    from picklebot_tpu.train.step import make_eval_step
+    opt = AdamW()
+    policy = DtypePolicy.f32()
+    feats = jnp.asarray(rng.randint(0, 255, (8, 2, 8, 8, 3)).astype(np.uint8))
+    labels = jnp.asarray(rng.randint(0, 13, (8,)).astype(np.int32))
+
+    ref_model = TinyTransformer()
+    ref_state = create_train_state(ref_model, opt, 0)
+    ref_eval = make_eval_step(ref_model, "CE", policy=policy)
+    out1 = ref_eval(ref_state, feats, labels)
+
+    tp_model = TinyTransformer(model_axis="model")
+    mesh = make_mesh(data=4, model=2)
+    state = create_train_state(tp_model, opt, 0)
+    specs = train_state_specs(state, MOBILEVIT_TP_RULES)
+    state = jax.device_put(state, jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P)))
+    tp_eval = make_eval_step(tp_model, "CE", policy=policy, mesh=mesh,
+                             state_specs=specs)
+    out2 = tp_eval(state,
+                   jax.device_put(feats, NamedSharding(mesh, P("data"))),
+                   jax.device_put(labels, NamedSharding(mesh, P("data"))))
+    np.testing.assert_allclose(float(out1["loss"]), float(out2["loss"]),
+                               rtol=1e-5, atol=1e-5)
+    assert float(out1["correct"]) == float(out2["correct"])
