@@ -1,0 +1,108 @@
+"""Multi-host simulation: 2 processes x 4 virtual CPU devices each.
+
+The JAX-native analog of a 2-node torchrun test: each process runs
+jax.distributed.initialize, sees its per-host CSV shard, and the shard_map
+train step's pmean spans all 8 devices across both processes. Spawned as
+real subprocesses (a process boundary is the point).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/picklebot_jax_cache")
+proc_id = int(sys.argv[1])
+jax.distributed.initialize(coordinator_address="localhost:%PORT%",
+                           num_processes=2, process_id=proc_id)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 8, jax.device_count()
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from picklebot_tpu.core.module import DtypePolicy
+from picklebot_tpu.data.dataset import ClipDataset
+from picklebot_tpu.parallel.mesh import make_mesh
+from picklebot_tpu.train.optim import AdamW, cosine_annealing_lr
+from picklebot_tpu.train.step import create_train_state, make_train_step
+from tests.test_train_step import TinyVideoNet
+
+# per-host dataset shard (DistributedSampler analog)
+ds = ClipDataset("", "", backend="synthetic", synthetic_len=16,
+                 synthetic_shape=(4, 16, 16),
+                 shard=jax.process_index(), num_shards=jax.process_count())
+assert len(ds) == 8
+
+from jax.experimental import multihost_utils
+
+model = TinyVideoNet()
+opt = AdamW(weight_decay=1e-4)
+mesh = make_mesh(data=8)
+step = make_train_step(model, opt, "CE", cosine_annealing_lr(1e-3, 10),
+                       policy=DtypePolicy.f32(), mesh=mesh, donate=False)
+# host-local -> global: every host holds the same full value (replicated)
+state = multihost_utils.host_local_array_to_global_array(
+    jax.device_get(create_train_state(model, opt, 0)), mesh, P())
+
+# each host contributes its local half of the global batch (ragged clips
+# go through the production collate)
+from picklebot_tpu.data.dataset import pad_collate
+clips, lbls = zip(*[ds[i] for i in range(8)])
+local, labels_l = pad_collate(list(clips), list(lbls), t_bucket=4,
+                              max_frames=4)
+local = local[None]
+labels_l = labels_l.astype(np.int32)[None]
+gshape = (1, 16) + local.shape[2:]
+feats = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P(None, "data")), local.astype(np.uint8), gshape)
+labels = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P(None, "data")), labels_l, (1, 16))
+
+# replicated PRNG key: built inside jit from a replicated seed scalar
+seed = multihost_utils.host_local_array_to_global_array(
+    np.zeros((), np.int32), mesh, P())
+key = jax.jit(jax.random.key,
+              out_shardings=NamedSharding(mesh, P()))(seed)
+
+state, metrics = step(state, feats, labels, key)
+loss = float(np.mean(multihost_utils.process_allgather(metrics["loss"],
+                                                       tiled=True)))
+samples = float(np.asarray(multihost_utils.process_allgather(
+    metrics["samples"], tiled=True)).reshape(-1)[0])
+assert samples == 16.0, samples
+assert np.isfinite(loss), loss
+print(f"HOST{proc_id} OK loss={loss:.4f} samples={samples}")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_training(tmp_path):
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.replace("%PORT%", str(port)))
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.environ.get("PYTHONPATH", "") + ":" +
+               os.getcwd())
+    procs = [subprocess.Popen([sys.executable, str(script), str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=480)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"host {i} failed:\n{out[-3000:]}"
+        assert f"HOST{i} OK" in out, out[-2000:]
