@@ -140,6 +140,11 @@ def import_torch_state_dict(
             path, is_state = mapped
         if path == "":
             continue  # intentionally dropped
+        # NB: the explicit np copy below is load-bearing — torch's
+        # .detach().float().numpy() is zero-copy for f32 tensors and JAX's
+        # CPU backend can alias numpy buffers, so without it our params
+        # would silently alias LIVE torch weights (mutated by torch
+        # optimizers). Caught by tests/test_training_parity.py.
         if is_state:
             if path not in flat_state:
                 if strict:
@@ -147,7 +152,7 @@ def import_torch_state_dict(
                 unused.append(tk)
                 continue
             new_state[path] = jnp.asarray(
-                _convert_leaf(tk, v, flat_state[path]),
+                np.array(_convert_leaf(tk, v, flat_state[path]), copy=True),
                 flat_state[path].dtype)
         else:
             # BN affine: our param names are scale/bias, torch weight/bias
@@ -165,7 +170,7 @@ def import_torch_state_dict(
                     unused.append(tk)
                     continue
             new_params[path] = jnp.asarray(
-                _convert_leaf(tk, v, flat_params[path]),
+                np.array(_convert_leaf(tk, v, flat_params[path]), copy=True),
                 flat_params[path].dtype)
     if unused:
         print(f"[checkpoint] {len(unused)} torch keys unused: {unused[:8]}...")
