@@ -37,7 +37,9 @@ def _mobilevit(cfg):
     return MobileViT(dims=cfg.dims, channels=cfg.channels,
                      num_classes=cfg.num_classes,
                      attention_backend=getattr(cfg, "attention_backend",
-                                               "auto"))
+                                               "auto"),
+                     model_axis="model"
+                     if getattr(cfg, "model_parallel", 1) > 1 else None)
 
 
 def _mobilevit_v2(cfg):

@@ -58,9 +58,12 @@ def _make_datasets(config: Config):
 
 def train(config: Config, max_steps: Optional[int] = None) -> dict:
     """Returns a summary dict (final losses/accuracies) for tests/CLI."""
-    n_data = config.data_parallel or jax.local_device_count()
-    n_data = max(1, min(n_data, jax.local_device_count()))
-    mesh = make_mesh(data=n_data) if n_data > 1 else None
+    n_dev = jax.local_device_count()
+    mp = max(1, config.model_parallel)
+    n_data = config.data_parallel or max(1, n_dev // mp)
+    n_data = max(1, min(n_data, n_dev // mp if mp > 1 else n_dev))
+    mesh = make_mesh(data=n_data, model=mp) \
+        if (n_data > 1 or mp > 1) else None
     policy = DtypePolicy.bf16() if config.use_autocast else DtypePolicy.f32()
 
     model = initialize_model(config)
@@ -68,15 +71,21 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         weight_decay=config.weight_decay)
     schedule = cosine_annealing_lr(config.learning_rate, config.max_iters)
 
+    state = create_train_state(model, optimizer, config.seed)
+    state_specs = None
+    if mp > 1:
+        from picklebot_tpu.parallel.mesh import (MOBILEVIT_TP_RULES,
+                                                 train_state_specs)
+        state_specs = train_state_specs(state, MOBILEVIT_TP_RULES)
+
     mean = config.mean if config.apply_mean_std else None
     std = config.std if config.apply_mean_std else None
     train_step = make_train_step(model, optimizer, config.criterion,
                                  schedule, policy=policy, mesh=mesh,
-                                 mean=mean, std=std)
+                                 mean=mean, std=std, state_specs=state_specs)
     eval_step = make_eval_step(model, config.criterion, policy=policy,
-                               mesh=mesh, mean=mean, std=std)
-
-    state = create_train_state(model, optimizer, config.seed)
+                               mesh=mesh, mean=mean, std=std,
+                               state_specs=state_specs)
 
     # ---- checkpoint restore (orbax) / torch warm start (.pth) ----
     start_epoch = 0
@@ -100,7 +109,12 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         replicated = NamedSharding(mesh, P())
         super_sharding = NamedSharding(mesh, P(None, "data"))
         eval_sharding = NamedSharding(mesh, P("data"))
-        state = jax.device_put(state, replicated)
+        if state_specs is not None:  # TP: honor per-leaf param shardings
+            state = jax.device_put(state, jax.tree_util.tree_map(
+                lambda sp: NamedSharding(mesh, sp), state_specs,
+                is_leaf=lambda x: isinstance(x, P)))
+        else:
+            state = jax.device_put(state, replicated)
     else:
         super_sharding = eval_sharding = None
 

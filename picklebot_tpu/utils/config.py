@@ -53,6 +53,7 @@ class Config:
     max_frames: int = 256
     apply_mean_std: bool = False        # actually use mean/std keys
     data_parallel: Optional[int] = None  # None -> all local devices
+    model_parallel: int = 1             # TP degree (MobileViT FFNs)
     seed: int = 1234                    # reference torch.manual_seed(1234)
     checkpoint_dir: str = "checkpoints"
     log_dir: str = "runs"
@@ -77,6 +78,15 @@ class Config:
         if self.apply_mean_std and (self.mean is None or self.std is None):
             raise ValueError(
                 "apply_mean_std=true requires 'mean' and 'std' in the config")
+        if self.model_parallel > 1:
+            if self.model_name != "MobileViT":
+                raise ValueError(
+                    "model_parallel is currently supported for MobileViT "
+                    "(transformer FFN sharding)")
+            if self.optimizer != "adamw":
+                raise ValueError(
+                    "model_parallel requires optimizer='adamw' (8-bit state "
+                    "is block-quantized per global tensor)")
         return self
 
     @property

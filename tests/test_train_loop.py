@@ -133,3 +133,30 @@ def test_train_from_real_mp4s(tmp_path, monkeypatch, rng):
     summary = train(cfg)
     assert np.isfinite(summary["final_val_loss"])
     assert summary["global_step"] > 0
+
+
+@pytest.mark.slow
+def test_train_with_model_parallel(tmp_path, monkeypatch):
+    """End-to-end CLI-style TP: MobileViT with model_parallel=2 over the
+    8-device mesh (data=4 x model=2)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = _smoke_config(
+        tmp_path, model_name="MobileViT", optimizer="adamw",
+        model_parallel=2, data_parallel=4, batch_size=1,
+        effective_batch_size=2, synthetic_len=16,
+        synthetic_shape=(4, 32, 32), t_bucket=4, max_frames=4,
+        dims=[32, 32, 32],
+        channels=[8, 8, 8, 8, 16, 16, 16, 16, 16, 16, 32],
+        attention_backend="xla")
+    summary = train(cfg, max_steps=1)
+    assert np.isfinite(summary["final_val_loss"])
+
+
+def test_model_parallel_config_validation(tmp_path):
+    import dataclasses
+    with pytest.raises(ValueError, match="MobileViT"):
+        _smoke_config(tmp_path, model_parallel=2)
+    with pytest.raises(ValueError, match="adamw"):
+        _smoke_config(tmp_path, model_name="MobileViT", model_parallel=2,
+                      optimizer="adamw8bit", dims=[32, 32, 32],
+                      channels=[8, 8, 8, 8, 16, 16, 16, 16, 16, 16, 32])
