@@ -80,7 +80,7 @@ class ClipDataset:
                  synthetic_len: Optional[int] = None):
         self.video_dir = video_dir
         self.backend = backend
-        if backend == "synthetic":
+        if backend in ("synthetic", "synthetic_learnable"):
             n = synthetic_len or 64
             self.filenames = [f"synthetic_{i}.mp4" for i in range(n)]
             self.labels = (np.arange(n) % 13).astype(np.int64)
@@ -99,12 +99,20 @@ class ClipDataset:
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
         label = int(self.labels[idx])
-        if self.backend == "synthetic":
+        if self.backend in ("synthetic", "synthetic_learnable"):
             t, h, w = self.synthetic_shape
             rng = np.random.RandomState(idx)
             # vary T to exercise the bucket/padding path
             t_i = max(1, t - (idx % 4))
             clip = rng.randint(0, 255, (t_i, h, w, 3)).astype(np.uint8)
+            if self.backend == "synthetic_learnable":
+                # plant a class-dependent signal that survives global
+                # average pooling: noise in [0, 100) plus a per-class
+                # brightness offset — a task the stack must learn quickly
+                # (plain 'synthetic' is pure memorization of noise)
+                n_cls = max(int(self.labels.max()) + 1, 1)
+                clip = (rng.randint(0, 100, (t_i, h, w, 3)) +
+                        (label * 150) // n_cls).astype(np.uint8)
             return clip, label
         path = os.path.join(self.video_dir, self.filenames[idx])
         if self.backend == "opencv":

@@ -160,3 +160,20 @@ def test_model_parallel_config_validation(tmp_path):
         _smoke_config(tmp_path, model_name="MobileViT", model_parallel=2,
                       optimizer="adamw8bit", dims=[32, 32, 32],
                       channels=[8, 8, 8, 8, 16, 16, 16, 16, 16, 16, 32])
+
+
+@pytest.mark.slow
+def test_model_actually_learns(tmp_path, monkeypatch):
+    """A learnable synthetic task (label-positioned bright band) must be
+    learned well above chance within a few epochs — end-to-end evidence
+    that gradients, optimizer, and data plumbing train for real."""
+    monkeypatch.chdir(tmp_path)
+    cfg = _smoke_config(
+        tmp_path, data_backend="synthetic_learnable", synthetic_len=32,
+        synthetic_shape=(8, 32, 32), batch_size=8, effective_batch_size=8,
+        learning_rate=5e-3, max_iters=25, eval_interval=24, num_workers=2)
+    summary = train(cfg)
+    # chance is 1/13 ~ 7.7%; with per-block channel dropout and 32 samples
+    # the model needs a couple hundred steps to separate 13 brightness
+    # classes (the torch reference behaves the same — same arch/dropout)
+    assert summary["final_val_accuracy"] > 0.3, summary
