@@ -61,7 +61,21 @@ def main(argv=None):
     policy = DtypePolicy.bf16() if config.use_autocast else DtypePolicy.f32()
     mean = config.mean if config.apply_mean_std else None
     std = config.std if config.apply_mean_std else None
-    predict = make_predict_fn(model, policy, mean=mean, std=std)
+    if config.model_name == "MoViNetA2Stream":
+        # streaming model: one chunk containing the whole clip == the full
+        # causal pass; carry built per batch shape
+        from picklebot_tpu.train.step import preprocess
+
+        @jax.jit
+        def predict(variables, feats):
+            x = preprocess(feats, policy.compute_dtype, mean, std)
+            carry = model.init_stream(x.shape[0], x.shape[2], x.shape[3],
+                                      dtype=policy.compute_dtype)
+            (logits, _), _ = model.apply(variables, x, carry, train=False,
+                                         policy=policy)
+            return logits
+    else:
+        predict = make_predict_fn(model, policy, mean=mean, std=std)
 
     def classify(batch_clips, names):
         feats, _ = pad_collate(batch_clips, [0] * len(batch_clips),

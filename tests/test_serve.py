@@ -56,3 +56,33 @@ def test_serve_from_orbax_checkpoint(tmp_path, monkeypatch, capsys, rng):
     assert rc == 0
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["clip"] == str(vid) and "label" in line
+
+
+@pytest.mark.slow
+def test_serve_streaming_model(tmp_path, monkeypatch, capsys):
+    """MoViNetA2Stream serves through the whole-clip causal path."""
+    monkeypatch.chdir(tmp_path)
+    from picklebot_tpu.models.movinet import MoViNetA2Stream
+    from picklebot_tpu.train import checkpoint as ckpt
+
+    model = MoViNetA2Stream(num_classes=13)
+    v = model.init(0)
+    path = ckpt.save_checkpoint(str(tmp_path / "ck"), 0,
+                                {"params": v["params"],
+                                 "model_state": v["state"]})
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "model_name": "MoViNetA2Stream", "num_classes": 13,
+        "criterion": "CE", "use_autocast": False,
+        "batch_size": 2, "effective_batch_size": 2,
+        "train_annotations_file": "", "val_annotations_file": "",
+        "video_paths": "", "data_backend": "synthetic",
+        "synthetic_len": 2, "synthetic_shape": [4, 32, 32],
+        "t_bucket": 4, "max_frames": 4}))
+    rc = serve.main([str(cfg), "--checkpoint", path, "--csv", "x",
+                     "--limit", "2", "--batch", "2"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert len([l for l in lines if "pred" in l]) == 2
