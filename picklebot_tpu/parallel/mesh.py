@@ -12,7 +12,8 @@ host sees only its local data shard, exactly like DistributedSampler
 
 Axes:
   data   — batch parallelism (the only axis the reference capability needs)
-  model  — reserved for tensor parallelism of the larger ViT variants
+  model  — tensor parallelism: Megatron-style FFN sharding of the MobileViT
+           transformer (MOBILEVIT_TP_RULES + train_state_specs below)
 """
 
 from __future__ import annotations

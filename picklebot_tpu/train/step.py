@@ -19,9 +19,11 @@ Normalization semantics match DDP: batch statistics are computed from the
 *local* shard (per-replica BN, not SyncBN).
 
 The whole step runs under ``shard_map`` over Mesh('data','model'); batch
-arrays are sharded on 'data', parameters replicated. XLA lowers the pmean to
-ICI all-reduces overlapping the backward pass. Per-microbatch losses are
-returned so logging density matches the reference's per-batch TB scalars.
+arrays are sharded on 'data'; parameters are replicated by default or
+sharded over 'model' for tensor parallelism via ``state_specs``
+(parallel.mesh.train_state_specs). XLA lowers the pmean to ICI all-reduces
+overlapping the backward pass. Per-microbatch losses are returned so
+logging density matches the reference's per-batch TB scalars.
 """
 
 from __future__ import annotations
