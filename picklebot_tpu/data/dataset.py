@@ -9,6 +9,8 @@ Backends:
   npy        .npy/.npz clips (fast path for preprocessed datasets)
   synthetic  deterministic random clips keyed by index — lets the full
              training stack run and be tested without the Picklebot videos
+  synthetic_learnable  same, plus a per-class brightness signal (learning
+             regression tests)
 
 TPU-first divergence from the reference: the reference pads every batch to
 its own max T (dataloader.py:10-23), which under XLA would recompile the
@@ -104,7 +106,6 @@ class ClipDataset:
             rng = np.random.RandomState(idx)
             # vary T to exercise the bucket/padding path
             t_i = max(1, t - (idx % 4))
-            clip = rng.randint(0, 255, (t_i, h, w, 3)).astype(np.uint8)
             if self.backend == "synthetic_learnable":
                 # plant a class-dependent signal that survives global
                 # average pooling: noise in [0, 100) plus a per-class
@@ -113,6 +114,8 @@ class ClipDataset:
                 n_cls = max(int(self.labels.max()) + 1, 1)
                 clip = (rng.randint(0, 100, (t_i, h, w, 3)) +
                         (label * 150) // n_cls).astype(np.uint8)
+            else:
+                clip = rng.randint(0, 255, (t_i, h, w, 3)).astype(np.uint8)
             return clip, label
         path = os.path.join(self.video_dir, self.filenames[idx])
         if self.backend == "opencv":

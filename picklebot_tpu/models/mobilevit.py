@@ -72,15 +72,59 @@ def conv_nxn_bn(cin, cout, kernel_size=3, stride=1):
     return _ConvBNSiLU(cin, cout, kernel_size, stride, 1)
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _tp_copy_in(x, axis):
+    """Megatron's 'f' operator: identity forward, all-reduce backward.
+    The replicated residual stream enters the sharded FFN; its cotangent
+    is the sum of each shard's contribution."""
+    return x
+
+
+def _tp_copy_in_fwd(x, axis):
+    return x, None
+
+
+def _tp_copy_in_bwd(axis, _, g):
+    return (jax.lax.psum(g, axis),)
+
+
+_tp_copy_in.defvjp(_tp_copy_in_fwd, _tp_copy_in_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _tp_reduce_out(x, axis):
+    """Megatron's 'g' operator: all-reduce forward, identity backward.
+    Partial FFN outputs sum across shards; the output cotangent is already
+    replicated, so a naive psum transpose would overscale grads by the TP
+    degree (a bug this construction exists to prevent)."""
+    return jax.lax.psum(x, axis)
+
+
+def _tp_reduce_out_fwd(x, axis):
+    return jax.lax.psum(x, axis), None
+
+
+def _tp_reduce_out_bwd(axis, _, g):
+    return (g,)
+
+
+_tp_reduce_out.defvjp(_tp_reduce_out_fwd, _tp_reduce_out_bwd)
+
+
 class FeedForward(Module):
     """reference mobilevit.py:28-40 — note: no pre-norm.
 
     Tensor-parallel aware (Megatron MLP pattern): setting ``model_axis``
     REQUIRES running inside a shard_map whose param specs shard fc1
-    column-wise (P(None, axis)) and fc2 row-wise (P(axis, None)); each shard
-    then computes a hidden slice and the partial outputs are psum'd. (With
-    replicated params the psum would wrongly multiply by the axis size —
-    the axis name is the contract that specs shard.)"""
+    column-wise (P(None, axis)) and fc2 row-wise (P(axis, None)). The
+    f/g custom-VJP operators above give exact forward AND backward
+    semantics: partial outputs psum forward with identity backward, and the
+    residual-stream cotangent psums backward with identity forward."""
 
     def __init__(self, embed_dim, hidden_dim, dropout=0.0, model_axis=None):
         super().__init__()
@@ -91,11 +135,12 @@ class FeedForward(Module):
         self.drop2 = Dropout(dropout)
 
     def forward(self, cx: Ctx, x):
+        if self.model_axis is not None:
+            x = _tp_copy_in(x, self.model_axis)
         x = cx(self.drop1, act.silu(cx(self.fc1, x)))
         x = cx(self.fc2, x)
         if self.model_axis is not None:
-            import jax
-            x = jax.lax.psum(x, self.model_axis)
+            x = _tp_reduce_out(x, self.model_axis)
         return cx(self.drop2, x)
 
 

@@ -95,14 +95,17 @@ def test_two_process_training(tmp_path):
                JAX_PLATFORMS="cpu",
                PYTHONPATH=os.environ.get("PYTHONPATH", "") + ":" +
                os.getcwd())
+    # drain both pipes concurrently: sequential communicate() could deadlock
+    # if the other worker fills its pipe mid-collective
+    import concurrent.futures as cf
     procs = [subprocess.Popen([sys.executable, str(script), str(i)],
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, env=env, text=True)
              for i in range(2)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=480)
-        outs.append(out)
+    with cf.ThreadPoolExecutor(2) as ex:
+        futs = [ex.submit(lambda pr: pr.communicate(timeout=480)[0], p)
+                for p in procs]
+        outs = [f.result() for f in futs]
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"host {i} failed:\n{out[-3000:]}"
         assert f"HOST{i} OK" in out, out[-2000:]
