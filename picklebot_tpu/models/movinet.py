@@ -21,7 +21,6 @@ xavier_uniform linear (reference movinet.py:167-179 — this one is real).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 
