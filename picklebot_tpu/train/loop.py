@@ -58,12 +58,25 @@ def _make_datasets(config: Config):
 
 def train(config: Config, max_steps: Optional[int] = None) -> dict:
     """Returns a summary dict (final losses/accuracies) for tests/CLI."""
-    n_dev = jax.local_device_count()
+    # global device count: in a multi-process run the mesh must span every
+    # host's devices (the DDP world, reference train.py:24-36), not just the
+    # first host's local ones
+    n_dev = jax.device_count()
+    n_procs = jax.process_count()
     mp = max(1, config.model_parallel)
     n_data = config.data_parallel or max(1, n_dev // mp)
     n_data = max(1, min(n_data, n_dev // mp if mp > 1 else n_dev))
     mesh = make_mesh(data=n_data, model=mp) \
         if (n_data > 1 or mp > 1) else None
+    if n_procs > 1:
+        if mesh is None:
+            raise ValueError("multi-process training requires a device mesh")
+        if mp > 1:
+            raise ValueError("model_parallel under multi-host is not "
+                             "supported by train() yet (use the step API)")
+        if n_data % n_procs != 0:
+            raise ValueError(f"data_parallel={n_data} must divide evenly "
+                             f"across {n_procs} processes")
     policy = DtypePolicy.bf16() if config.use_autocast else DtypePolicy.f32()
 
     model = initialize_model(config)
@@ -87,6 +100,34 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                                mesh=mesh, mean=mean, std=std,
                                state_specs=state_specs)
 
+    def _multihost_synced(fn, tag):
+        """Multi-host compile rendezvous: AOT-compile each new input shape,
+        then wait at the coordination-service barrier (pure RPC, generous
+        timeout) before the first execution. Without it, a host that hits
+        the persistent compile cache starts executing — and its collective's
+        Gloo context init times out at 30 s — while a cold host is still
+        compiling the same program (minutes on these hosts)."""
+        if n_procs == 1:
+            return fn
+        from jax._src import distributed
+        cache = {}
+
+        def call(*args):
+            key = tuple((tuple(a.shape), str(a.dtype))
+                        for a in jax.tree_util.tree_leaves(args))
+            if key not in cache:
+                compiled = fn.lower(*args).compile()
+                client = distributed.global_state.client
+                if client is not None:
+                    client.wait_at_barrier(f"pb_compiled_{tag}_{len(cache)}",
+                                           timeout_in_ms=1_800_000)
+                cache[key] = compiled
+            return cache[key](*args)
+        return call
+
+    train_step = _multihost_synced(train_step, "train")
+    eval_step = _multihost_synced(eval_step, "eval")
+
     # ---- checkpoint restore (orbax) / torch warm start (.pth) ----
     start_epoch = 0
     if config.checkpoint:
@@ -109,28 +150,62 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         replicated = NamedSharding(mesh, P())
         super_sharding = NamedSharding(mesh, P(None, "data"))
         eval_sharding = NamedSharding(mesh, P("data"))
+
+        def place(tree, spec_tree):
+            shardings = jax.tree_util.tree_map(
+                lambda sp: NamedSharding(mesh, sp), spec_tree,
+                is_leaf=lambda x: isinstance(x, P))
+            if n_procs == 1:
+                return jax.device_put(tree, shardings)
+            # multi-host: every host holds the full host-side-init value;
+            # hand each device exactly its shard (works for any sharding)
+            def put_leaf(x, sh):
+                x = np.asarray(x)
+                return jax.make_array_from_callback(
+                    x.shape, sh, lambda idx: x[idx])
+            if isinstance(shardings, NamedSharding):
+                shardings = jax.tree_util.tree_map(lambda _: shardings, tree)
+            return jax.tree_util.tree_map(put_leaf, tree, shardings)
+
         if state_specs is not None:  # TP: honor per-leaf param shardings
-            state = jax.device_put(state, jax.tree_util.tree_map(
-                lambda sp: NamedSharding(mesh, sp), state_specs,
-                is_leaf=lambda x: isinstance(x, P)))
+            state = place(state, state_specs)
         else:
-            state = jax.device_put(state, replicated)
+            state = place(state, P())
     else:
         super_sharding = eval_sharding = None
 
     # ---- data ----
     train_ds, val_ds = _make_datasets(config)
     global_batch = config.batch_size * (n_data if mesh is not None else 1)
+    # each host loads only its share of the global batch (its ClipDataset
+    # shard, the DistributedSampler analog — reference train.py:59-60)
+    local_batch = global_batch // n_procs
     accum = config.grad_accum_steps
-    train_loader = DataLoader(train_ds, global_batch, shuffle=True,
+    # multi-host: all hosts must agree on T without communicating, so pad
+    # every batch to exactly max_frames (bucket == cap -> one static shape)
+    t_bucket = config.max_frames if n_procs > 1 else config.t_bucket
+    train_loader = DataLoader(train_ds, local_batch, shuffle=True,
                               num_workers=config.num_workers,
-                              t_bucket=config.t_bucket,
+                              t_bucket=t_bucket,
                               max_frames=config.max_frames,
                               seed=config.seed, drop_last=True)
-    val_loader = DataLoader(val_ds, global_batch, shuffle=False,
+    # drop_last=False: the reference's estimate_loss consumes the FULL val
+    # set (train.py:134-150); the tail batch is padded to local_batch and
+    # masked inside eval_step so every sample counts exactly once.
+    val_loader = DataLoader(val_ds, local_batch, shuffle=False,
                             num_workers=config.num_workers,
-                            t_bucket=config.t_bucket,
-                            max_frames=config.max_frames, drop_last=True)
+                            t_bucket=t_bucket,
+                            max_frames=config.max_frames, drop_last=False)
+    # hosts' shard sizes can differ by one batch; agree on counts once so no
+    # host leaves a collective early (train: min, eval: max + dummy batches)
+    if n_procs > 1:
+        from jax.experimental import multihost_utils
+        counts = multihost_utils.process_allgather(
+            np.asarray([len(train_loader), len(val_loader)]))
+        nb_train_sync = int(np.min(counts[..., 0]))
+        nb_val_sync = int(np.max(counts[..., 1]))
+    else:
+        nb_train_sync = nb_val_sync = None
     print(f"Using {accum} gradient accumulation steps for a total effective "
           f"batch size of {config.effective_batch_size}")
 
@@ -142,36 +217,90 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     start_time = time.time()
     print(f"Training... started: {time.ctime(start_time)}")
 
+    def put_global(arr, sharding):
+        """Host-local (…, local_batch, …) -> global (…, global_batch, …)."""
+        if n_procs == 1:
+            return jax.device_put(arr, sharding)
+        gshape = list(arr.shape)
+        axis = 1 if len(sharding.spec) > 1 else 0
+        gshape[axis] = arr.shape[axis] * n_procs
+        return jax.make_array_from_process_local_data(
+            sharding, arr, tuple(gshape))
+
     def put_super(batch):
-        feats, labels = batch  # (accum, global_batch, T, H, W, C)
+        feats, labels = batch  # (accum, local_batch, T, H, W, C)
         if super_sharding is not None:
-            return (jax.device_put(feats, super_sharding),
-                    jax.device_put(labels, super_sharding))
+            return (put_global(feats, super_sharding),
+                    put_global(labels, super_sharding))
         return jax.device_put((feats, labels))
 
-    rng = jax.random.key(config.seed)
+    if n_procs > 1:
+        # a host-local key can't be device_put to a global sharding; build
+        # the key on-device from the (identical) seed and fold in the step
+        from jax.experimental import multihost_utils
+        seed_g = multihost_utils.host_local_array_to_global_array(
+            np.asarray(config.seed, np.int32), mesh, P())
+        base_key = jax.jit(jax.random.key, out_shardings=replicated)(seed_g)
+        fold_key = jax.jit(jax.random.fold_in, out_shardings=replicated)
+    rng = jax.random.key(config.seed) if n_procs == 1 else None
     global_step = 0
     train_losses_hist, train_acc_hist = [], []
     all_losses: list = []
     val_losses, val_percent = [], []
     summary = {}
 
+    def pad_val_batch(feats, labels):
+        """Pad a partial tail batch up to local_batch, return a 0/1 mask.
+        Static batch shape keeps one compiled eval program per T bucket."""
+        n = feats.shape[0]
+        mask = np.ones((local_batch,), np.float32)
+        if n < local_batch:
+            pad = local_batch - n
+            feats = np.concatenate(
+                [feats, np.zeros((pad,) + feats.shape[1:], feats.dtype)])
+            labels = np.concatenate(
+                [labels, np.zeros((pad,) + labels.shape[1:], labels.dtype)])
+            mask[n:] = 0.0
+        return feats, labels, mask
+
     def run_eval(epoch):
-        tot_loss, tot_correct, tot_n, batches = 0.0, 0.0, 0.0, 0
+        tot_loss_sum, tot_correct, tot_n = 0.0, 0.0, 0.0
         print("Evaluating...")
-        it = iter(val_loader)
-        if eval_sharding is not None:
-            it = (tuple(jax.device_put(a, eval_sharding) for a in b)
-                  for b in it)
-        for feats, labels in it:
-            out = eval_step(state, feats, labels)
-            tot_loss += float(out["loss"])
+        batches = 0
+        dummy = None
+        for feats, labels in iter(val_loader):
+            feats, labels, mask = pad_val_batch(feats, labels)
+            dummy = (np.zeros_like(feats), np.zeros_like(labels))
+            if eval_sharding is not None:
+                feats, labels, mask = (
+                    put_global(a, eval_sharding)
+                    for a in (feats, labels, mask))
+            out = eval_step(state, feats, labels, mask)
+            tot_loss_sum += float(out["loss_sum"])
             tot_correct += float(out["correct"])
             tot_n += float(out["samples"])
             batches += 1
-        if batches == 0:
-            return float("nan"), float("nan")
-        return tot_loss / batches, tot_correct / max(tot_n, 1)
+        # multi-host: hosts with smaller val shards feed fully-masked dummy
+        # batches so every host joins the same number of collectives
+        if nb_val_sync is not None and batches < nb_val_sync and dummy is None:
+            raise RuntimeError(
+                "this host's val shard is empty while another host has "
+                "batches to evaluate; give every host at least one sample")
+        while nb_val_sync is not None and batches < nb_val_sync:
+            feats, labels = dummy
+            mask = np.zeros((local_batch,), np.float32)
+            feats, labels, mask = (put_global(a, eval_sharding)
+                                   for a in (feats, labels, mask))
+            out = eval_step(state, feats, labels, mask)
+            tot_loss_sum += float(out["loss_sum"])
+            tot_correct += float(out["correct"])
+            tot_n += float(out["samples"])
+            batches += 1
+        if tot_n == 0:
+            return float("nan"), float("nan"), 0.0
+        # sample-weighted mean — identical to the reference's mean-of-batch-
+        # means when all batches are full, exact (not shard-biased) on tails
+        return tot_loss_sum / tot_n, tot_correct / tot_n, tot_n
 
     try:
         for epoch in range(start_epoch, config.max_iters):
@@ -201,11 +330,17 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                                           step_base + j)
 
             feed = accumulate_batches(iter(train_loader), accum)
+            if nb_train_sync is not None:
+                import itertools
+                feed = itertools.islice(feed, nb_train_sync // accum)
             feed = device_prefetch(feed, put_super, depth=2)
             for feats, labels in feed:
-                rng, sub = jax.random.split(rng)
-                if mesh is not None:
-                    sub = jax.device_put(sub, replicated)
+                if n_procs > 1:
+                    sub = fold_key(base_key, np.int64(global_step))
+                else:
+                    rng, sub = jax.random.split(rng)
+                    if mesh is not None:
+                        sub = jax.device_put(sub, replicated)
                 state, metrics = train_step(state, feats, labels, sub)
                 # defer host sync by one step to keep the device busy
                 pending.append((metrics, global_step))
@@ -225,9 +360,10 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
 
             if epoch % config.eval_interval == 0 or \
                     epoch == config.max_iters - 1:
-                val_loss, val_accuracy = run_eval(epoch)
+                val_loss, val_accuracy, val_samples = run_eval(epoch)
                 val_losses.append(val_loss)
                 val_percent.append(val_accuracy)
+                summary["val_samples"] = val_samples
                 if is_main:
                     tl = train_losses_hist[-1] if train_losses_hist \
                         else float("nan")
@@ -239,10 +375,13 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                     if writer:
                         writer.add_scalar("val loss", val_loss, epoch)
                         writer.add_scalar("val accuracy", val_accuracy, epoch)
-                    ckpt.save_checkpoint(
-                        os.path.join(config.checkpoint_dir,
-                                     config.model_name),
-                        epoch, jax.device_get(state)._asdict())
+                # Orbax saves are process-collective: EVERY process must
+                # call save (orbax barriers internally and writes once) —
+                # gating on is_main deadlocks multi-host at the first save
+                ckpt.save_checkpoint(
+                    os.path.join(config.checkpoint_dir,
+                                 config.model_name),
+                    epoch, jax.device_get(state)._asdict())
 
             elapsed = time.time() - start_time
             done = epoch - start_epoch + 1
@@ -258,11 +397,11 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             print(f"Keyboard interrupt,\nFinal Train Loss: "
                   f"{train_losses_hist[-1]:.4f}")
     finally:
+        final_dir = os.path.join(config.checkpoint_dir,
+                                 f"{config.run_name()}_finished")
+        ckpt.save_checkpoint(final_dir, int(jax.device_get(state.epoch)),
+                             jax.device_get(state)._asdict())
         if is_main:
-            final_dir = os.path.join(config.checkpoint_dir,
-                                     f"{config.run_name()}_finished")
-            ckpt.save_checkpoint(final_dir, int(jax.device_get(state.epoch)),
-                                 jax.device_get(state)._asdict())
             stats_dir = "statistics"
             os.makedirs(stats_dir, exist_ok=True)
             base = f"{config.run_name()}_finished"

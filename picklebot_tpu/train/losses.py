@@ -11,40 +11,67 @@ import jax
 import jax.numpy as jnp
 
 
-def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """logits (B, C) float, labels (B,) int -> scalar mean CE."""
+def cross_entropy_per_sample(logits: jax.Array,
+                             labels: jax.Array) -> jax.Array:
+    """logits (B, C) float, labels (B,) int -> (B,) per-sample NLL."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
-                               axis=-1)[:, 0]
-    return jnp.mean(nll)
+    return -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
+                                axis=-1)[:, 0]
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """logits (B, C) float, labels (B,) int -> scalar mean CE."""
+    return jnp.mean(cross_entropy_per_sample(logits, labels))
+
+
+def bce_per_sample(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """logits (B, 1) float, labels (B, 1) float -> (B,) per-sample BCE."""
+    logits = logits.astype(jnp.float32)
+    labels = labels.astype(jnp.float32)
+    # numerically stable: max(x,0) - x*y + log(1+exp(-|x|))
+    per = (jnp.maximum(logits, 0) - logits * labels +
+           jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    return per[:, 0]
 
 
 def bce_with_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """logits (B, 1) float, labels (B, 1) float -> scalar mean BCE."""
-    logits = logits.astype(jnp.float32)
-    labels = labels.astype(jnp.float32)
-    # numerically stable: max(x,0) - x*y + log(1+exp(-|x|))
-    return jnp.mean(jnp.maximum(logits, 0) - logits * labels +
-                    jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    return jnp.mean(bce_per_sample(logits, labels))
+
+
+def correct_ce(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """(B,) 0/1 per-sample argmax matches (reference calculate_accuracy)."""
+    preds = jnp.argmax(logits, axis=-1)
+    return (preds == labels.astype(preds.dtype)).astype(jnp.float32)
 
 
 def accuracy_ce(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Count of argmax matches (reference calculate_accuracy)."""
-    preds = jnp.argmax(logits, axis=-1)
-    return jnp.sum(preds == labels.astype(preds.dtype))
+    return jnp.sum(correct_ce(logits, labels))
+
+
+def correct_bce(logits: jax.Array, labels: jax.Array,
+                threshold: float = 0.5) -> jax.Array:
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    preds = (probs >= threshold).astype(jnp.float32)
+    return (preds == labels.astype(jnp.float32)).astype(jnp.float32)[:, 0]
 
 
 def accuracy_bce(logits: jax.Array, labels: jax.Array,
                  threshold: float = 0.5) -> jax.Array:
-    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-    preds = (probs >= threshold).astype(jnp.float32)
-    return jnp.sum(preds == labels.astype(jnp.float32))
+    return jnp.sum(correct_bce(logits, labels, threshold))
 
 
 LOSSES = {
     "CE": (cross_entropy, accuracy_ce),
     "BCE": (bce_with_logits, accuracy_bce),
+}
+
+# per-sample variants (loss (B,), correct (B,)) for masked/padded eval
+LOSSES_PER_SAMPLE = {
+    "CE": (cross_entropy_per_sample, correct_ce),
+    "BCE": (bce_per_sample, correct_bce),
 }
 
 

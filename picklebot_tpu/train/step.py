@@ -36,7 +36,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from picklebot_tpu.core.module import DtypePolicy, Module
-from picklebot_tpu.train.losses import LOSSES, prepare_labels
+from picklebot_tpu.train.losses import (LOSSES, LOSSES_PER_SAMPLE,
+                                        prepare_labels)
 from picklebot_tpu.train.optim import Optimizer
 
 PyTree = Any
@@ -170,26 +171,35 @@ def make_eval_step(model: Module, criterion: str,
                    mesh: Optional[Mesh] = None,
                    mean=None, std=None,
                    state_specs=None):
-    """eval_step(state, features, labels) -> {'loss_sum','correct','samples'}
-    features (B, T, H, W, C) uint8, labels (B,). BN in eval mode (running
-    stats), mirroring reference estimate_loss (train.py:123-153)."""
-    policy = policy or DtypePolicy.bf16()
-    loss_fn, acc_fn = LOSSES[criterion]
+    """eval_step(state, features, labels, mask) ->
+    {'loss': masked mean, 'loss_sum', 'correct', 'samples'}.
 
-    def local_eval(state: TrainState, features, labels):
+    features (B, T, H, W, C) uint8, labels (B,), mask (B,) float32 — 1.0 for
+    real samples, 0.0 for tail padding. BN in eval mode (running stats),
+    mirroring reference estimate_loss (train.py:123-153). The mask lets the
+    val loader keep its final partial batch (padded up to B) so every sample
+    is evaluated exactly once — the reference consumes the full val set
+    (train.py:134-150); round 1 dropped up to global_batch-1 samples.
+    """
+    policy = policy or DtypePolicy.bf16()
+    loss_fn, correct_fn = LOSSES_PER_SAMPLE[criterion]
+
+    def local_eval(state: TrainState, features, labels, mask):
         x = preprocess(features, policy.compute_dtype, mean, std)
         logits, _ = model.apply(
             {"params": state.params, "state": state.model_state}, x,
             train=False, policy=policy)
         lbl = prepare_labels(criterion, labels)
-        loss = loss_fn(logits, lbl)
-        correct = acc_fn(logits, lbl)
-        n = jnp.asarray(features.shape[0], jnp.float32)
+        mask = mask.astype(jnp.float32)
+        loss_sum = jnp.sum(loss_fn(logits, lbl) * mask)
+        correct = jnp.sum(correct_fn(logits, lbl) * mask)
+        n = jnp.sum(mask)
         if mesh is not None:
-            loss = jax.lax.pmean(loss, "data")
+            loss_sum = jax.lax.psum(loss_sum, "data")
             correct = jax.lax.psum(correct, "data")
             n = jax.lax.psum(n, "data")
-        return {"loss": loss, "correct": correct, "samples": n}
+        return {"loss": loss_sum / jnp.maximum(n, 1.0), "loss_sum": loss_sum,
+                "correct": correct, "samples": n}
 
     if mesh is None:
         return jax.jit(local_eval)
@@ -198,7 +208,7 @@ def make_eval_step(model: Module, criterion: str,
     st_specs = state_specs if state_specs is not None else P()
     sharded = shard_map(
         local_eval, mesh=mesh,
-        in_specs=(st_specs, P("data"), P("data")),
+        in_specs=(st_specs, P("data"), P("data"), P("data")),
         out_specs=P(),
         check_vma=False)
     return jax.jit(sharded)

@@ -70,6 +70,13 @@ class Config:
                 f"(valid: {sorted(MODELS)})")
         if self.criterion not in ("CE", "BCE"):
             raise ValueError(f"Invalid criterion: {self.criterion}")
+        if self.criterion == "BCE" and self.num_classes != 1:
+            # torch's BCEWithLogitsLoss raises on (B, C) logits vs (B, 1)
+            # labels; broadcasting silently would train on a meaningless
+            # loss, so reject at config time.
+            raise ValueError(
+                "criterion='BCE' requires num_classes=1 (binary head; "
+                f"got num_classes={self.num_classes})")
         if self.effective_batch_size % self.batch_size != 0:
             raise ValueError(  # reference asserts this (train.py:245)
                 "Batch size must divide effective batch size")

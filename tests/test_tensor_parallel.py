@@ -111,8 +111,9 @@ def test_tp_eval_matches_single_device(rng):
 
     ref_model = TinyTransformer()
     ref_state = create_train_state(ref_model, opt, 0)
+    mask = jnp.ones((8,), jnp.float32)
     ref_eval = make_eval_step(ref_model, "CE", policy=policy)
-    out1 = ref_eval(ref_state, feats, labels)
+    out1 = ref_eval(ref_state, feats, labels, mask)
 
     tp_model = TinyTransformer(model_axis="model")
     mesh = make_mesh(data=4, model=2)
@@ -125,7 +126,8 @@ def test_tp_eval_matches_single_device(rng):
                              state_specs=specs)
     out2 = tp_eval(state,
                    jax.device_put(feats, NamedSharding(mesh, P("data"))),
-                   jax.device_put(labels, NamedSharding(mesh, P("data"))))
+                   jax.device_put(labels, NamedSharding(mesh, P("data"))),
+                   jax.device_put(mask, NamedSharding(mesh, P("data"))))
     np.testing.assert_allclose(float(out1["loss"]), float(out2["loss"]),
                                rtol=1e-5, atol=1e-5)
     assert float(out1["correct"]) == float(out2["correct"])

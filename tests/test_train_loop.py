@@ -97,6 +97,26 @@ def test_load_config_accepts_reference_schema(tmp_path):
 
 
 @pytest.mark.slow
+def test_eval_counts_every_val_sample(tmp_path, monkeypatch):
+    """val set size NOT divisible by the global batch: the padded+masked
+    tail batch must make eval count each sample exactly once (the reference
+    consumes the full val set, train.py:134-150; round 1 dropped the tail)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = _smoke_config(tmp_path, max_iters=1, batch_size=4,
+                        effective_batch_size=4, synthetic_len=11)
+    summary = train(cfg)
+    assert summary["val_samples"] == 11.0
+    assert np.isfinite(summary["final_val_loss"])
+
+
+def test_bce_requires_single_logit(tmp_path):
+    """BCE with num_classes!=1 would broadcast (B,C) logits against (B,1)
+    labels into a meaningless loss; torch raises — so do we, at config time."""
+    with pytest.raises(ValueError, match="num_classes=1"):
+        _smoke_config(tmp_path, criterion="BCE", num_classes=2)
+
+
+@pytest.mark.slow
 def test_train_bce_criterion(tmp_path, monkeypatch):
     """BCE path: 1-logit head, float labels (reference train.py:217-221)."""
     monkeypatch.chdir(tmp_path)

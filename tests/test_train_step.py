@@ -114,9 +114,20 @@ def test_eval_step_sharded(rng):
     feats = jnp.asarray(
         rng.randint(0, 255, (16, 4, 16, 16, 3)).astype(np.uint8))
     labels = jnp.asarray(rng.randint(0, 13, (16,)).astype(np.int32))
-    out = ev(state, feats, labels)
+    mask = jnp.ones((16,), jnp.float32)
+    out = ev(state, feats, labels, mask)
     assert out["samples"] == 16.0
     assert np.isfinite(float(out["loss"]))
+
+    # tail-padding mask: zeroed entries must not count toward any metric
+    half = jnp.asarray(np.concatenate([np.ones(8), np.zeros(8)]), jnp.float32)
+    out_half = ev(state, feats, labels, half)
+    ev1 = make_eval_step(model, "CE", policy=DtypePolicy.f32())
+    ref = ev1(state, feats[:8], labels[:8], jnp.ones((8,), jnp.float32))
+    assert out_half["samples"] == 8.0
+    np.testing.assert_allclose(float(out_half["loss_sum"]),
+                               float(ref["loss_sum"]), rtol=1e-5, atol=1e-5)
+    assert float(out_half["correct"]) == float(ref["correct"])
 
 
 def test_adamw_matches_torch(rng):
