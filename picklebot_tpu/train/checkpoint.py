@@ -189,33 +189,75 @@ def load_pth(path: str, variables: Variables, key_map=None,
 # pytree -> torch .pth (export for the reference ecosystem / HF demo)
 # --------------------------------------------------------------------------
 
+def build_reverse_map(torch_keys, key_map=None) -> Dict[str, str]:
+    """{our_flat_path: torch_key} for export, derived from the SAME forward
+    key_map used on import — enumerate the torch model's state_dict keys and
+    invert. Guarantees export/import key symmetry for any model that has a
+    working import map (every model in train/key_maps.py)."""
+    reverse: Dict[str, str] = {}
+    for tk in torch_keys:
+        mapped = key_map(tk) if key_map else None
+        if mapped is None:
+            mapped = _default_key_map(tk)
+        path, _ = mapped
+        if path:
+            reverse[path] = tk
+    return reverse
+
+
 def export_torch_state_dict(variables: Variables,
-                            reverse_map: Optional[Dict[str, str]] = None
+                            reverse_map: Optional[Dict[str, str]] = None,
+                            rank_map=None,
+                            add_num_batches_tracked: bool = True
                             ) -> Dict[str, Any]:
     """Inverse of import: our pytree -> a torch state_dict-shaped dict.
 
     Layout transposes are inferred from rank: conv (k..., I, O) -> (O, I,
     k...), dense (I, O) -> (O, I). Key renames invert the default rules;
     ``reverse_map`` overrides {our_flat_path: torch_key} for model-specific
-    structure. Weights trained here can be served by the reference code.
+    structure (build one with ``build_reverse_map``).
+
+    ``rank_map(torch_key) -> int | None`` states the rank the reference
+    module declares for that parameter (``key_maps.export_rank_for``): our
+    1x1-conv-as-Dense weights (SE layers, MobileNet3D classifier heads) are
+    2D ``(in, out)`` but torch declares Conv3d/Conv2d ``(O, I, 1, 1, 1)`` —
+    without the reshape ``load_state_dict`` raises on the size mismatch even
+    with strict=False. ``add_num_batches_tracked`` synthesizes the torch BN
+    bookkeeping tensor (dropped on import) so strict=True loads succeed.
+    Weights trained here can be served by the reference code —
+    golden-tested by loading into the actual reference modules
+    (tests/test_export_torch_load.py).
     """
     import torch
     flat_params = flatten_dict(variables["params"])
     flat_state = flatten_dict(variables["state"])
     out: Dict[str, Any] = {}
 
-    def to_torch_layout(v: np.ndarray) -> np.ndarray:
+    def to_torch_layout(v: np.ndarray, torch_key: str) -> np.ndarray:
         v = np.asarray(v, np.float32)
         if v.ndim >= 3:  # conv (k..., I, O) -> (O, I, k...)
             perm = (v.ndim - 1, v.ndim - 2) + tuple(range(v.ndim - 2))
             return np.transpose(v, perm)
         if v.ndim == 2:  # dense (I, O) -> (O, I)
-            return v.T
+            vt = v.T
+            want = rank_map(torch_key) if rank_map else None
+            if want and want > 2:  # torch declares a 1x1 conv here
+                vt = vt.reshape(vt.shape + (1,) * (want - 2))
+            return vt
         return v
 
     def default_torch_key(path: str, is_state: bool) -> str:
-        if reverse_map and path in reverse_map:
-            return reverse_map[path]
+        if reverse_map:
+            if path in reverse_map:
+                return reverse_map[path]
+            # mirror the importer's alias: torch weight/bias -> our
+            # scale/bias on norm layers (import_torch_state_dict alt paths)
+            if path.endswith(".scale") and \
+                    path[:-len("scale")] + "w" in reverse_map:
+                return reverse_map[path[:-len("scale")] + "w"]
+            if path.endswith(".bias") and \
+                    path[:-len("bias")] + "b" in reverse_map:
+                return reverse_map[path[:-len("bias")] + "b"]
         if is_state:
             if path.endswith(".mean"):
                 return path[:-len("mean")] + "running_mean"
@@ -234,17 +276,24 @@ def export_torch_state_dict(variables: Variables,
         return k
 
     for path, v in flat_params.items():
-        out[default_torch_key(path, False)] = torch.from_numpy(
-            to_torch_layout(np.asarray(jax.device_get(v))))
+        tk = default_torch_key(path, False)
+        out[tk] = torch.from_numpy(
+            to_torch_layout(np.asarray(jax.device_get(v)), tk))
     for path, v in flat_state.items():
-        out[default_torch_key(path, True)] = torch.from_numpy(
+        tk = default_torch_key(path, True)
+        out[tk] = torch.from_numpy(
             np.asarray(jax.device_get(v), np.float32))
+        if add_num_batches_tracked and tk.endswith(".running_mean"):
+            out[tk[:-len("running_mean")] + "num_batches_tracked"] = \
+                torch.zeros((), dtype=torch.int64)
     return out
 
 
-def save_pth(path: str, variables: Variables, reverse_map=None):
+def save_pth(path: str, variables: Variables, reverse_map=None,
+             rank_map=None):
     import torch
-    torch.save(export_torch_state_dict(variables, reverse_map=reverse_map),
+    torch.save(export_torch_state_dict(variables, reverse_map=reverse_map,
+                                       rank_map=rank_map),
                path)
 
 

@@ -207,3 +207,56 @@ KEY_MAPS = {
 
 def key_map_for(model_name: str) -> Optional[Callable]:
     return KEY_MAPS.get(model_name)
+
+
+# --------------------------------------------------------------------------
+# export rank maps: torch_key -> declared torch parameter rank
+# --------------------------------------------------------------------------
+# Our 1x1 convs on pooled/flattened features are Dense (in, out); the
+# reference declares them Conv3d/Conv2d with (O, I, 1, ...) weights
+# (mobilenet.py:15-26 SE stacks, mobilenet.py:185-190 classifier convs).
+# export_torch_state_dict consults these so torch load_state_dict(strict)
+# accepts the export.
+
+_SE_WEIGHT = re.compile(r".*\.se\.[13]\.weight$")
+
+
+def _export_ranks_3d(tk: str) -> Optional[int]:
+    return 5 if _SE_WEIGHT.match(tk) else None
+
+
+def mobilenet3d_export_ranks(tk: str) -> Optional[int]:
+    # classifier.1/.3 are Conv3d(…, kernel_size=1) (mobilenet.py:185-190)
+    if re.fullmatch(r"classifier\.[13]\.weight", tk):
+        return 5
+    return _export_ranks_3d(tk)
+
+
+def mobilenet2d_export_ranks(tk: str) -> Optional[int]:
+    return 4 if _SE_WEIGHT.match(tk) else None
+
+
+def mobilevitv2_export_ranks(tk: str) -> Optional[int]:
+    # reference uses Conv2d(k=1) where our channels-last impl uses Dense:
+    # LinearSelfAttention qkv/out (mobilevitv2.py:13,20) and the FFN convs
+    # (mobilevitv2.py:66,76). Top-level 'conv1' (a real 3x3) never reaches
+    # the rank map (it exports from a 4D leaf).
+    if re.search(r"\.(qkv_proj|out_proj|conv1|conv2)\.weight$", tk):
+        return 4
+    return None
+
+
+EXPORT_RANK_MAPS = {
+    "MobileNetLarge3D": mobilenet3d_export_ranks,
+    "MobileNetSmall3D": mobilenet3d_export_ranks,
+    "MoViNetA2": _export_ranks_3d,
+    "MoViNetA2Stream": _export_ranks_3d,
+    "MobileViT": _export_ranks_3d,
+    "MobileViTV2": mobilevitv2_export_ranks,
+    "MobileNetLarge2D": mobilenet2d_export_ranks,
+    "MobileNetSmall2D": mobilenet2d_export_ranks,
+}
+
+
+def export_rank_for(model_name: str) -> Optional[Callable]:
+    return EXPORT_RANK_MAPS.get(model_name)
