@@ -48,12 +48,4 @@ int collate_u8(uint8_t* dst, const uint8_t** srcs, const int64_t* t_lens,
     return 0;
 }
 
-// Fused normalize stub for hosts that want CPU-side f32 conversion
-// (the TPU path normalizes on-device; kept for API completeness).
-int normalize_u8_to_f32(const uint8_t* src, float* dst, int64_t n,
-                        float scale) {
-    for (int64_t i = 0; i < n; ++i) dst[i] = src[i] * scale;
-    return 0;
-}
-
 }  // extern "C"

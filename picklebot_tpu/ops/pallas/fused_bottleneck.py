@@ -206,7 +206,7 @@ def _fused_forward(x, w1, wd, w2, se_w1, se_b1, se_w2, se_b2, *,
 
 
 def fused_bottleneck_eligible(h: int, w: int, kernel_size: int, stride: int,
-                              use_se: bool, tile_h: int = 8) -> bool:
+                              use_se: bool) -> bool:
     """Static check: shapes the compiled TPU kernel supports. Mosaic's
     vector slices only allow unit strides, so stride-2 blocks stay on the
     XLA path (10 of MobileNetLarge3D's 15 bottlenecks are stride 1); frames

@@ -213,13 +213,11 @@ class AdamW8bit(Optimizer):
 
     def __init__(self, betas=(0.9, 0.999), eps: float = 1e-8,
                  weight_decay: float = 0.0,
-                 min_8bit_size: int = MIN_8BIT_SIZE,
-                 use_pallas: bool = False):
+                 min_8bit_size: int = MIN_8BIT_SIZE):
         self.b1, self.b2 = betas
         self.eps = eps
         self.weight_decay = weight_decay
         self.min_8bit_size = min_8bit_size
-        self.use_pallas = use_pallas
 
     def _quant8(self, p) -> bool:
         return p.size >= self.min_8bit_size
