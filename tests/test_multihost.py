@@ -82,6 +82,71 @@ print(f"HOST{proc_id} OK loss={loss:.4f} samples={samples}")
 """
 
 
+_TRAIN_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/picklebot_jax_cache")
+proc_id = int(sys.argv[1])
+jax.distributed.initialize(coordinator_address="localhost:%PORT%",
+                           num_processes=2, process_id=proc_id)
+assert jax.device_count() == 8, jax.device_count()
+
+import numpy as np
+from picklebot_tpu.train.loop import train
+from picklebot_tpu.utils.config import Config
+
+os.chdir(sys.argv[2])
+cfg = Config(
+    model_name="MobileNetSmall3D", learning_rate=1e-3, batch_size=1,
+    max_iters=1, eval_interval=1, weight_decay=5e-4, use_autocast=False,
+    criterion="CE", num_classes=13, effective_batch_size=2,
+    data_backend="synthetic", synthetic_len=16, synthetic_shape=(8, 32, 32),
+    t_bucket=8, max_frames=8, num_workers=2, optimizer="adamw8bit",
+    data_parallel=8, checkpoint_dir="ckpt", log_dir="runs").validate()
+summary = train(cfg, max_steps=1)
+assert np.isfinite(summary["final_val_loss"]), summary
+# full val set = both hosts' shards (8 + 8), every sample counted once
+assert summary["val_samples"] == 16.0, summary
+print(f"HOST{proc_id} TRAINLOOP OK val_loss={summary['final_val_loss']:.4f}")
+"""
+
+
+def _run_two_process(tmp_path, worker_src, ok_marker, extra_args=()):
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(worker_src.replace("%PORT%", str(port)))
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.environ.get("PYTHONPATH", "") + ":" +
+               os.getcwd())
+    import concurrent.futures as cf
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), *map(str, extra_args)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    with cf.ThreadPoolExecutor(2) as ex:
+        futs = [ex.submit(lambda pr: pr.communicate(timeout=540)[0], p)
+                for p in procs]
+        outs = [f.result() for f in futs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"host {i} failed:\n{out[-3000:]}"
+        assert f"HOST{i} {ok_marker}" in out, out[-2000:]
+
+
+@pytest.mark.slow
+def test_two_process_train_loop(tmp_path):
+    """train(config) itself across 2 processes: global mesh sizing, per-host
+    data shards assembled into global arrays, synchronized batch counts, and
+    full-val-set eval (ADVICE r1: train() was single-host-only)."""
+    _run_two_process(tmp_path, _TRAIN_WORKER, "TRAINLOOP OK",
+                     extra_args=(tmp_path,))
+
+
 @pytest.mark.slow
 def test_two_process_training(tmp_path):
     import socket
