@@ -182,8 +182,11 @@ class Module:
             self._children[name] = value
         elif isinstance(value, (list, tuple)) and value and all(
                 isinstance(v, Module) for v in value):
-            for i, v in enumerate(value):
-                self._children[f"{name}.{i}"] = v
+            # wrap in an implicit ModuleList: registering dotted 'name.i'
+            # keys here would make init_params store literal dotted dict
+            # keys while Ctx/_child_path walk nested dicts — params would
+            # init at params['name.0'] but apply via params['name']['0']
+            self._children[name] = ModuleList(value)
         object.__setattr__(self, name, value)
 
     def _child_name(self, child: "Module") -> str:
@@ -268,9 +271,9 @@ class Sequential(Module):
 
     def __init__(self, *layers: Module):
         super().__init__()
-        self.layers = list(layers)  # registered as 'layers.0', ...
-        # re-register under bare indices to match torch naming
-        self._children.clear()
+        # bypass __setattr__'s implicit-ModuleList wrap (would recurse);
+        # children register under bare indices to match torch naming
+        object.__setattr__(self, "layers", list(layers))
         for i, l in enumerate(layers):
             self._children[str(i)] = l
 
@@ -291,8 +294,7 @@ class ModuleList(Module):
 
     def __init__(self, mods: Sequence[Module] = ()):
         super().__init__()
-        self.mods = list(mods)
-        self._children.clear()
+        object.__setattr__(self, "mods", list(mods))  # no implicit re-wrap
         for i, m in enumerate(self.mods):
             self._children[str(i)] = m
 

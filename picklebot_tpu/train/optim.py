@@ -47,14 +47,20 @@ MIN_8BIT_SIZE = 4096  # params smaller than this stay fp32 (bnb default)
 
 def _make_codebook(signed: bool) -> np.ndarray:
     # numpy on purpose: module import must not touch the device
+    # Each block's absmax (always present by construction) must round-trip
+    # losslessly like bnb's dynamic codebook, so magnitude 1.0 gets its own
+    # code point; without it, the block's largest moment entry carries a
+    # systematic -6.25% bias every encode/decode cycle.
     mantissas = 1.0 + np.arange(8, dtype=np.float32) / 8.0
     if signed:
         exps = 2.0 ** np.arange(-15.0, 0.0)             # 15 octaves
         mags = (exps[:, None] * mantissas[None, :]).reshape(-1)
+        mags = np.concatenate([mags, np.ones((1,))])    # exact 1.0
         vals = np.concatenate([-mags[::-1], np.zeros((1,)), mags])
     else:
         exps = 2.0 ** np.arange(-31.0, 0.0)             # 31 octaves
         mags = (exps[:, None] * mantissas[None, :]).reshape(-1)
+        mags = np.concatenate([mags, np.ones((1,))])    # exact 1.0
         vals = np.concatenate([np.zeros((1,)), mags])
     pad = 256 - vals.shape[0]
     # pad with the max value so stray codes stay in-range
@@ -62,8 +68,8 @@ def _make_codebook(signed: bool) -> np.ndarray:
         np.float32)
 
 
-_SIGNED_CODE = _make_codebook(signed=True)      # 241 live entries
-_UNSIGNED_CODE = _make_codebook(signed=False)   # 249 live entries
+_SIGNED_CODE = _make_codebook(signed=True)      # 243 live entries
+_UNSIGNED_CODE = _make_codebook(signed=False)   # 250 live entries
 
 
 def _encode_mag(a: jax.Array, octaves: int) -> Tuple[jax.Array, jax.Array]:
@@ -77,10 +83,11 @@ def _encode_mag(a: jax.Array, octaves: int) -> Tuple[jax.Array, jax.Array]:
     rollover = m8 >= 8
     m8 = jnp.where(rollover, 0, m8)
     e = expo - 1 + rollover.astype(expo.dtype)
-    # a == 1.0 (the block absmax itself) lands one octave above the top
-    # code; clamp to the largest representable (1 + 7/8) * 2^-1
+    # a == 1.0 (the block absmax itself, present in every block) encodes to
+    # the dedicated top code k = octaves*8, which _decode_mag returns as
+    # exactly (1 + 0/8) * 2^0 = 1.0 — lossless like bnb's codebook. Anything
+    # in (0.96875, 1] rounds there; values rounding to mantissa 0 at e == 0.
     overflow = e > -1
-    m8 = jnp.where(overflow, 7, m8)
     # below the smallest octave: round to 0 or to the smallest value
     emin = -octaves
     smallest = 2.0 ** emin
@@ -88,6 +95,7 @@ def _encode_mag(a: jax.Array, octaves: int) -> Tuple[jax.Array, jax.Array]:
     round_to_zero = a < smallest * 0.5  # midpoint between 0 and 2^emin
     e = jnp.clip(e, emin, -1)
     k = (e - emin) * 8 + m8
+    k = jnp.where(overflow, octaves * 8, k)
     k = jnp.where(underflow, 0, k)
     code = k.astype(jnp.int32) + 1
     is_zero = jnp.logical_or(a == 0, jnp.logical_and(underflow,
@@ -109,20 +117,21 @@ def _blockify(x: jax.Array) -> jax.Array:
 
 
 def _quantize_signed(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """fp32 -> uint8 codes (layout: [0..239]=negatives desc, 120=zero,
-    [121..240]=positives asc — matches _SIGNED_CODE) + blockwise absmax."""
+    """fp32 -> uint8 codes (layout: [0..120]=negatives desc (0 is -1.0),
+    121=zero, [122..242]=positives asc (242 is +1.0) — matches
+    _SIGNED_CODE) + blockwise absmax."""
     xb = _blockify(x)
     absmax = jnp.max(jnp.abs(xb), axis=1, keepdims=True)
     scale = jnp.where(absmax > 0, absmax, 1.0)
     a = xb / scale
     code, is_zero = _encode_mag(jnp.abs(a), octaves=15)
-    idx = jnp.where(a >= 0, 120 + code, 120 - code)
-    idx = jnp.where(is_zero, 120, idx)
+    idx = jnp.where(a >= 0, 121 + code, 121 - code)
+    idx = jnp.where(is_zero, 121, idx)
     return idx.astype(jnp.uint8), scale.astype(jnp.float32)
 
 
 def _dequantize_signed(codes: jax.Array, scale: jax.Array, shape):
-    c = codes.astype(jnp.int32) - 120
+    c = codes.astype(jnp.int32) - 121
     mag = _decode_mag(jnp.abs(c) - 1, octaves=15)
     val = jnp.where(c == 0, 0.0, jnp.sign(c).astype(jnp.float32) * mag)
     x = (val * scale).reshape(-1)

@@ -43,6 +43,82 @@ def test_codec_roundtrip_relative_error_bound(rng):
         assert rel.max() <= 0.0625 + 1e-6
 
 
+def test_codec_block_absmax_roundtrips_exactly(rng):
+    """ADVICE r1: the block absmax (normalized magnitude 1.0, present in
+    every block by construction) must round-trip losslessly like bnb's
+    dynamic codebook — not carry a systematic -6.25% clamp bias."""
+    x = rng.randn(4 * BLOCK).astype(np.float32)
+    q, s = _quantize_signed(jnp.asarray(x))
+    xr = np.asarray(_dequantize_signed(q, s, x.shape)).reshape(-1, BLOCK)
+    xb = x.reshape(-1, BLOCK)
+    for b in range(xb.shape[0]):
+        i = np.argmax(np.abs(xb[b]))
+        assert xr[b, i] == xb[b, i], (b, xb[b, i], xr[b, i])
+
+    v = np.abs(x)
+    q, s = _quantize_unsigned(jnp.asarray(v))
+    vr = np.asarray(_dequantize_unsigned(q, s, v.shape)).reshape(-1, BLOCK)
+    vb = v.reshape(-1, BLOCK)
+    for b in range(vb.shape[0]):
+        i = np.argmax(vb[b])
+        assert vr[b, i] == vb[b, i]
+
+
+def test_codec_matches_codebook_lookup(rng):
+    """The arithmetic frexp/exp2 encode must agree with nearest-entry
+    lookup in the explicit codebooks (including the new exact-1.0 points)."""
+    from picklebot_tpu.train.optim import _SIGNED_CODE
+    x = np.concatenate([rng.randn(BLOCK), [1.0, -1.0, 0.9375, 0.969, 0.968]]
+                       ).astype(np.float32)
+    x = np.pad(x, (0, (-x.size) % BLOCK))
+    q, s = _quantize_signed(jnp.asarray(x))
+    xr = np.asarray(_dequantize_signed(q, s, x.shape))
+    a = (x.reshape(-1, BLOCK) /
+         np.maximum(np.abs(x.reshape(-1, BLOCK)).max(1, keepdims=True),
+                    1e-30)).reshape(-1)
+    codebook = _SIGNED_CODE[:243]
+    want = codebook[np.argmin(np.abs(a[:, None] - codebook[None, :]), axis=1)]
+    scale = np.repeat(np.abs(x.reshape(-1, BLOCK)).max(1), BLOCK)
+    np.testing.assert_allclose(xr, want * scale, rtol=1e-6, atol=1e-38)
+
+
+def test_module_list_attr_registers_like_modulelist():
+    """ADVICE r1: a raw python list of Modules must behave exactly like
+    ModuleList (init at params['stem']['0'] AND apply through the same
+    nested path) — previously init wrote literal dotted keys."""
+    from picklebot_tpu.core.module import Module, ModuleList
+    from picklebot_tpu.ops.linear import Dense
+
+    class WithRawList(Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = [Dense(4, 4), Dense(4, 4)]
+
+        def forward(self, cx, x):
+            for m in self.stem:
+                x = cx(m, x)
+            return x
+
+    class WithModuleList(Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = ModuleList([Dense(4, 4), Dense(4, 4)])
+
+        def forward(self, cx, x):
+            for m in self.stem:
+                x = cx(m, x)
+            return x
+
+    a, b = WithRawList(), WithModuleList()
+    va, vb = a.init(0), b.init(0)
+    assert set(va["params"]) == {"stem"}
+    assert set(va["params"]["stem"]) == {"0", "1"}
+    x = jnp.asarray(np.ones((2, 4), np.float32))
+    out_a, _ = a.apply(va, x)
+    out_b, _ = b.apply(vb, x)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
 def test_codec_handles_degenerate_blocks():
     # all-zero block, single-value block, block of identical values
     for x in (np.zeros(BLOCK), np.full(BLOCK, 3.25), np.full(BLOCK, -1e-20)):
