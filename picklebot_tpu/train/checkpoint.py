@@ -234,7 +234,9 @@ def export_torch_state_dict(variables: Variables,
     out: Dict[str, Any] = {}
 
     def to_torch_layout(v: np.ndarray, torch_key: str) -> np.ndarray:
-        v = np.asarray(v, np.float32)
+        # copy: device_get can alias read-only JAX buffers, and torch
+        # tensors over non-writable numpy arrays are undefined behavior
+        v = np.array(v, np.float32, copy=True)
         if v.ndim >= 3:  # conv (k..., I, O) -> (O, I, k...)
             perm = (v.ndim - 1, v.ndim - 2) + tuple(range(v.ndim - 2))
             return np.transpose(v, perm)
@@ -282,7 +284,7 @@ def export_torch_state_dict(variables: Variables,
     for path, v in flat_state.items():
         tk = default_torch_key(path, True)
         out[tk] = torch.from_numpy(
-            np.asarray(jax.device_get(v), np.float32))
+            np.array(jax.device_get(v), np.float32, copy=True))
         if add_num_batches_tracked and tk.endswith(".running_mean"):
             out[tk[:-len("running_mean")] + "num_batches_tracked"] = \
                 torch.zeros((), dtype=torch.int64)
