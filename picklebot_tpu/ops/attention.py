@@ -94,6 +94,20 @@ class MultiHeadAttention(Module):
     def forward(self, cx: Ctx, x):
         x = cx(self.norm, x)
         qkv = cx(self.to_qkv, x)                       # (..., N, 3*inner)
+
+        if self.backend == "pallas_packed" and not (
+                cx.train and self.dropout_p > 0):
+            # packed-qkv flash entry (reference flash_attn_qkvpacked_func,
+            # profiling_mobilevit.py:9,82): keep the fused projection's
+            # (..., N, 3, H, D) layout all the way into the kernel
+            from picklebot_tpu.ops.pallas.flash_attention import (
+                flash_attention_qkvpacked)
+            packed = qkv.reshape(qkv.shape[:-1]
+                                 + (3, self.heads, self.dim_head))
+            out = flash_attention_qkvpacked(packed, scale=self.scale)
+            out = out.reshape(out.shape[:-2] + (self.inner_dim,))
+            return cx(self.out_dropout, cx(self.to_out, out))
+
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split_heads(t):  # (..., N, H*D) -> (..., H, N, D)

@@ -1,0 +1,154 @@
+"""On-chip Pallas kernel evidence: correctness + timing JSON artifact.
+
+Runs the flash-attention forward AND backward kernels and the fused
+inverted-bottleneck kernel on the real TPU (default jax platform), compares
+against their XLA references, times both paths, and writes
+``docs/kernel_evidence.json`` — the mechanically-reproducible record behind
+the kernel claims in README/BENCH (round-1 review: those claims rested on
+unrecorded manual runs).
+
+Usage: python scripts/kernel_evidence.py [--out docs/kernel_evidence.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from picklebot_tpu.ops.attention import sdpa_xla  # noqa: E402
+from picklebot_tpu.ops.pallas.flash_attention import flash_attention  # noqa: E402
+
+
+def sync(x):
+    return float(jnp.sum(jnp.asarray(x, jnp.float32)))
+
+
+def timeit(fn, *args, steps=10, warmup=3):
+    for _ in range(warmup):
+        sync(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(steps):
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / steps * 1e3
+
+
+def flash_evidence(results):
+    rng = np.random.RandomState(0)
+    # MobileViT stage-1 at the long-clip shape: thousands of tokens, 8 heads,
+    # dim_head 16 (reference mobilevit.py:116); plus a wide-head shape where
+    # blockwise kernels are at home
+    shapes = [
+        ("mobilevit_stage1", (8, 8, 1568, 16)),   # (B*P, H, N, D)
+        ("wide_heads", (4, 8, 2048, 64)),
+    ]
+    for name, (b, h, n, d) in shapes:
+        q = jnp.asarray(rng.randn(b, h, n, d), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(b, h, n, d), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(b, h, n, d), jnp.bfloat16)
+        scale = d ** -0.5
+
+        fwd_flash = jax.jit(lambda q, k, v: flash_attention(q, k, v, scale))
+        fwd_xla = jax.jit(lambda q, k, v: sdpa_xla(q, k, v, scale))
+        want = np.asarray(fwd_xla(q, k, v), np.float32)
+        got = np.asarray(fwd_flash(q, k, v), np.float32)
+        fwd_err = float(np.max(np.abs(got - want)))
+
+        def make_grad(bwd):
+            def loss(q, k, v):
+                return jnp.sum(flash_attention(
+                    q, k, v, scale, backward=bwd).astype(jnp.float32) ** 2)
+            return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+
+        def xla_grad():
+            def loss(q, k, v):
+                return jnp.sum(sdpa_xla(q, k, v, scale
+                                        ).astype(jnp.float32) ** 2)
+            return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+
+        g_ref = xla_grad()(q, k, v)
+        g_pallas = make_grad("pallas")(q, k, v)
+        bwd_err = float(max(
+            np.max(np.abs(np.asarray(a, np.float32) -
+                          np.asarray(b, np.float32)))
+            for a, b in zip(g_pallas, g_ref)))
+
+        entry = {
+            "shape": dict(batch=b, heads=h, seq=n, dim_head=d,
+                          dtype="bfloat16"),
+            "fwd_max_abs_err_vs_xla": fwd_err,
+            "bwd_max_abs_err_vs_xla": bwd_err,
+            "fwd_ms": {"pallas": timeit(fwd_flash, q, k, v),
+                       "xla": timeit(fwd_xla, q, k, v)},
+            "bwd_ms": {"pallas": timeit(make_grad("pallas"), q, k, v),
+                       "xla_remat_vjp": timeit(make_grad("xla"), q, k, v),
+                       "xla_native": timeit(xla_grad(), q, k, v)},
+        }
+        results["flash_attention"][name] = entry
+        print(name, json.dumps(entry, indent=1))
+
+
+def fused_bottleneck_evidence(results):
+    from picklebot_tpu.core.module import DtypePolicy
+    from picklebot_tpu.ops.bottleneck import Bottleneck3D
+    rng = np.random.RandomState(0)
+    cases = [  # stride-1 Large3D blocks (kernel-eligible)
+        ("c16_e16_k3_112", 16, 16, 16, 3, (4, 8, 112, 112, 16)),
+        ("c112_e672_k3_14", 112, 112, 672, 3, (16, 18, 14, 14, 112)),
+    ]
+    policy = DtypePolicy.bf16()
+    for name, cin, cout, e, k, xshape in cases:
+        x = jnp.asarray(rng.rand(*xshape), jnp.bfloat16)
+        fused = Bottleneck3D(cin, cout, e, stride=1, kernel_size=k,
+                             use_se=True, dropout=0.0, fused=True)
+        plain = Bottleneck3D(cin, cout, e, stride=1, kernel_size=k,
+                             use_se=True, dropout=0.0)
+        v = fused.init(0)
+        f_fused = jax.jit(lambda v, x: fused.apply(
+            v, x, train=False, policy=policy)[0])
+        f_plain = jax.jit(lambda v, x: plain.apply(
+            v, x, train=False, policy=policy)[0])
+        want = np.asarray(f_plain(v, x), np.float32)
+        got = np.asarray(f_fused(v, x), np.float32)
+        entry = {
+            "input": list(xshape), "expand": e, "kernel": k, "se": True,
+            "max_abs_err_vs_xla": float(np.max(np.abs(got - want))),
+            "out_absmax": float(np.max(np.abs(want))),
+            "fwd_ms": {"pallas_fused": timeit(f_fused, v, x),
+                       "xla": timeit(f_plain, v, x)},
+        }
+        results["fused_bottleneck"][name] = entry
+        print(name, json.dumps(entry, indent=1))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="docs/kernel_evidence.json")
+    args = p.parse_args()
+    results = {
+        "platform": jax.devices()[0].platform,
+        "device": jax.devices()[0].device_kind,
+        "flash_attention": {},
+        "fused_bottleneck": {},
+    }
+    assert results["platform"] == "tpu", \
+        f"evidence must be gathered on-chip, got {results['platform']}"
+    flash_evidence(results)
+    fused_bottleneck_evidence(results)
+    with open(args.out, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
