@@ -73,26 +73,50 @@ MOBILEVIT_TP_RULES = [
 ]
 
 
+def model_shard_counts(params, rules, degree: int):
+    """Pytree of ints: how many 'model' shards each param splits into —
+    feed to ``AdamW8bit.init(params, model_shards=...)`` so its blockwise
+    state is laid out per local shard."""
+    def n_shards(spec):
+        for axis in spec:
+            axes = axis if isinstance(axis, tuple) else (axis,)
+            if "model" in axes:
+                return degree
+        return 1
+    return jax.tree_util.tree_map(n_shards, param_specs(params, rules),
+                                  is_leaf=lambda x: isinstance(x, P))
+
+
 def train_state_specs(state, rules):
     """Spec pytree matching a TrainState: params by rules, BN state and
     schedule replicated, optimizer moments mirroring the param specs.
 
-    Only fp32-moment optimizers (AdamW) can mirror param shardings — the
-    8-bit optimizer's block-quantized state doesn't partition along param
-    axes (per-shard quantization is a planned extension).
+    8-bit moments (AdamW8bit) of TP-sharded params are supported when the
+    state was initialized with matching ``model_shards``: their
+    (shards*blocks_local, BLOCK) q/s arrays shard as P('model', None), so
+    each model shard quantizes exactly its own parameter slice inside
+    shard_map.
     """
-    import jax
-
-    from picklebot_tpu.core.module import flatten_dict
     p_specs = param_specs(state.params, rules)
-    for leaf in jax.tree_util.tree_leaves(
-            state.opt_state, is_leaf=lambda x: isinstance(x, dict) and
-            set(x) == {"q", "s"}):
-        if isinstance(leaf, dict):
-            raise ValueError(
-                "tensor parallelism requires fp32 optimizer moments "
-                "(use AdamW, not AdamW8bit)")
-    opt_specs = {"step": P(), "m": p_specs, "v": p_specs}
+
+    def is_q8(x):
+        return isinstance(x, dict) and set(x) == {"q", "s"}
+
+    def moment_spec(p_spec, leaf):
+        if not is_q8(leaf):
+            return p_spec
+        sharded = any("model" in (a if isinstance(a, tuple) else (a,))
+                      for a in p_spec)
+        q8 = P("model", None) if sharded else P()
+        return {"q": q8, "s": q8}
+
+    def moments(tree):
+        return jax.tree_util.tree_map(
+            moment_spec, p_specs, tree,
+            is_leaf=lambda x: isinstance(x, P))
+
+    opt_specs = {"step": P(), "m": moments(state.opt_state["m"]),
+                 "v": moments(state.opt_state["v"])}
     model_state_specs = jax.tree_util.tree_map(lambda _: P(),
                                                state.model_state)
     return type(state)(params=p_specs, model_state=model_state_specs,

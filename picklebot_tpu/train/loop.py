@@ -84,12 +84,15 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         weight_decay=config.weight_decay)
     schedule = cosine_annealing_lr(config.learning_rate, config.max_iters)
 
-    state = create_train_state(model, optimizer, config.seed)
     state_specs = None
     if mp > 1:
         from picklebot_tpu.parallel.mesh import (MOBILEVIT_TP_RULES,
                                                  train_state_specs)
+        state = create_train_state(model, optimizer, config.seed,
+                                   tp_rules=MOBILEVIT_TP_RULES, tp_degree=mp)
         state_specs = train_state_specs(state, MOBILEVIT_TP_RULES)
+    else:
+        state = create_train_state(model, optimizer, config.seed)
 
     mean = config.mean if config.apply_mean_std else None
     std = config.std if config.apply_mean_std else None

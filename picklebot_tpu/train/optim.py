@@ -162,9 +162,14 @@ def _dequantize_unsigned(codes: jax.Array, scale: jax.Array, shape):
 
 class Optimizer:
     """Minimal optimizer protocol: functional init/update with explicit lr
-    (the schedule is data, not state — resume never restarts it)."""
+    (the schedule is data, not state — resume never restarts it).
 
-    def init(self, params: PyTree) -> PyTree:
+    ``model_shards`` (optional pytree of ints matching params) tells
+    optimizers with non-elementwise state how many tensor-parallel shards
+    each parameter splits into; fp32-moment optimizers ignore it (their
+    state mirrors param shardings trivially)."""
+
+    def init(self, params: PyTree, model_shards: PyTree = None) -> PyTree:
         raise NotImplementedError
 
     def update(self, grads: PyTree, opt_state: PyTree, params: PyTree,
@@ -179,7 +184,7 @@ class AdamW(Optimizer):
         self.eps = eps
         self.weight_decay = weight_decay
 
-    def init(self, params):
+    def init(self, params, model_shards=None):
         # host-side numpy init: no device round-trips, one device_put later
         zeros = lambda p: np.zeros(p.shape, np.float32)
         return {
@@ -218,7 +223,13 @@ class AdamW(Optimizer):
 class AdamW8bit(Optimizer):
     """Blockwise 8-bit AdamW (bitsandbytes AdamW8bit capability,
     reference train.py:208-212). Moments of tensors with >= min_8bit_size
-    elements are stored quantized; small tensors stay fp32 like bnb."""
+    elements are stored quantized; small tensors stay fp32 like bnb.
+
+    Tensor parallelism: pass ``model_shards`` (pytree of ints) at init —
+    each TP-sharded parameter's moments are quantized PER LOCAL SHARD, laid
+    out as (shards * blocks_local, BLOCK) so a PartitionSpec('model', None)
+    on q/s hands every shard exactly its own blocks inside shard_map
+    (parallel.mesh.train_state_specs builds those specs)."""
 
     def __init__(self, betas=(0.9, 0.999), eps: float = 1e-8,
                  weight_decay: float = 0.0,
@@ -228,35 +239,40 @@ class AdamW8bit(Optimizer):
         self.weight_decay = weight_decay
         self.min_8bit_size = min_8bit_size
 
-    def _quant8(self, p) -> bool:
-        return p.size >= self.min_8bit_size
+    def _quant8(self, p, shards: int = 1) -> bool:
+        # decide by the LOCAL (per-shard) size so the structure seen inside
+        # shard_map matches what a single device would build for that size
+        return p.size // shards >= self.min_8bit_size
 
-    def init(self, params):
+    def init(self, params, model_shards=None):
         # host-side numpy init; zero moments encode to code index of 0.0
         zero_code_s = int(np.argmin(np.abs(np.asarray(_SIGNED_CODE))))
         zero_code_u = 0  # _UNSIGNED_CODE[0] == 0.0
+        if model_shards is None:
+            model_shards = jax.tree_util.tree_map(lambda _: 1, params)
 
-        def blocks(p):
-            return -(-p.size // BLOCK)
+        def blocks(p, shards):
+            local = -(-p.size // shards)
+            return shards * (-(-local // BLOCK))
 
-        def init_m(p):
-            if self._quant8(p):
-                return {"q": np.full((blocks(p), BLOCK), zero_code_s,
+        def init_m(p, shards):
+            if self._quant8(p, shards):
+                return {"q": np.full((blocks(p, shards), BLOCK), zero_code_s,
                                      np.uint8),
-                        "s": np.ones((blocks(p), 1), np.float32)}
+                        "s": np.ones((blocks(p, shards), 1), np.float32)}
             return np.zeros(p.shape, np.float32)
 
-        def init_v(p):
-            if self._quant8(p):
-                return {"q": np.full((blocks(p), BLOCK), zero_code_u,
+        def init_v(p, shards):
+            if self._quant8(p, shards):
+                return {"q": np.full((blocks(p, shards), BLOCK), zero_code_u,
                                      np.uint8),
-                        "s": np.ones((blocks(p), 1), np.float32)}
+                        "s": np.ones((blocks(p, shards), 1), np.float32)}
             return np.zeros(p.shape, np.float32)
 
         return {
             "step": np.zeros((), np.int32),
-            "m": jax.tree_util.tree_map(init_m, params),
-            "v": jax.tree_util.tree_map(init_v, params),
+            "m": jax.tree_util.tree_map(init_m, params, model_shards),
+            "v": jax.tree_util.tree_map(init_v, params, model_shards),
         }
 
     def update(self, grads, opt_state, params, lr):
@@ -267,7 +283,11 @@ class AdamW8bit(Optimizer):
 
         def upd(p, g, m_st, v_st):
             g = g.astype(jnp.float32)
-            if self._quant8(p):
+            # dispatch on the STATE structure, not p.size: under TP this
+            # runs inside shard_map on the local param shard, whose size is
+            # 1/shards of what init saw
+            is8 = isinstance(m_st, dict)
+            if is8:
                 m = _dequantize_signed(m_st["q"], m_st["s"], p.shape)
                 v = _dequantize_unsigned(v_st["q"], v_st["s"], p.shape)
             else:
@@ -277,7 +297,7 @@ class AdamW8bit(Optimizer):
             denom = jnp.sqrt(v / bc2) + self.eps
             p32 = p.astype(jnp.float32)
             p32 = p32 - lr * (m / bc1 / denom + self.weight_decay * p32)
-            if self._quant8(p):
+            if is8:
                 mq, ms = _quantize_signed(m)
                 vq, vs = _quantize_unsigned(v)
                 return p32.astype(p.dtype), {"q": mq, "s": ms}, \

@@ -51,15 +51,24 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(model: Module, optimizer: Optimizer,
-                       seed) -> TrainState:
+                       seed, tp_rules=None, tp_degree: int = 1) -> TrainState:
     """Host-side (numpy) init — instant, no device traffic; place the result
-    with one device_put / jit donation afterwards."""
+    with one device_put / jit donation afterwards.
+
+    ``tp_rules``/``tp_degree`` (tensor parallelism) lay out shard-aware
+    optimizer state (AdamW8bit quantizes moments per local shard)."""
     import numpy as np
     variables = model.init(seed)
+    model_shards = None
+    if tp_rules is not None and tp_degree > 1:
+        from picklebot_tpu.parallel.mesh import model_shard_counts
+        model_shards = model_shard_counts(variables["params"], tp_rules,
+                                          tp_degree)
     return TrainState(
         params=variables["params"],
         model_state=variables["state"],
-        opt_state=optimizer.init(variables["params"]),
+        opt_state=optimizer.init(variables["params"],
+                                 model_shards=model_shards),
         epoch=np.zeros((), np.int32),
     )
 

@@ -61,6 +61,7 @@ class Config:
     synthetic_shape: Tuple[int, int, int] = (16, 224, 224)
     profile: bool = False               # jax.profiler trace of first steps
     attention_backend: str = "auto"     # auto | xla | pallas
+    space_to_depth: bool = False        # fold 2x2 spatial into the stem conv
 
     def validate(self) -> "Config":
         from picklebot_tpu.models.registry import MODELS
@@ -93,10 +94,6 @@ class Config:
                 raise ValueError(
                     "model_parallel is currently supported for MobileViT "
                     "(transformer FFN sharding)")
-            if self.optimizer != "adamw":
-                raise ValueError(
-                    "model_parallel requires optimizer='adamw' (8-bit state "
-                    "is block-quantized per global tensor)")
         return self
 
     @property
