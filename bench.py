@@ -40,6 +40,8 @@ def main():
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--s2d", action="store_true",
+                   help="space-to-depth stem (exact rewrite; MobileNet3D)")
     args = p.parse_args()
 
     from picklebot_tpu.core.module import DtypePolicy
@@ -51,7 +53,8 @@ def main():
 
     cfg = Config(model_name=args.model, num_classes=13,
                  dims=[64, 80, 96],
-                 channels=[16, 16, 24, 24, 48, 48, 64, 64, 80, 80, 320])
+                 channels=[16, 16, 24, 24, 48, 48, 64, 64, 80, 80, 320],
+                 space_to_depth=args.s2d)
     model = initialize_model(cfg)
     policy = DtypePolicy.bf16()
     rng = np.random.RandomState(0)

@@ -33,10 +33,11 @@ from picklebot_tpu.ops.norm import BatchNorm
 
 
 class _ConvBNAct2D(Module):
-    def __init__(self, cin, cout, kernel_size, stride=1, padding=0):
+    def __init__(self, cin, cout, kernel_size, stride=1, padding=0,
+                 space_to_depth=False):
         super().__init__()
         self.conv = Conv2d(cin, cout, kernel_size, stride=stride,
-                           padding=padding)
+                           padding=padding, space_to_depth=space_to_depth)
         self.bn = BatchNorm(cout)
 
     def forward(self, cx: Ctx, x):
@@ -69,12 +70,13 @@ class _FrameLSTMNet(Module):
 class MobileNetLarge2D(_FrameLSTMNet):
     """Reference mobilenet.py:285-373."""
 
-    def __init__(self, num_classes: int = 2):
+    def __init__(self, num_classes: int = 2, space_to_depth: bool = False):
         super().__init__(feature_dim=960, hidden=32, layers=5,
                          num_classes=num_classes)
         B = Bottleneck2D
         relu = act.relu
-        self.block1 = _ConvBNAct2D(3, 16, 3, stride=2, padding=1)
+        self.block1 = _ConvBNAct2D(3, 16, 3, stride=2, padding=1,
+                                   space_to_depth=space_to_depth)
         self.block2 = Sequential(
             B(16, 16, 16, stride=1, nonlinearity=relu, dropout=0.2),
             B(16, 24, 64, stride=2, nonlinearity=relu),
@@ -118,12 +120,13 @@ class MobileNetLarge2D(_FrameLSTMNet):
 class MobileNetSmall2D(_FrameLSTMNet):
     """Reference mobilenet.py:378-444."""
 
-    def __init__(self, num_classes: int = 2):
+    def __init__(self, num_classes: int = 2, space_to_depth: bool = False):
         super().__init__(feature_dim=576, hidden=64, layers=1,
                          num_classes=num_classes)
         B = Bottleneck2D
         relu = act.relu
-        self.block1 = _ConvBNAct2D(3, 16, 3, stride=2, padding=1)
+        self.block1 = _ConvBNAct2D(3, 16, 3, stride=2, padding=1,
+                                   space_to_depth=space_to_depth)
         self.block2 = Sequential(
             B(16, 16, 16, stride=2, use_se=True, nonlinearity=relu,
               dropout=0.2),

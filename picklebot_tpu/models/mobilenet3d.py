@@ -28,10 +28,12 @@ from picklebot_tpu.ops.norm import BatchNorm
 
 class _ConvBNAct(Module):
     def __init__(self, cin, cout, kernel_size, stride=1, padding=0,
-                 nonlinearity=act.hardswish, bias=True):
+                 nonlinearity=act.hardswish, bias=True,
+                 space_to_depth=False):
         super().__init__()
         self.conv = Conv3d(cin, cout, kernel_size, stride=stride,
-                           padding=padding, bias=bias)
+                           padding=padding, bias=bias,
+                           space_to_depth=space_to_depth)
         self.bn = BatchNorm(cout)
         self.nonlinearity = nonlinearity
 
@@ -42,13 +44,14 @@ class _ConvBNAct(Module):
 class MobileNetLarge3D(Module):
     """Reference mobilenet.py:133-201."""
 
-    def __init__(self, num_classes: int = 2):
+    def __init__(self, num_classes: int = 2, space_to_depth: bool = False):
         super().__init__()
         self.num_classes = num_classes
         B = Bottleneck3D
         relu = act.relu
 
-        self.block1 = _ConvBNAct(3, 16, 3, stride=2, padding=1)
+        self.block1 = _ConvBNAct(3, 16, 3, stride=2, padding=1,
+                                 space_to_depth=space_to_depth)
         self.block2 = Sequential(
             B(16, 16, 16, stride=1, nonlinearity=relu, dropout=0.2),
             B(16, 24, 64, stride=2, nonlinearity=relu, dropout=0.2),
@@ -98,13 +101,14 @@ class MobileNetLarge3D(Module):
 class MobileNetSmall3D(Module):
     """Reference mobilenet.py:213-265."""
 
-    def __init__(self, num_classes: int = 2):
+    def __init__(self, num_classes: int = 2, space_to_depth: bool = False):
         super().__init__()
         self.num_classes = num_classes
         B = Bottleneck3D
         lrelu = act.leaky_relu
 
-        self.block1 = _ConvBNAct(3, 16, 3, stride=2, padding=1)
+        self.block1 = _ConvBNAct(3, 16, 3, stride=2, padding=1,
+                                 space_to_depth=space_to_depth)
         self.block2 = Sequential(
             B(16, 16, 16, stride=2, use_se=True, nonlinearity=lrelu,
               dropout=0.2),

@@ -54,10 +54,12 @@ class _ConvBNSiLU(Module):
     conv (bias=False) + BatchNorm(affine=False) + SiLU. nxn keeps the
     reference's fixed padding=1."""
 
-    def __init__(self, cin, cout, kernel_size=1, stride=1, padding=0):
+    def __init__(self, cin, cout, kernel_size=1, stride=1, padding=0,
+                 space_to_depth=False):
         super().__init__()
         self.conv = Conv3d(cin, cout, kernel_size, stride=stride,
-                           padding=padding, bias=False, w_init=_W_INIT)
+                           padding=padding, bias=False, w_init=_W_INIT,
+                           space_to_depth=space_to_depth)
         self.bn = BatchNorm(cout, affine=False)
 
     def forward(self, cx: Ctx, x):
@@ -68,8 +70,9 @@ def conv_1x1_bn(cin, cout):
     return _ConvBNSiLU(cin, cout, 1, 1, 0)
 
 
-def conv_nxn_bn(cin, cout, kernel_size=3, stride=1):
-    return _ConvBNSiLU(cin, cout, kernel_size, stride, 1)
+def conv_nxn_bn(cin, cout, kernel_size=3, stride=1, space_to_depth=False):
+    return _ConvBNSiLU(cin, cout, kernel_size, stride, 1,
+                       space_to_depth=space_to_depth)
 
 
 import functools
@@ -213,7 +216,7 @@ class MobileViT(Module):
                  patch_size: Tuple[int, int, int] = (2, 2, 2),
                  depths: Tuple[int, int, int] = (2, 4, 3),
                  attention_backend: str = "auto",
-                 model_axis=None):
+                 model_axis=None, space_to_depth: bool = False):
         super().__init__()
         assert len(dims) == 3 and len(depths) == 3
         ch = list(channels)
@@ -221,7 +224,8 @@ class MobileViT(Module):
         be = attention_backend
         ma = model_axis
 
-        self.conv1 = conv_nxn_bn(3, init_dim, stride=2)
+        self.conv1 = conv_nxn_bn(3, init_dim, stride=2,
+                                 space_to_depth=space_to_depth)
         B = Bottleneck3D
         self.stem = ModuleList([
             B(ch[0], ch[1], expanded_channels=ch[0] * expansion, stride=1),

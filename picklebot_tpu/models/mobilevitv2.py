@@ -130,9 +130,11 @@ class MobileViTV2Layer(Module):
 class MobileViTV2(Module):
     """reference mobilevitv2.py:266-305 (ImageNet-style 1000-class head)."""
 
-    def __init__(self, expand_ratio: int = 2, num_classes: int = 1000):
+    def __init__(self, expand_ratio: int = 2, num_classes: int = 1000,
+                 space_to_depth: bool = False):
         super().__init__()
-        self.conv1 = Conv2d(3, 32, 3, stride=2, padding=1, bias=False)
+        self.conv1 = Conv2d(3, 32, 3, stride=2, padding=1, bias=False,
+                            space_to_depth=space_to_depth)
         self.bn1 = Bottleneck2D(32, 64, expanded_channels=32 * expand_ratio)
         self.bn2 = Bottleneck2D(64, 128, expanded_channels=64 * expand_ratio,
                                 stride=2)

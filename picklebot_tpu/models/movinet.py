@@ -127,14 +127,16 @@ def _a2_blocks(causal: bool):
 class MoViNetA2(Module):
     """Offline clip classifier (reference movinet.py:80-165)."""
 
-    def __init__(self, num_classes: int = 2, causal: bool = False):
+    def __init__(self, num_classes: int = 2, causal: bool = False,
+                 space_to_depth: bool = False):
         super().__init__()
         self.num_classes = num_classes
         self.causal = causal
 
         self.stem_conv = Conv3d(3, 16, (1, 3, 3), stride=(1, 2, 2),
                                 padding=(0, 1, 1), bias=False,
-                                w_init=_CONV_INIT)
+                                w_init=_CONV_INIT,
+                                space_to_depth=space_to_depth)
         self.stem_bn = BatchNorm(16)
 
         b2, b3, b4, b5, b6 = _a2_blocks(causal)
@@ -186,9 +188,10 @@ class MoViNetA2Stream(Module):
     fixed per stream (static shapes under jit).
     """
 
-    def __init__(self, num_classes: int = 2):
+    def __init__(self, num_classes: int = 2, space_to_depth: bool = False):
         super().__init__()
-        self.net = MoViNetA2(num_classes, causal=True)
+        self.net = MoViNetA2(num_classes, causal=True,
+                             space_to_depth=space_to_depth)
 
     def _causal_blocks(self):
         for stage in self.net._stages():

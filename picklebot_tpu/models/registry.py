@@ -12,22 +12,29 @@ from typing import Any, Callable, Dict
 
 def _mobilenet_large3d(cfg):
     from picklebot_tpu.models.mobilenet3d import MobileNetLarge3D
-    return MobileNetLarge3D(num_classes=cfg.num_classes)
+    return MobileNetLarge3D(
+        num_classes=cfg.num_classes,
+        space_to_depth=getattr(cfg, "space_to_depth", False))
 
 
 def _mobilenet_small3d(cfg):
     from picklebot_tpu.models.mobilenet3d import MobileNetSmall3D
-    return MobileNetSmall3D(num_classes=cfg.num_classes)
+    return MobileNetSmall3D(
+        num_classes=cfg.num_classes,
+        space_to_depth=getattr(cfg, "space_to_depth", False))
 
 
 def _movinet_a2(cfg):
     from picklebot_tpu.models.movinet import MoViNetA2
-    return MoViNetA2(num_classes=cfg.num_classes)
+    return MoViNetA2(num_classes=cfg.num_classes,
+                     space_to_depth=getattr(cfg, "space_to_depth", False))
 
 
 def _movinet_a2_stream(cfg):
     from picklebot_tpu.models.movinet import MoViNetA2Stream
-    return MoViNetA2Stream(num_classes=cfg.num_classes)
+    return MoViNetA2Stream(
+        num_classes=cfg.num_classes,
+        space_to_depth=getattr(cfg, "space_to_depth", False))
 
 
 def _mobilevit(cfg):
@@ -39,22 +46,28 @@ def _mobilevit(cfg):
                      attention_backend=getattr(cfg, "attention_backend",
                                                "auto"),
                      model_axis="model"
-                     if getattr(cfg, "model_parallel", 1) > 1 else None)
+                     if getattr(cfg, "model_parallel", 1) > 1 else None,
+                     space_to_depth=getattr(cfg, "space_to_depth", False))
 
 
 def _mobilevit_v2(cfg):
     from picklebot_tpu.models.mobilevitv2 import MobileViTV2
-    return MobileViTV2(num_classes=cfg.num_classes)
+    return MobileViTV2(num_classes=cfg.num_classes,
+                       space_to_depth=getattr(cfg, "space_to_depth", False))
 
 
 def _mobilenet_large2d(cfg):
     from picklebot_tpu.models.mobilenet2d_lstm import MobileNetLarge2D
-    return MobileNetLarge2D(num_classes=cfg.num_classes)
+    return MobileNetLarge2D(
+        num_classes=cfg.num_classes,
+        space_to_depth=getattr(cfg, "space_to_depth", False))
 
 
 def _mobilenet_small2d(cfg):
     from picklebot_tpu.models.mobilenet2d_lstm import MobileNetSmall2D
-    return MobileNetSmall2D(num_classes=cfg.num_classes)
+    return MobileNetSmall2D(
+        num_classes=cfg.num_classes,
+        space_to_depth=getattr(cfg, "space_to_depth", False))
 
 
 MODELS: Dict[str, Callable[[Any], Any]] = {

@@ -48,7 +48,7 @@ class _ConvNd(Module):
                  kernel_size: IntOrTuple, stride: IntOrTuple = 1,
                  padding: IntOrTuple = 0, dilation: IntOrTuple = 1,
                  groups: int = 1, bias: bool = True,
-                 w_init=None, b_init=None):
+                 w_init=None, b_init=None, space_to_depth: bool = False):
         super().__init__()
         self.rank = rank
         self.in_channels = in_channels
@@ -59,6 +59,19 @@ class _ConvNd(Module):
         self.dilation = _ntuple(dilation, rank)
         self.groups = groups
         self.use_bias = bias
+        # Space-to-depth: exact compute-path rewrite for stem-shaped dims
+        # (k=3, s=2, p=1). Each eligible dim is folded 2x into channels, the
+        # conv becomes stride-1 kernel-2 along it, and the kernel taps are
+        # re-indexed (pad 3->4, reshape (block, phase)). Parameters are
+        # untouched, so checkpoints and the torch converter are unaffected.
+        # Rationale: a 3-channel 224^2 stem input occupies 3 of 128 MXU/VPU
+        # lanes; folding T,H,W packs it to 24 with identical MACs.
+        self.fold_dims: Tuple[int, ...] = ()
+        if space_to_depth and groups == 1:
+            self.fold_dims = tuple(
+                i for i in range(rank)
+                if self.kernel_size[i] == 3 and self.stride[i] == 2
+                and self.padding[i] == 1 and self.dilation[i] == 1)
         assert in_channels % groups == 0 and out_channels % groups == 0
         # weight: (k..., I/groups, O)
         self.w_shape = self.kernel_size + (in_channels // groups, out_channels)
@@ -83,20 +96,86 @@ class _ConvNd(Module):
     def forward(self, cx: Ctx, x):
         w = cx.param("w").astype(cx.policy.compute_dtype)
         x = x.astype(cx.policy.compute_dtype)
-        # NB: no preferred_element_type — the TPU MXU accumulates bf16
-        # matmuls in f32 internally, and an explicit f32 output dtype breaks
-        # the conv VJP (f32 cotangent vs bf16 weights).
-        out = lax.conv_general_dilated(
-            x, w,
-            window_strides=self.stride,
-            padding=[(p, p) for p in self.padding],
-            rhs_dilation=self.dilation,
-            dimension_numbers=self.dn,
-            feature_group_count=self.groups,
-        )
+        if self.fold_dims:
+            out = self._conv_space_to_depth(x, w)
+        else:
+            # NB: no preferred_element_type — the TPU MXU accumulates bf16
+            # matmuls in f32 internally, and an explicit f32 output dtype
+            # breaks the conv VJP (f32 cotangent vs bf16 weights).
+            out = lax.conv_general_dilated(
+                x, w,
+                window_strides=self.stride,
+                padding=[(p, p) for p in self.padding],
+                rhs_dilation=self.dilation,
+                dimension_numbers=self.dn,
+                feature_group_count=self.groups,
+            )
         if self.use_bias:
             out = out + cx.param("b").astype(cx.policy.compute_dtype)
         return out
+
+    def _conv_space_to_depth(self, x, w):
+        """Exact stride-2 conv via 2x channel folding on ``self.fold_dims``.
+
+        For a folded dim, output position h reads input 2h+d-1, d in {0,1,2}.
+        In block/phase coords (m = i//2, p = i%2) that is blocks {h-1, h}:
+        d=0 -> (block 0, phase 1), d=1 -> (1, 0), d=2 -> (1, 1) — i.e. pad the
+        3-tap kernel to 4 with a leading zero and reshape to (2 blocks,
+        2 phases). The folded conv is then stride 1, kernel 2, padding (1, 0).
+        Identical MACs, input lanes packed 2x per folded dim.
+        """
+        fold = self.fold_dims
+        for i in fold:
+            if x.shape[1 + i] % 2:
+                raise ValueError(
+                    f"space_to_depth needs even input size on dim {i}, "
+                    f"got {x.shape[1 + i]} (input shape {x.shape})")
+        # ---- fold input: (.., n, ..) -> (.., n/2, ..) with phases in C
+        shape = [x.shape[0]]
+        for i in range(self.rank):
+            n = x.shape[1 + i]
+            shape += [n // 2, 2] if i in fold else [n]
+        shape += [x.shape[-1]]
+        z = x.reshape(shape)
+        perm, phases = [0], []
+        j = 1
+        for i in range(self.rank):
+            perm.append(j)
+            j += 1
+            if i in fold:
+                phases.append(j)
+                j += 1
+        z = z.transpose(perm + phases + [j])
+        z = z.reshape(z.shape[:1 + self.rank] + (-1,))
+        # ---- fold kernel: pad 3->4 (leading zero tap), reshape (2, 2)
+        pads = [(1, 0) if i in fold else (0, 0) for i in range(self.rank)]
+        wp = jnp.pad(w, pads + [(0, 0), (0, 0)])
+        kshape = []
+        for i in range(self.rank):
+            kshape += [2, 2] if i in fold else [self.kernel_size[i]]
+        wp = wp.reshape(kshape + list(w.shape[-2:]))
+        perm, phases = [], []
+        j = 0
+        for i in range(self.rank):
+            perm.append(j)
+            j += 1
+            if i in fold:
+                phases.append(j)
+                j += 1
+        wp = wp.transpose(perm + phases + [j, j + 1])
+        k2 = tuple(2 if i in fold else self.kernel_size[i]
+                   for i in range(self.rank))
+        wp = wp.reshape(k2 + (-1, self.out_channels))
+        return lax.conv_general_dilated(
+            z, wp,
+            window_strides=tuple(1 if i in fold else self.stride[i]
+                                 for i in range(self.rank)),
+            padding=[(1, 0) if i in fold else (p, p)
+                     for i, p in enumerate(self.padding)],
+            rhs_dilation=self.dilation,
+            dimension_numbers=self.dn,
+            feature_group_count=1,
+        )
 
 
 class Conv3d(_ConvNd):
@@ -104,9 +183,10 @@ class Conv3d(_ConvNd):
 
     def __init__(self, in_channels, out_channels, kernel_size, stride=1,
                  padding=0, dilation=1, groups=1, bias=True,
-                 w_init=None, b_init=None):
+                 w_init=None, b_init=None, space_to_depth=False):
         super().__init__(3, in_channels, out_channels, kernel_size, stride,
-                         padding, dilation, groups, bias, w_init, b_init)
+                         padding, dilation, groups, bias, w_init, b_init,
+                         space_to_depth)
 
 
 class Conv2d(_ConvNd):
@@ -114,9 +194,10 @@ class Conv2d(_ConvNd):
 
     def __init__(self, in_channels, out_channels, kernel_size, stride=1,
                  padding=0, dilation=1, groups=1, bias=True,
-                 w_init=None, b_init=None):
+                 w_init=None, b_init=None, space_to_depth=False):
         super().__init__(2, in_channels, out_channels, kernel_size, stride,
-                         padding, dilation, groups, bias, w_init, b_init)
+                         padding, dilation, groups, bias, w_init, b_init,
+                         space_to_depth)
 
 
 class CausalConv3d(Module):
