@@ -42,7 +42,19 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--s2d", action="store_true",
                    help="space-to-depth stem (exact rewrite; MobileNet3D)")
+    p.add_argument("--early-fold", dest="early_fold", action="store_true",
+                   default=None,
+                   help="lane-folded stem+block2 (exact; MobileNetLarge3D)")
+    p.add_argument("--no-early-fold", dest="early_fold", action="store_false")
     args = p.parse_args()
+    if args.early_fold is None:
+        # default ON where measured to win on v5e (exact rewrite, logits
+        # golden-equal, tests/test_early_fold.py): train 2.2x at bs=16 and
+        # infer 1.5x at bs<=32; at bs>=64 inference XLA's plain layout
+        # amortizes the lane padding better than the fold's dense-kernel
+        # FLOP inflation (bs128: 2605 folded vs 2779 plain clips/s)
+        args.early_fold = (args.model == "MobileNetLarge3D" and
+                           (args.mode == "train" or args.batch <= 32))
 
     from picklebot_tpu.core.module import DtypePolicy
     from picklebot_tpu.models.registry import initialize_model
@@ -54,7 +66,7 @@ def main():
     cfg = Config(model_name=args.model, num_classes=13,
                  dims=[64, 80, 96],
                  channels=[16, 16, 24, 24, 48, 48, 64, 64, 80, 80, 320],
-                 space_to_depth=args.s2d)
+                 space_to_depth=args.s2d, early_fold=args.early_fold)
     model = initialize_model(cfg)
     policy = DtypePolicy.bf16()
     rng = np.random.RandomState(0)

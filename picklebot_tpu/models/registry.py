@@ -14,7 +14,8 @@ def _mobilenet_large3d(cfg):
     from picklebot_tpu.models.mobilenet3d import MobileNetLarge3D
     return MobileNetLarge3D(
         num_classes=cfg.num_classes,
-        space_to_depth=getattr(cfg, "space_to_depth", False))
+        space_to_depth=getattr(cfg, "space_to_depth", False),
+        early_fold=getattr(cfg, "early_fold", False))
 
 
 def _mobilenet_small3d(cfg):

@@ -59,7 +59,9 @@ class Bottleneck3D(Module):
         self.nonlinearity = nonlinearity
         self.dropout = ChannelDropout(dropout)
 
-    def forward(self, cx: Ctx, x):
+    def forward(self, cx: Ctx, x, folded=None):
+        if folded is not None:
+            return self._forward_folded(cx, x, folded)
         if self.fused:
             from picklebot_tpu.ops.pallas.fused_bottleneck import (
                 fused_bottleneck, fused_bottleneck_eligible)
@@ -98,6 +100,47 @@ class Bottleneck3D(Module):
         x = self.nonlinearity(x)
         x = cx(self.dropout, x)
         return x
+
+    def _forward_folded(self, cx: Ctx, x, plan):
+        """Collapsed + lane-folded execution (ops/folded.py).
+
+        Valid because expand -> depthwise -> project has no norm or
+        nonlinearity in between (reference mobilenet.py:62-96): the three
+        convs combine into one (1,k,k) map, executed as a dense folded conv
+        with channel-packed lanes. BN runs on a (..., F, C) reshape of the
+        standard module (same stats, same state); dropout tiles the
+        canonical mask across phases (bit-identical, see ChannelDropout).
+        ``plan`` comes from models that opt in (MobileNetLarge3D
+        early_fold=True); exactness is golden-tested vs the plain path.
+        """
+        import jax.numpy as jnp
+        import math as _math
+        from jax import lax
+        from picklebot_tpu.ops.folded import gather_weights
+
+        assert self.squeeze_excite is None, "folded path: no SE support"
+        p = cx.params
+        w1 = p["pointwise_conv1"]["w"]   # (1,1,1, cin, E)
+        wdw = p["depthwise_conv"]["w"]   # (1,k,k, 1, E)
+        w2 = p["pointwise_conv2"]["w"]   # (1,1,1, E, cout)
+        assert "b" not in p["pointwise_conv1"], "folded path: bias-free only"
+        # collapse in f32 (params dtype), cast once after the gather
+        wc = jnp.einsum("ie,hwe,eo->hwio", w1[0, 0, 0], wdw[0, :, :, 0],
+                        w2[0, 0, 0])[None]      # (1,k,k,cin,cout)
+        dt = cx.policy.compute_dtype
+        wf = gather_weights(plan, wc).astype(dt)
+        dn = lax.conv_dimension_numbers(
+            (1, 1, 1, 1, x.shape[-1]), wf.shape, ("NTHWC", "THWIO", "NTHWC"))
+        h = lax.conv_general_dilated(
+            x.astype(dt), wf, plan.strides, list(plan.pads),
+            dimension_numbers=dn)
+        F = _math.prod(plan.folds_out)
+        if self.batchnorm is not None:
+            h6 = h.reshape(h.shape[:-1] + (F, plan.cout))
+            h6 = cx(self.batchnorm, h6)
+            h = h6.reshape(h.shape[:-1] + (F * plan.cout,))
+        h = self.nonlinearity(h)
+        return cx(self.dropout, h, fold=F)
 
 
 class Bottleneck2D(Module):

@@ -72,12 +72,19 @@ class ChannelDropout(Module):
         super().__init__()
         self.p = p
 
-    def forward(self, cx: Ctx, x):
+    def forward(self, cx: Ctx, x, fold: int = 1):
+        """``fold``>1: x's minor dim is (fold phases, C) from the folded
+        early stage (ops/folded.py); the mask is drawn at the canonical C
+        with the same path-scoped rng as the plain layout (bit-identical
+        masks) and tiled across phases — still whole-channel dropout."""
         if not cx.train or self.p == 0.0:
             return x
         keep = 1.0 - self.p
-        mask_shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+        c = x.shape[-1] // fold
+        mask_shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
         mask = jax.random.bernoulli(cx.next_rng(), keep, mask_shape)
+        if fold > 1:
+            mask = jnp.tile(mask, (1,) * (x.ndim - 1) + (fold,))
         return jnp.where(mask, x / keep, 0).astype(x.dtype)
 
 

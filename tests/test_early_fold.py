@@ -1,0 +1,163 @@
+"""early_fold: collapsed + lane-folded stem/block2 must be an exact rewrite.
+
+The flag (config.early_fold / MobileNetLarge3D(early_fold=True)) routes the
+stem and block2 through ops/folded.py: space-to-depth-style channel folding
+with static gather maps plus the expand->depthwise->project linear collapse
+(valid because reference mobilenet.py:47-96 puts BN+activation only after
+the projection). Parameters, checkpoints, BN state paths and dropout rng
+paths are identical to the plain model, so everything below demands
+(near-)bit equality.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from picklebot_tpu.models.mobilenet3d import MobileNetLarge3D
+from picklebot_tpu.ops.folded import (fold_nd, folded_conv_map,
+                                      gather_weights, unfold_nd)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    plain = MobileNetLarge3D(num_classes=13)
+    fold = MobileNetLarge3D(num_classes=13, early_fold=True)
+    params = plain.init(0)
+    return plain, fold, params
+
+
+def test_param_tree_identical(pair):
+    plain, fold, _ = pair
+    p0, p1 = plain.init(0), fold.init(0)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_eval_logits_bit_equal_structure(pair):
+    plain, fold, params = pair
+    x = np.random.RandomState(1).randn(2, 8, 64, 64, 3).astype(np.float32)
+    y0 = jax.jit(lambda p, x: plain.apply(p, x, train=False)[0])(params, x)
+    y1 = jax.jit(lambda p, x: fold.apply(p, x, train=False)[0])(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_train_mode_matches_including_dropout_and_bn_state(pair):
+    """Same rng => bit-identical dropout masks (path-scoped keys) and the
+    same BatchNorm running-stat updates."""
+    plain, fold, params = pair
+    x = np.random.RandomState(2).randn(2, 8, 64, 64, 3).astype(np.float32)
+    rng = jax.random.key(7)
+    y0, s0 = plain.apply(params, x, train=True, rng=rng)
+    y1, s1 = fold.apply(params, x, train=True, rng=rng)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=2e-4, rtol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s0),
+                    jax.tree_util.tree_leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_gradients_match(pair):
+    plain, fold, params = pair
+    x = np.random.RandomState(3).randn(1, 4, 32, 32, 3).astype(np.float32)
+
+    def loss(model, p):
+        return jnp.sum(model.apply(p, x, train=False)[0] ** 2)
+
+    g0 = jax.jit(jax.grad(lambda p: loss(plain, p)))(params)
+    g1 = jax.jit(jax.grad(lambda p: loss(fold, p)))(params)
+    for (k0, a), (k1, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(k0))
+
+
+def test_fold_unfold_roundtrip():
+    x = np.random.RandomState(4).rand(2, 5, 32, 14, 24).astype(np.float32)
+    z = fold_nd(jnp.asarray(x), (1, 4, 2))
+    assert z.shape == (2, 5, 8, 7, 4 * 2 * 24)
+    back = unfold_nd(z, (1, 4, 2), 24)
+    np.testing.assert_array_equal(np.asarray(back), x)
+
+
+def test_folded_conv_map_matches_lax_conv():
+    """The general builder reproduces a strided conv exactly for a
+    nontrivial (in-fold, out-fold) pair on random weights."""
+    from jax import lax
+    rng = np.random.RandomState(5)
+    cin, cout = 3, 5
+    kernel, stride, padding = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+    x = rng.rand(2, 6, 32, 8, cin).astype(np.float32)
+    w = rng.randn(*kernel, cin, cout).astype(np.float32) * 0.2
+
+    dn = lax.conv_dimension_numbers((1, 1, 1, 1, cin), w.shape,
+                                    ("NTHWC", "THWIO", "NTHWC"))
+    want = lax.conv_general_dilated(jnp.asarray(x), jnp.asarray(w),
+                                    stride, [(1, 1)] * 3,
+                                    dimension_numbers=dn)
+
+    plan = folded_conv_map(kernel, stride, padding, (1, 16, 2), (1, 8, 1),
+                           cin, cout)
+    z = fold_nd(jnp.asarray(x), (1, 16, 2))
+    wf = gather_weights(plan, jnp.asarray(w))
+    dnf = lax.conv_dimension_numbers((1, 1, 1, 1, z.shape[-1]), wf.shape,
+                                     ("NTHWC", "THWIO", "NTHWC"))
+    got = lax.conv_general_dilated(z, wf, plan.strides, list(plan.pads),
+                                   dimension_numbers=dnf)
+    F = math.prod(plan.folds_out)
+    got = unfold_nd(got, plan.folds_out, cout)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_early_fold_rejects_bad_spatial():
+    fold = MobileNetLarge3D(num_classes=3, early_fold=True)
+    params = fold.init(0)
+    x = np.zeros((1, 4, 32, 40, 3), np.float32)  # W=40 % 16 != 0
+    with pytest.raises(ValueError, match="fold"):
+        fold.apply(params, x, train=False)
+
+
+def test_fold_variants_agree(pair):
+    """The H-major and W-major phase assignments are the same math."""
+    from picklebot_tpu.models.mobilenet3d import _early_fold_plans
+    plain, fold, params = pair
+    x = np.random.RandomState(6).randn(2, 8, 64, 64, 3).astype(np.float32)
+    want = jax.jit(lambda p, x: plain.apply(p, x, train=False)[0])(params, x)
+    hfold = MobileNetLarge3D(num_classes=13, early_fold=True)
+    hfold._early_plans = _early_fold_plans("h")
+    got = jax.jit(lambda p, x: hfold.apply(p, x, train=False)[0])(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_early_fold_through_registry_and_train_step():
+    """Smoke: the config flag reaches the model and a train step runs."""
+    from picklebot_tpu.core.module import DtypePolicy
+    from picklebot_tpu.models.registry import initialize_model
+    from picklebot_tpu.train.optim import AdamW8bit, cosine_annealing_lr
+    from picklebot_tpu.train.step import create_train_state, make_train_step
+    from picklebot_tpu.utils.config import Config
+
+    cfg = Config(model_name="MobileNetLarge3D", num_classes=5,
+                 early_fold=True)
+    model = initialize_model(cfg)
+    assert model._early_plans is not None
+    opt = AdamW8bit(weight_decay=5e-4)
+    step = make_train_step(model, opt, "CE", cosine_annealing_lr(1e-3, 10),
+                           policy=DtypePolicy.f32(), donate=False)
+    state = create_train_state(model, opt, 0)
+    rng = np.random.RandomState(0)
+    feats = rng.randint(0, 255, (1, 2, 4, 32, 32, 3)).astype(np.uint8)
+    labels = rng.randint(0, 5, (1, 2)).astype(np.int32)
+    state, metrics = step(state, feats, labels, jax.random.key(0))
+    assert np.isfinite(float(np.mean(metrics["loss"])))
