@@ -45,25 +45,12 @@ class _ConvBNAct(Module):
     def _forward_folded(self, cx: Ctx, x, plan):
         """Stem on a lane-folded input (ops/folded.py): x arrives
         block-major folded (q-phases in the minor dim); the conv runs with
-        gather-scattered canonical weights and emits the out-folded layout
-        the folded bottlenecks consume. Exact — golden-tested."""
+        gather-scattered canonical weights (Conv3d folded path) and emits
+        the out-folded layout the folded bottlenecks consume. BN runs the
+        standard module on a (..., F, C) reshape. Exact — golden-tested."""
         import math as _math
-        import jax.numpy as jnp
-        from jax import lax
-        from picklebot_tpu.ops.folded import gather_weights
-
-        dt = cx.policy.compute_dtype
-        w = cx.params["conv"]["w"]
-        wf = gather_weights(plan, w).astype(dt)
-        dn = lax.conv_dimension_numbers(
-            (1, 1, 1, 1, x.shape[-1]), wf.shape, ("NTHWC", "THWIO", "NTHWC"))
-        h = lax.conv_general_dilated(
-            x.astype(dt), wf, plan.strides, list(plan.pads),
-            dimension_numbers=dn)
+        h = cx(self.conv, x, folded=plan)
         F = _math.prod(plan.folds_out)
-        if self.conv.use_bias:
-            b = cx.params["conv"]["b"].astype(dt)
-            h = h + jnp.tile(b, F)
         h6 = h.reshape(h.shape[:-1] + (F, plan.cout))
         h6 = cx(self.bn, h6)
         h = h6.reshape(h.shape[:-1] + (F * plan.cout,))
@@ -80,44 +67,59 @@ def _early_fold_plans(variant: str = "w"):
         the "h" input transpose alone cost ~8.7 ms at bs=16 T=32 224^2).
       - "h": fold H 16x / W 2x (round-2 original; gathers rows a full image
         apart in the fold transpose).
-    Chains: stem in-fold = 2*out-fold per strided dim; block2 folds halve
-    on the stride-2 bottleneck. Dense-kernel FLOP inflation is identical
-    across variants (same fold factors, transposed dims).
+    Chains: stem in-fold = 2*out-fold per strided dim; folds halve on each
+    stride-2 bottleneck until block4's first layer lands at fold 1 (dense,
+    C=80 — no unfold needed). Block3's SE blocks use the partial-collapse
+    SE path (plans map cin -> E; see Bottleneck3D._forward_folded).
+    Dense-kernel FLOP inflation is identical across variants.
     """
     from picklebot_tpu.ops.folded import folded_conv_map
+
     if variant == "w":
-        return {
-            "fold_in": (1, 2, 16), "unfold": (1, 1, 4),
-            "stem": folded_conv_map((3, 3, 3), (2, 2, 2), (1, 1, 1),
-                                    (1, 2, 16), (1, 1, 8), 3, 16),
-            "b0": folded_conv_map((1, 3, 3), (1, 1, 1), (1, 1, 1),
-                                  (1, 1, 8), (1, 1, 8), 16, 16),
-            "b1": folded_conv_map((1, 3, 3), (2, 2, 2), (1, 1, 1),
-                                  (1, 1, 8), (1, 1, 4), 16, 24),
-            "b2": folded_conv_map((1, 3, 3), (1, 1, 1), (1, 1, 1),
-                                  (1, 1, 4), (1, 1, 4), 24, 24),
-        }
-    assert variant == "h", variant
+        fold_in, stem_out = (1, 2, 16), (1, 1, 8)
+
+        def fold(f):           # phase dim = W
+            return (1, 1, f)
+    else:
+        assert variant == "h", variant
+        fold_in, stem_out = (1, 16, 2), (1, 8, 1)
+
+        def fold(f):           # phase dim = H
+            return (1, f, 1)
+
     return {
-        "fold_in": (1, 16, 2), "unfold": (1, 4, 1),
+        "fold_in": fold_in,
         "stem": folded_conv_map((3, 3, 3), (2, 2, 2), (1, 1, 1),
-                                (1, 16, 2), (1, 8, 1), 3, 16),
+                                fold_in, stem_out, 3, 16),
         "b0": folded_conv_map((1, 3, 3), (1, 1, 1), (1, 1, 1),
-                              (1, 8, 1), (1, 8, 1), 16, 16),
+                              fold(8), fold(8), 16, 16),
         "b1": folded_conv_map((1, 3, 3), (2, 2, 2), (1, 1, 1),
-                              (1, 8, 1), (1, 4, 1), 16, 24),
+                              fold(8), fold(4), 16, 24),
         "b2": folded_conv_map((1, 3, 3), (1, 1, 1), (1, 1, 1),
-                              (1, 4, 1), (1, 4, 1), 24, 24),
+                              fold(4), fold(4), 24, 24),
+        # block3: SE between depthwise and projection -> plans map
+        # cin -> expanded channels (partial collapse)
+        "b3_0": folded_conv_map((1, 5, 5), (2, 2, 2), (2, 2, 2),
+                                fold(4), fold(2), 24, 72),
+        "b3_1": folded_conv_map((1, 5, 5), (1, 1, 1), (2, 2, 2),
+                                fold(2), fold(2), 40, 120),
+        "b3_2": folded_conv_map((1, 5, 5), (1, 1, 1), (2, 2, 2),
+                                fold(2), fold(2), 40, 120),
+        # block4[0]: stride 2 takes the fold to 1 -> output is the
+        # canonical dense layout, no unfold step needed
+        "b4_0": folded_conv_map((1, 3, 3), (2, 2, 2), (1, 1, 1),
+                                fold(2), fold(1), 40, 80),
     }
 
 
 class MobileNetLarge3D(Module):
     """Reference mobilenet.py:133-201.
 
-    ``early_fold=True`` (exact, opt-in, measured ~2.5x step speedup on
-    v5e): the stem + block2 — 85% of the train step at C=16/24 on 128
-    lanes — execute via the collapsed/lane-folded rewrites in
-    ops/folded.py. Same parameters, same checkpoints, logits golden-equal.
+    ``early_fold=True`` (exact, opt-in, 2.4x train step on v5e): the stem
+    through block4's first bottleneck — ~90% of the plain train step, all
+    at C=16..40 paying up to 8x 128-lane padding — execute via the
+    collapsed/lane-folded rewrites in ops/folded.py. Same parameters, same
+    checkpoints, logits golden-equal (tests/test_early_fold.py).
     """
 
     def __init__(self, num_classes: int = 2, space_to_depth: bool = False,
@@ -168,19 +170,23 @@ class MobileNetLarge3D(Module):
 
     def forward(self, cx: Ctx, x):
         if self._early_plans is not None:
-            from picklebot_tpu.ops.folded import fold_nd, unfold_nd
+            from picklebot_tpu.ops.folded import fold_nd
             plans = self._early_plans
             z = fold_nd(x, plans["fold_in"])
             z = cx(self.block1, z, folded=plans["stem"])
-            z = cx(self.block2.layers[0], z, folded=plans["b0"])
-            z = cx(self.block2.layers[1], z, folded=plans["b1"])
-            z = cx(self.block2.layers[2], z, folded=plans["b2"])
-            x = unfold_nd(z, plans["unfold"], 24)
+            for i, key in enumerate(("b0", "b1", "b2")):
+                z = cx(self.block2.layers[i], z, folded=plans[key])
+            for i, key in enumerate(("b3_0", "b3_1", "b3_2")):
+                z = cx(self.block3.layers[i], z, folded=plans[key])
+            # b4_0 lands at fold 1: output is already the dense layout
+            x = cx(self.block4.layers[0], z, folded=plans["b4_0"])
+            for layer in self.block4.layers[1:]:
+                x = cx(layer, x)
         else:
             x = cx(self.block1, x)
             x = cx(self.block2, x)
-        x = cx(self.block3, x)
-        x = cx(self.block4, x)
+            x = cx(self.block3, x)
+            x = cx(self.block4, x)
         x = cx(self.block5, x)
         x = cx(self.block6, x)
         x = cx(self.pool, x)                      # (B, 960)
@@ -188,17 +194,41 @@ class MobileNetLarge3D(Module):
         return cx(self.fc2, x)                    # (B, num_classes)
 
 
+def _early_fold_plans_small():
+    """Small3D lane-fold chain (W-major): stride-2 stem/b0/b1 halve the fold
+    8 -> 4 -> 2; block3[0] (stride 2, SE, k5) lands at fold 1 — dense C=40.
+    block2[0] carries SE (reference mobilenet.py:221) so its plan maps
+    cin -> E (partial collapse); b1/b2 collapse fully."""
+    from picklebot_tpu.ops.folded import folded_conv_map
+    return {
+        "fold_in": (1, 2, 16),
+        "stem": folded_conv_map((3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                (1, 2, 16), (1, 1, 8), 3, 16),
+        "b0": folded_conv_map((1, 3, 3), (2, 2, 2), (1, 1, 1),
+                              (1, 1, 8), (1, 1, 4), 16, 16),    # SE -> E=16
+        "b1": folded_conv_map((1, 3, 3), (2, 2, 2), (1, 1, 1),
+                              (1, 1, 4), (1, 1, 2), 16, 24),
+        "b2": folded_conv_map((1, 3, 3), (1, 1, 1), (1, 1, 1),
+                              (1, 1, 2), (1, 1, 2), 24, 24),
+        "b3_0": folded_conv_map((1, 5, 5), (2, 2, 2), (2, 2, 2),
+                                (1, 1, 2), (1, 1, 1), 24, 96),  # SE -> E=96
+    }
+
+
 class MobileNetSmall3D(Module):
     """Reference mobilenet.py:213-265."""
 
-    def __init__(self, num_classes: int = 2, space_to_depth: bool = False):
+    def __init__(self, num_classes: int = 2, space_to_depth: bool = False,
+                 early_fold: bool = False):
         super().__init__()
         self.num_classes = num_classes
         B = Bottleneck3D
         lrelu = act.leaky_relu
 
         self.block1 = _ConvBNAct(3, 16, 3, stride=2, padding=1,
-                                 space_to_depth=space_to_depth)
+                                 space_to_depth=space_to_depth
+                                 and not early_fold)
+        self._early_plans = _early_fold_plans_small() if early_fold else None
         self.block2 = Sequential(
             B(16, 16, 16, stride=2, use_se=True, nonlinearity=lrelu,
               dropout=0.2),
@@ -225,9 +255,21 @@ class MobileNetSmall3D(Module):
         self.fc2 = Dense(1024, num_classes)
 
     def forward(self, cx: Ctx, x):
-        x = cx(self.block1, x)
-        x = cx(self.block2, x)
-        x = cx(self.block3, x)
+        if self._early_plans is not None:
+            from picklebot_tpu.ops.folded import fold_nd
+            plans = self._early_plans
+            z = fold_nd(x, plans["fold_in"])
+            z = cx(self.block1, z, folded=plans["stem"])
+            for i, key in enumerate(("b0", "b1", "b2")):
+                z = cx(self.block2.layers[i], z, folded=plans[key])
+            # block3[0] lands at fold 1: output is the dense layout
+            x = cx(self.block3.layers[0], z, folded=plans["b3_0"])
+            for layer in self.block3.layers[1:]:
+                x = cx(layer, x)
+        else:
+            x = cx(self.block1, x)
+            x = cx(self.block2, x)
+            x = cx(self.block3, x)
         x = act.hardswish(cx(self.b4_bn, cx(self.b4_se, cx(self.b4_conv, x))))
         x = cx(self.pool, x)
         x = act.hardswish(cx(self.fc1, x))

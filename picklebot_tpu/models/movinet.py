@@ -65,7 +65,10 @@ class MoviNetBottleneck(Module):
                               w_init=_CONV_INIT)
         self.batchnorm = BatchNorm(out_channels)
 
-    def forward(self, cx: Ctx, x, buffer=None):
+    def forward(self, cx: Ctx, x, buffer=None, folded=None):
+        if folded is not None:
+            assert not self.causal, "folded path is offline-only"
+            return self._forward_folded(cx, x, folded)
         x = cx(self.expand, x)
         if self.causal:
             x, new_buffer = cx(self.conv, x, buffer)
@@ -80,6 +83,44 @@ class MoviNetBottleneck(Module):
         if self.causal:
             return x, new_buffer
         return x
+
+    def _forward_folded(self, cx: Ctx, x, plan):
+        """Lane-folded execution (ops/folded.py; plan maps cin -> E).
+
+        Expand and depthwise collapse into one folded dense conv — the
+        reference applies no norm or nonlinearity between them
+        (movinet.py:43-77) — then SE runs the STANDARD module on a
+        (..., F, E) reshape (its global pool reduces every axis but the
+        last, so pooling over phases averages exactly the canonical element
+        set per channel), the projection is a per-phase matmul (1x1 convs
+        never mix phases), and BN runs on the (..., F, C) reshape.
+        Exactness vs the plain path is golden-tested."""
+        import math as _math
+        from jax import lax
+        from picklebot_tpu.ops.folded import gather_weights
+
+        p = cx.params
+        w1 = p["expand"]["w"]      # (1,1,1, cin, E)
+        wdw = p["conv"]["w"]       # (kt,kh,kw, 1, E)
+        w2 = p["project"]["w"]     # (1,1,1, E, cout)
+        assert plan.cout == w1.shape[-1], "plan must map cin -> E"
+        dt = cx.policy.compute_dtype
+        # collapse in f32 (params dtype), cast once after the gather
+        wc = jnp.einsum("ie,thwe->thwie", w1[0, 0, 0], wdw[:, :, :, 0])
+        wf = gather_weights(plan, wc).astype(dt)
+        dn = lax.conv_dimension_numbers(
+            (1, 1, 1, 1, x.shape[-1]), wf.shape, ("NTHWC", "THWIO", "NTHWC"))
+        h = lax.conv_general_dilated(
+            x.astype(dt), wf, plan.strides, list(plan.pads),
+            dimension_numbers=dn)
+        F = _math.prod(plan.folds_out)
+        h6 = h.reshape(h.shape[:-1] + (F, plan.cout))
+        if self.squeeze_excite is not None:
+            h6 = cx(self.squeeze_excite, h6)
+        h6 = jnp.einsum("...fe,eo->...fo", h6, w2[0, 0, 0].astype(dt))
+        h6 = cx(self.batchnorm, h6)
+        h6 = act.hardswish(h6)
+        return h6.reshape(h6.shape[:-2] + (F * h6.shape[-1],))
 
 
 def _a2_blocks(causal: bool):
@@ -124,19 +165,53 @@ def _a2_blocks(causal: bool):
     return blocks2, blocks3, blocks4, blocks5, blocks6
 
 
+def _early_fold_plans_a2():
+    """A2 lane-fold chain (W-major; see ops/folded.py): the stride-(1,2,2)
+    stem/blocks2[0]/blocks3[0] halve the W fold 8 -> 4 -> 2; blocks4[0]
+    lands at fold 1 (dense, C=72). Every MoviNetBottleneck carries SE, so
+    block plans map cin -> expanded channels (partial collapse)."""
+    from picklebot_tpu.ops.folded import folded_conv_map
+    return {
+        "fold_in": (1, 1, 16),
+        "stem": folded_conv_map((1, 3, 3), (1, 2, 2), (0, 1, 1),
+                                (1, 1, 16), (1, 1, 8), 3, 16),
+        "b2_0": folded_conv_map((1, 5, 5), (1, 2, 2), (0, 2, 2),
+                                (1, 1, 8), (1, 1, 4), 16, 40),
+        "b2_1": folded_conv_map((3, 3, 3), (1, 1, 1), (1, 1, 1),
+                                (1, 1, 4), (1, 1, 4), 16, 40),
+        "b2_2": folded_conv_map((3, 3, 3), (1, 1, 1), (1, 1, 1),
+                                (1, 1, 4), (1, 1, 4), 16, 64),
+        "b3_0": folded_conv_map((3, 3, 3), (1, 2, 2), (1, 1, 1),
+                                (1, 1, 4), (1, 1, 2), 16, 96),
+        "b3_1": folded_conv_map((3, 3, 3), (1, 1, 1), (1, 1, 1),
+                                (1, 1, 2), (1, 1, 2), 40, 120),
+        "b3_2": folded_conv_map((3, 3, 3), (1, 1, 1), (1, 1, 1),
+                                (1, 1, 2), (1, 1, 2), 40, 96),
+        "b3_3": folded_conv_map((3, 3, 3), (1, 1, 1), (1, 1, 1),
+                                (1, 1, 2), (1, 1, 2), 40, 96),
+        "b3_4": folded_conv_map((3, 3, 3), (1, 1, 1), (1, 1, 1),
+                                (1, 1, 2), (1, 1, 2), 40, 120),
+        "b4_0": folded_conv_map((5, 3, 3), (1, 2, 2), (2, 1, 1),
+                                (1, 1, 2), (1, 1, 1), 40, 240),
+    }
+
+
 class MoViNetA2(Module):
     """Offline clip classifier (reference movinet.py:80-165)."""
 
     def __init__(self, num_classes: int = 2, causal: bool = False,
-                 space_to_depth: bool = False):
+                 space_to_depth: bool = False, early_fold: bool = False):
         super().__init__()
         self.num_classes = num_classes
         self.causal = causal
+        self._early_plans = (_early_fold_plans_a2()
+                             if early_fold and not causal else None)
 
         self.stem_conv = Conv3d(3, 16, (1, 3, 3), stride=(1, 2, 2),
                                 padding=(0, 1, 1), bias=False,
                                 w_init=_CONV_INIT,
-                                space_to_depth=space_to_depth)
+                                space_to_depth=space_to_depth
+                                and not early_fold)
         self.stem_bn = BatchNorm(16)
 
         b2, b3, b4, b5, b6 = _a2_blocks(causal)
@@ -161,9 +236,30 @@ class MoViNetA2(Module):
                 self.block6]
 
     def forward(self, cx: Ctx, x):
-        x = act.hardswish(cx(self.stem_bn, cx(self.stem_conv, x)))
-        for stage in self._stages():
-            x = cx(stage, x)
+        if self._early_plans is not None:
+            import math as _math
+            from picklebot_tpu.ops.folded import fold_nd
+            plans = self._early_plans
+            z = fold_nd(x, plans["fold_in"])
+            z = cx(self.stem_conv, z, folded=plans["stem"])
+            F = _math.prod(plans["stem"].folds_out)
+            z6 = cx(self.stem_bn, z.reshape(z.shape[:-1] + (F, 16)))
+            z = act.hardswish(z6).reshape(z.shape)
+            for i, key in enumerate(("b2_0", "b2_1", "b2_2")):
+                z = cx(self.block2.layers[i], z, folded=plans[key])
+            for i, key in enumerate(("b3_0", "b3_1", "b3_2", "b3_3",
+                                     "b3_4")):
+                z = cx(self.block3.layers[i], z, folded=plans[key])
+            # blocks4[0] lands at fold 1: output is the dense layout
+            x = cx(self.block4.layers[0], z, folded=plans["b4_0"])
+            for layer in self.block4.layers[1:]:
+                x = cx(layer, x)
+            for stage in (self.block5, self.block6):
+                x = cx(stage, x)
+        else:
+            x = act.hardswish(cx(self.stem_bn, cx(self.stem_conv, x)))
+            for stage in self._stages():
+                x = cx(stage, x)
         x = act.hardswish(cx(self.head_bn, cx(self.head_conv, x)))
         x = cx(self.head_dropout, x)
         x = cx(self.pool, x)                              # (B, 640)

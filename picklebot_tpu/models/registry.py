@@ -22,13 +22,15 @@ def _mobilenet_small3d(cfg):
     from picklebot_tpu.models.mobilenet3d import MobileNetSmall3D
     return MobileNetSmall3D(
         num_classes=cfg.num_classes,
-        space_to_depth=getattr(cfg, "space_to_depth", False))
+        space_to_depth=getattr(cfg, "space_to_depth", False),
+        early_fold=getattr(cfg, "early_fold", False))
 
 
 def _movinet_a2(cfg):
     from picklebot_tpu.models.movinet import MoViNetA2
     return MoViNetA2(num_classes=cfg.num_classes,
-                     space_to_depth=getattr(cfg, "space_to_depth", False))
+                     space_to_depth=getattr(cfg, "space_to_depth", False),
+                     early_fold=getattr(cfg, "early_fold", False))
 
 
 def _movinet_a2_stream(cfg):

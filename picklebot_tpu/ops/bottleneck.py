@@ -104,30 +104,44 @@ class Bottleneck3D(Module):
     def _forward_folded(self, cx: Ctx, x, plan):
         """Collapsed + lane-folded execution (ops/folded.py).
 
-        Valid because expand -> depthwise -> project has no norm or
-        nonlinearity in between (reference mobilenet.py:62-96): the three
+        Without SE, expand -> depthwise -> project has no norm or
+        nonlinearity in between (reference mobilenet.py:62-96), so the three
         convs combine into one (1,k,k) map, executed as a dense folded conv
-        with channel-packed lanes. BN runs on a (..., F, C) reshape of the
-        standard module (same stats, same state); dropout tiles the
-        canonical mask across phases (bit-identical, see ChannelDropout).
-        ``plan`` comes from models that opt in (MobileNetLarge3D
-        early_fold=True); exactness is golden-tested vs the plain path.
+        with channel-packed lanes (``plan`` maps cin -> cout).
+
+        With SE (which sits between depthwise and project), expand and
+        depthwise still collapse (both linear; ``plan`` maps cin -> E); SE
+        then runs as the STANDARD module on a (..., F, E) reshape — its
+        global pool reduces every axis but the last, so pooling over phases
+        too averages exactly the canonical element set per channel, and the
+        scale broadcast applies the canonical per-channel factor to every
+        phase — and the projection becomes a per-phase matmul (1x1 convs
+        never mix phases).
+
+        BN runs on a (..., F, C) reshape of the standard module (same
+        stats, same state); dropout tiles the canonical mask across phases
+        (bit-identical, see ChannelDropout). Exactness vs the plain path is
+        golden-tested (tests/test_early_fold.py).
         """
         import jax.numpy as jnp
         import math as _math
         from jax import lax
         from picklebot_tpu.ops.folded import gather_weights
 
-        assert self.squeeze_excite is None, "folded path: no SE support"
         p = cx.params
         w1 = p["pointwise_conv1"]["w"]   # (1,1,1, cin, E)
         wdw = p["depthwise_conv"]["w"]   # (1,k,k, 1, E)
         w2 = p["pointwise_conv2"]["w"]   # (1,1,1, E, cout)
         assert "b" not in p["pointwise_conv1"], "folded path: bias-free only"
-        # collapse in f32 (params dtype), cast once after the gather
-        wc = jnp.einsum("ie,hwe,eo->hwio", w1[0, 0, 0], wdw[0, :, :, 0],
-                        w2[0, 0, 0])[None]      # (1,k,k,cin,cout)
         dt = cx.policy.compute_dtype
+        # collapse in f32 (params dtype), cast once after the gather
+        if self.squeeze_excite is None:
+            wc = jnp.einsum("ie,hwe,eo->hwio", w1[0, 0, 0], wdw[0, :, :, 0],
+                            w2[0, 0, 0])[None]      # (1,k,k,cin,cout)
+        else:
+            assert plan.cout == w1.shape[-1], "SE plan must map cin -> E"
+            wc = jnp.einsum("ie,hwe->hwie", w1[0, 0, 0],
+                            wdw[0, :, :, 0])[None]  # (1,k,k,cin,E)
         wf = gather_weights(plan, wc).astype(dt)
         dn = lax.conv_dimension_numbers(
             (1, 1, 1, 1, x.shape[-1]), wf.shape, ("NTHWC", "THWIO", "NTHWC"))
@@ -135,10 +149,14 @@ class Bottleneck3D(Module):
             x.astype(dt), wf, plan.strides, list(plan.pads),
             dimension_numbers=dn)
         F = _math.prod(plan.folds_out)
+        h6 = h.reshape(h.shape[:-1] + (F, plan.cout))
+        if self.squeeze_excite is not None:
+            h6 = cx(self.squeeze_excite, h6)
+            h6 = jnp.einsum("...fe,eo->...fo", h6,
+                            w2[0, 0, 0].astype(dt))   # per-phase projection
         if self.batchnorm is not None:
-            h6 = h.reshape(h.shape[:-1] + (F, plan.cout))
             h6 = cx(self.batchnorm, h6)
-            h = h6.reshape(h.shape[:-1] + (F * plan.cout,))
+        h = h6.reshape(h6.shape[:-2] + (F * h6.shape[-1],))
         h = self.nonlinearity(h)
         return cx(self.dropout, h, fold=F)
 

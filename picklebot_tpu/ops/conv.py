@@ -93,7 +93,9 @@ class _ConvNd(Module):
             spec["b"] = lambda k: self.b_init(k, (self.out_channels,))
         return spec
 
-    def forward(self, cx: Ctx, x):
+    def forward(self, cx: Ctx, x, folded=None):
+        if folded is not None:
+            return self._conv_folded(cx, x, folded)
         w = cx.param("w").astype(cx.policy.compute_dtype)
         x = x.astype(cx.policy.compute_dtype)
         if self.fold_dims:
@@ -112,6 +114,25 @@ class _ConvNd(Module):
             )
         if self.use_bias:
             out = out + cx.param("b").astype(cx.policy.compute_dtype)
+        return out
+
+    def _conv_folded(self, cx: Ctx, x, plan):
+        """Run this conv on a lane-folded input per ``plan`` (a
+        ops/folded.FoldedConv built for this conv's geometry): the canonical
+        weights are gather-scattered into the folded dense kernel at trace
+        time, so parameters, checkpoints and autodiff are untouched. The
+        output stays folded — (…, prod(folds_out) * out_channels) — for the
+        caller to keep folded or unfold (ops/folded.unfold_nd)."""
+        from picklebot_tpu.ops.folded import gather_weights
+        assert self.groups == 1, "folded conv requires groups == 1"
+        dt = cx.policy.compute_dtype
+        wf = gather_weights(plan, cx.param("w")).astype(dt)
+        out = lax.conv_general_dilated(
+            x.astype(dt), wf, plan.strides, list(plan.pads),
+            dimension_numbers=self.dn)
+        if self.use_bias:
+            out = out + jnp.tile(cx.param("b").astype(dt),
+                                 math.prod(plan.folds_out))
         return out
 
     def _conv_space_to_depth(self, x, w):

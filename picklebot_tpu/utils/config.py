@@ -62,8 +62,9 @@ class Config:
     profile: bool = False               # jax.profiler trace of first steps
     attention_backend: str = "auto"     # auto | xla | pallas
     space_to_depth: bool = False        # fold 2x2 spatial into the stem conv
-    early_fold: bool = False            # lane-folded stem+block2 (exact;
-    #                                     MobileNet3D Large; ops/folded.py)
+    early_fold: bool = False            # lane-folded early stage (exact;
+    #                                     MobileNet3D Large/Small + MoViNetA2;
+    #                                     ops/folded.py)
 
     def validate(self) -> "Config":
         from picklebot_tpu.models.registry import MODELS

@@ -80,6 +80,98 @@ def test_gradients_match(pair):
             err_msg=jax.tree_util.keystr(k0))
 
 
+@pytest.fixture(scope="module")
+def pair_small():
+    from picklebot_tpu.models.mobilenet3d import MobileNetSmall3D
+    plain = MobileNetSmall3D(num_classes=13)
+    fold = MobileNetSmall3D(num_classes=13, early_fold=True)
+    params = plain.init(0)
+    return plain, fold, params
+
+
+def test_small_param_tree_identical(pair_small):
+    plain, fold, _ = pair_small
+    p0, p1 = plain.init(0), fold.init(0)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_small_eval_logits_match(pair_small):
+    """Exercises the folded-SE partial-collapse path (block2[0], block3[0]
+    carry SE) plus full collapses, vs the plain model."""
+    plain, fold, params = pair_small
+    x = np.random.RandomState(11).randn(2, 8, 64, 64, 3).astype(np.float32)
+    y0 = jax.jit(lambda p, x: plain.apply(p, x, train=False)[0])(params, x)
+    y1 = jax.jit(lambda p, x: fold.apply(p, x, train=False)[0])(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_small_train_mode_and_gradients(pair_small):
+    plain, fold, params = pair_small
+    x = np.random.RandomState(12).randn(1, 4, 32, 32, 3).astype(np.float32)
+    rng = jax.random.key(3)
+    y0, s0 = plain.apply(params, x, train=True, rng=rng)
+    y1, s1 = fold.apply(params, x, train=True, rng=rng)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=2e-4, rtol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s0),
+                    jax.tree_util.tree_leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+    def loss(model, p):
+        return jnp.sum(model.apply(p, x, train=False)[0] ** 2)
+
+    g0 = jax.jit(jax.grad(lambda p: loss(plain, p)))(params)
+    g1 = jax.jit(jax.grad(lambda p: loss(fold, p)))(params)
+    for (k0, a), (k1, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(k0))
+
+
+def test_movinet_eval_logits_match():
+    """A2's every bottleneck carries SE and true 3D depthwise kernels —
+    exercises the temporal-kernel partial collapse."""
+    from picklebot_tpu.models.movinet import MoViNetA2
+    plain = MoViNetA2(num_classes=13)
+    fold = MoViNetA2(num_classes=13, early_fold=True)
+    params = plain.init(0)
+    p1 = fold.init(0)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p1))
+    x = np.random.RandomState(21).randn(2, 8, 64, 64, 3).astype(np.float32)
+    y0 = jax.jit(lambda p, x: plain.apply(p, x, train=False)[0])(params, x)
+    y1 = jax.jit(lambda p, x: fold.apply(p, x, train=False)[0])(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_movinet_gradients_match():
+    from picklebot_tpu.models.movinet import MoViNetA2
+    plain = MoViNetA2(num_classes=5)
+    fold = MoViNetA2(num_classes=5, early_fold=True)
+    params = plain.init(0)
+    x = np.random.RandomState(22).randn(1, 4, 32, 32, 3).astype(np.float32)
+
+    def loss(model, p):
+        return jnp.sum(model.apply(p, x, train=False)[0] ** 2)
+
+    g0 = jax.jit(jax.grad(lambda p: loss(plain, p)))(params)
+    g1 = jax.jit(jax.grad(lambda p: loss(fold, p)))(params)
+    for (k0, a), (k1, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(k0))
+
+
 def test_fold_unfold_roundtrip():
     x = np.random.RandomState(4).rand(2, 5, 32, 14, 24).astype(np.float32)
     z = fold_nd(jnp.asarray(x), (1, 4, 2))
