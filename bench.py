@@ -49,12 +49,14 @@ def main():
     args = p.parse_args()
     if args.early_fold is None:
         # default ON where measured to win on v5e (exact rewrite, logits
-        # golden-equal, tests/test_early_fold.py): train 2.2x at bs=16 and
-        # infer 1.5x at bs<=32; at bs>=64 inference XLA's plain layout
+        # golden-equal, tests/test_early_fold.py): Large3D train 2.4x bs=16
+        # and infer 1.5x at bs<=32 (at bs>=64 inference XLA's plain layout
         # amortizes the lane padding better than the fold's dense-kernel
-        # FLOP inflation (bs128: 2605 folded vs 2779 plain clips/s)
-        args.early_fold = (args.model == "MobileNetLarge3D" and
-                           (args.mode == "train" or args.batch <= 32))
+        # FLOP inflation: 2605 folded vs 2779 plain clips/s at bs128);
+        # Small3D train 2.1x (824 vs 401 clips/s bs=16)
+        args.early_fold = (
+            args.model in ("MobileNetLarge3D", "MobileNetSmall3D")
+            and (args.mode == "train" or args.batch <= 32))
 
     from picklebot_tpu.core.module import DtypePolicy
     from picklebot_tpu.models.registry import initialize_model

@@ -68,10 +68,13 @@ def _early_fold_plans(variant: str = "w"):
       - "h": fold H 16x / W 2x (round-2 original; gathers rows a full image
         apart in the fold transpose).
     Chains: stem in-fold = 2*out-fold per strided dim; folds halve on each
-    stride-2 bottleneck until block4's first layer lands at fold 1 (dense,
-    C=80 — no unfold needed). Block3's SE blocks use the partial-collapse
-    SE path (plans map cin -> E; see Bottleneck3D._forward_folded).
-    Dense-kernel FLOP inflation is identical across variants.
+    stride-2 bottleneck. The default span stops after block2 (unfold at
+    fold 4, C=24): folding block3/block4[0] too was measured SLOWER on v5e
+    (332 vs 469.5 clips/s train bs=16) — the k5, E=120 SE partial collapse
+    multiplies depthwise+expand FLOPs ~15x, which overwhelms the 3.2x lane
+    -padding win at C=40. Their plans stay here (span="block4") for
+    remeasurement on other hardware. Dense-kernel FLOP inflation is
+    identical across variants.
     """
     from picklebot_tpu.ops.folded import folded_conv_map
 
@@ -88,7 +91,7 @@ def _early_fold_plans(variant: str = "w"):
             return (1, f, 1)
 
     return {
-        "fold_in": fold_in,
+        "fold_in": fold_in, "unfold": fold(4),
         "stem": folded_conv_map((3, 3, 3), (2, 2, 2), (1, 1, 1),
                                 fold_in, stem_out, 3, 16),
         "b0": folded_conv_map((1, 3, 3), (1, 1, 1), (1, 1, 1),
@@ -123,9 +126,10 @@ class MobileNetLarge3D(Module):
     """
 
     def __init__(self, num_classes: int = 2, space_to_depth: bool = False,
-                 early_fold: bool = False):
+                 early_fold: bool = False, fold_span: str = "block2"):
         super().__init__()
         self.num_classes = num_classes
+        self._fold_span = fold_span
         B = Bottleneck3D
         relu = act.relu
 
@@ -170,18 +174,23 @@ class MobileNetLarge3D(Module):
 
     def forward(self, cx: Ctx, x):
         if self._early_plans is not None:
-            from picklebot_tpu.ops.folded import fold_nd
+            from picklebot_tpu.ops.folded import fold_nd, unfold_nd
             plans = self._early_plans
             z = fold_nd(x, plans["fold_in"])
             z = cx(self.block1, z, folded=plans["stem"])
             for i, key in enumerate(("b0", "b1", "b2")):
                 z = cx(self.block2.layers[i], z, folded=plans[key])
-            for i, key in enumerate(("b3_0", "b3_1", "b3_2")):
-                z = cx(self.block3.layers[i], z, folded=plans[key])
-            # b4_0 lands at fold 1: output is already the dense layout
-            x = cx(self.block4.layers[0], z, folded=plans["b4_0"])
-            for layer in self.block4.layers[1:]:
-                x = cx(layer, x)
+            if self._fold_span == "block4":
+                for i, key in enumerate(("b3_0", "b3_1", "b3_2")):
+                    z = cx(self.block3.layers[i], z, folded=plans[key])
+                # b4_0 lands at fold 1: output is already the dense layout
+                x = cx(self.block4.layers[0], z, folded=plans["b4_0"])
+                for layer in self.block4.layers[1:]:
+                    x = cx(layer, x)
+            else:
+                x = unfold_nd(z, plans["unfold"], 24)
+                x = cx(self.block3, x)
+                x = cx(self.block4, x)
         else:
             x = cx(self.block1, x)
             x = cx(self.block2, x)

@@ -82,14 +82,19 @@ def main():
                     h = cx(model.block1, fold_nd(h, plans["fold_in"]),
                            folded=plans["stem"])
                 elif name == "block2" and model._early_plans is not None:
+                    from picklebot_tpu.ops.folded import unfold_nd
                     plans = model._early_plans
                     for i, key in enumerate(("b0", "b1", "b2")):
                         h = cx(model.block2.layers[i], h, folded=plans[key])
-                elif name == "block3" and model._early_plans is not None:
+                    if model._fold_span != "block4":
+                        h = unfold_nd(h, plans["unfold"], 24)
+                elif (name == "block3" and model._early_plans is not None
+                      and model._fold_span == "block4"):
                     plans = model._early_plans
                     for i, key in enumerate(("b3_0", "b3_1", "b3_2")):
                         h = cx(model.block3.layers[i], h, folded=plans[key])
-                elif name == "block4" and model._early_plans is not None:
+                elif (name == "block4" and model._early_plans is not None
+                      and model._fold_span == "block4"):
                     h = cx(model.block4.layers[0], h,
                            folded=model._early_plans["b4_0"])
                     for layer in model.block4.layers[1:]:

@@ -219,6 +219,19 @@ def test_early_fold_rejects_bad_spatial():
         fold.apply(params, x, train=False)
 
 
+def test_fold_span_block4_matches(pair):
+    """The extended span (block3 SE + block4[0] folded; measured slower on
+    v5e but kept for other hardware) stays exact."""
+    plain, _, params = pair
+    ext = MobileNetLarge3D(num_classes=13, early_fold=True,
+                           fold_span="block4")
+    x = np.random.RandomState(7).randn(2, 8, 64, 64, 3).astype(np.float32)
+    want = jax.jit(lambda p, x: plain.apply(p, x, train=False)[0])(params, x)
+    got = jax.jit(lambda p, x: ext.apply(p, x, train=False)[0])(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_fold_variants_agree(pair):
     """The H-major and W-major phase assignments are the same math."""
     from picklebot_tpu.models.mobilenet3d import _early_fold_plans
