@@ -79,7 +79,11 @@ def _early_fold_plans(variant: str = "w"):
     from picklebot_tpu.ops.folded import folded_conv_map
 
     if variant == "w":
-        fold_in, stem_out = (1, 2, 16), (1, 1, 8)
+        # H stays a PLAIN strided conv dim (G_h=1): fold_nd(1,1,16) is then
+        # a pure reshape — zero data movement. Folding H 2x as well cost a
+        # measured 6.8 ms input transpose (scripts/probe_stem.py) and a
+        # bigger dense kernel (3*2*2*96 vs 3*3*2*48 MACs/output).
+        fold_in, stem_out = (1, 1, 16), (1, 1, 8)
 
         def fold(f):           # phase dim = W
             return (1, 1, f)
@@ -210,9 +214,9 @@ def _early_fold_plans_small():
     cin -> E (partial collapse); b1/b2 collapse fully."""
     from picklebot_tpu.ops.folded import folded_conv_map
     return {
-        "fold_in": (1, 2, 16),
+        "fold_in": (1, 1, 16),
         "stem": folded_conv_map((3, 3, 3), (2, 2, 2), (1, 1, 1),
-                                (1, 2, 16), (1, 1, 8), 3, 16),
+                                (1, 1, 16), (1, 1, 8), 3, 16),
         "b0": folded_conv_map((1, 3, 3), (2, 2, 2), (1, 1, 1),
                               (1, 1, 8), (1, 1, 4), 16, 16),    # SE -> E=16
         "b1": folded_conv_map((1, 3, 3), (2, 2, 2), (1, 1, 1),

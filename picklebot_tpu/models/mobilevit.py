@@ -62,7 +62,16 @@ class _ConvBNSiLU(Module):
                            space_to_depth=space_to_depth)
         self.bn = BatchNorm(cout, affine=False)
 
-    def forward(self, cx: Ctx, x):
+    def forward(self, cx: Ctx, x, folded=None):
+        if folded is not None:
+            # lane-folded execution (ops/folded.py): conv via gathered
+            # canonical weights; BN is the standard module on a (..., F, C)
+            # reshape (same stats/state); SiLU is elementwise. Exact.
+            import math as _math
+            h = cx(self.conv, x, folded=folded)
+            F = _math.prod(folded.folds_out)
+            h6 = cx(self.bn, h.reshape(h.shape[:-1] + (F, folded.cout)))
+            return act.silu(h6).reshape(h.shape)
         return act.silu(cx(self.bn, cx(self.conv, x)))
 
 
@@ -207,6 +216,29 @@ class TransformerStack(Module):
         return x
 
 
+def _early_fold_plans_vit(ch, expansion, kernel_size):
+    """MobileViT lane-fold chain (W-major; ops/folded.py): conv1 + the four
+    stem Bottleneck3Ds — the C=16/24 @112^2 layers paying 8x lane padding.
+    The stem blocks are the same reference-quirk Bottleneck3D (BN+act after
+    projection only, no SE), so they collapse fully. W in-fold 16 on the
+    stem conv is a pure reshape (no H fold — see mobilenet3d's plans)."""
+    from picklebot_tpu.ops.folded import folded_conv_map
+    k, p = kernel_size, 1   # reference fixes conv padding at 1
+    return {
+        "fold_in": (1, 1, 16), "unfold": (1, 1, 4),
+        "conv1": folded_conv_map((k, k, k), (2, 2, 2), (p, p, p),
+                                 (1, 1, 16), (1, 1, 8), 3, ch[0]),
+        "s0": folded_conv_map((1, k, k), (1, 1, 1), (p, p, p),
+                              (1, 1, 8), (1, 1, 8), ch[0], ch[1]),
+        "s1": folded_conv_map((1, k, k), (2, 2, 2), (p, p, p),
+                              (1, 1, 8), (1, 1, 4), ch[1], ch[2]),
+        "s2": folded_conv_map((1, k, k), (1, 1, 1), (p, p, p),
+                              (1, 1, 4), (1, 1, 4), ch[2], ch[3]),
+        "s3": folded_conv_map((1, k, k), (1, 1, 1), (p, p, p),
+                              (1, 1, 4), (1, 1, 4), ch[2], ch[3]),
+    }
+
+
 class MobileViT(Module):
     """reference mobilevit.py:146-205."""
 
@@ -216,16 +248,20 @@ class MobileViT(Module):
                  patch_size: Tuple[int, int, int] = (2, 2, 2),
                  depths: Tuple[int, int, int] = (2, 4, 3),
                  attention_backend: str = "auto",
-                 model_axis=None, space_to_depth: bool = False):
+                 model_axis=None, space_to_depth: bool = False,
+                 early_fold: bool = False):
         super().__init__()
         assert len(dims) == 3 and len(depths) == 3
         ch = list(channels)
         init_dim, last_dim = ch[0], ch[-1]
         be = attention_backend
         ma = model_axis
+        self._early_plans = (_early_fold_plans_vit(ch, expansion, kernel_size)
+                             if early_fold else None)
 
         self.conv1 = conv_nxn_bn(3, init_dim, stride=2,
-                                 space_to_depth=space_to_depth)
+                                 space_to_depth=space_to_depth
+                                 and not early_fold)
         B = Bottleneck3D
         self.stem = ModuleList([
             B(ch[0], ch[1], expanded_channels=ch[0] * expansion, stride=1),
@@ -256,9 +292,18 @@ class MobileViT(Module):
         self.head = Dense(last_dim, num_classes, bias=False, w_init=_W_INIT)
 
     def forward(self, cx: Ctx, x):
-        x = cx(self.conv1, x)
-        for i in range(len(self.stem)):
-            x = cx(self.stem[i], x)
+        if self._early_plans is not None:
+            from picklebot_tpu.ops.folded import fold_nd, unfold_nd
+            plans = self._early_plans
+            z = fold_nd(x, plans["fold_in"])
+            z = cx(self.conv1, z, folded=plans["conv1"])
+            for i, key in enumerate(("s0", "s1", "s2", "s3")):
+                z = cx(self.stem[i], z, folded=plans[key])
+            x = unfold_nd(z, plans["unfold"], plans["s3"].cout)
+        else:
+            x = cx(self.conv1, x)
+            for i in range(len(self.stem)):
+                x = cx(self.stem[i], x)
         for i in range(len(self.trunk)):
             x = cx(self.trunk[i], x)
         x = cx(self.to_logits_conv, x)

@@ -50,7 +50,8 @@ def _mobilevit(cfg):
                                                "auto"),
                      model_axis="model"
                      if getattr(cfg, "model_parallel", 1) > 1 else None,
-                     space_to_depth=getattr(cfg, "space_to_depth", False))
+                     space_to_depth=getattr(cfg, "space_to_depth", False),
+                     early_fold=getattr(cfg, "early_fold", False))
 
 
 def _mobilevit_v2(cfg):

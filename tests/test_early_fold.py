@@ -172,6 +172,36 @@ def test_movinet_gradients_match():
             err_msg=jax.tree_util.keystr(k0))
 
 
+def test_mobilevit_fold_logits_and_grads_match():
+    """conv1 (_ConvBNSiLU) + the four stem Bottleneck3Ds fold; transformer
+    trunk untouched."""
+    from picklebot_tpu.models.mobilevit import MOBILEVIT_CONFIGS, MobileViT
+    kw = dict(num_classes=7, depths=(1, 1, 1), attention_backend="xla",
+              **MOBILEVIT_CONFIGS["xxs"])
+    plain = MobileViT(**kw)
+    fold = MobileViT(early_fold=True, **kw)
+    params = plain.init(0)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(fold.init(0)))
+    x = np.random.RandomState(31).randn(1, 4, 32, 32, 3).astype(np.float32)
+    y0 = jax.jit(lambda p, x: plain.apply(p, x, train=False)[0])(params, x)
+    y1 = jax.jit(lambda p, x: fold.apply(p, x, train=False)[0])(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=2e-4, rtol=1e-4)
+
+    def loss(model, p):
+        return jnp.sum(model.apply(p, x, train=False)[0] ** 2)
+
+    g0 = jax.jit(jax.grad(lambda p: loss(plain, p)))(params)
+    g1 = jax.jit(jax.grad(lambda p: loss(fold, p)))(params)
+    for (k0, a), (k1, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(k0))
+
+
 def test_fold_unfold_roundtrip():
     x = np.random.RandomState(4).rand(2, 5, 32, 14, 24).astype(np.float32)
     z = fold_nd(jnp.asarray(x), (1, 4, 2))
