@@ -49,13 +49,15 @@ def main():
     args = p.parse_args()
     if args.early_fold is None:
         # default ON where measured to win on v5e (exact rewrite, logits
-        # golden-equal, tests/test_early_fold.py): Large3D train 2.4x bs=16
-        # and infer 1.5x at bs<=32 (at bs>=64 inference XLA's plain layout
+        # golden-equal, tests/test_early_fold.py): Large3D train 2.5x bs=16
+        # and infer 1.8x at bs<=32 (at bs>=64 inference XLA's plain layout
         # amortizes the lane padding better than the fold's dense-kernel
         # FLOP inflation: 2605 folded vs 2779 plain clips/s at bs128);
-        # Small3D train 2.1x (824 vs 401 clips/s bs=16)
+        # Small3D train 2.2x (882 vs 401); MobileViT train +23% / infer
+        # +11% at bs=8 (220.6/576.7 vs 179.0/520.7)
         args.early_fold = (
-            args.model in ("MobileNetLarge3D", "MobileNetSmall3D")
+            args.model in ("MobileNetLarge3D", "MobileNetSmall3D",
+                           "MobileViT")
             and (args.mode == "train" or args.batch <= 32))
 
     from picklebot_tpu.core.module import DtypePolicy
