@@ -49,16 +49,14 @@ def main():
     args = p.parse_args()
     if args.early_fold is None:
         # default ON where measured to win on v5e (exact rewrite, logits
-        # golden-equal, tests/test_early_fold.py): Large3D train 2.5x bs=16
-        # and infer 1.8x at bs<=32 (at bs>=64 inference XLA's plain layout
-        # amortizes the lane padding better than the fold's dense-kernel
-        # FLOP inflation: 2605 folded vs 2779 plain clips/s at bs128);
-        # Small3D train 2.2x (882 vs 401); MobileViT train +23% / infer
-        # +11% at bs=8 (220.6/576.7 vs 179.0/520.7)
-        args.early_fold = (
-            args.model in ("MobileNetLarge3D", "MobileNetSmall3D",
-                           "MobileViT")
-            and (args.mode == "train" or args.batch <= 32))
+        # golden-equal, tests/test_early_fold.py). Since the W-only fold
+        # (pure-reshape in-fold) it wins at every measured point:
+        # Large3D train 487/651 clips/s bs16/64 (plain 195.7/376), infer
+        # 1285/2033/2960 bs16/64/128 (plain 721/1859/2779); Small3D train
+        # 882 (plain 401); MobileViT bs8 train 220.6 / infer 576.7
+        # (plain 179.0/520.7)
+        args.early_fold = args.model in (
+            "MobileNetLarge3D", "MobileNetSmall3D", "MobileViT")
 
     from picklebot_tpu.core.module import DtypePolicy
     from picklebot_tpu.models.registry import initialize_model

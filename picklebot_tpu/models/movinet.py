@@ -200,10 +200,15 @@ class MoViNetA2(Module):
     """Offline clip classifier (reference movinet.py:80-165)."""
 
     def __init__(self, num_classes: int = 2, causal: bool = False,
-                 space_to_depth: bool = False, early_fold: bool = False):
+                 space_to_depth: bool = False, early_fold: bool = False,
+                 fold_span: str = "block2"):
         super().__init__()
         self.num_classes = num_classes
         self.causal = causal
+        # default span block2 (stem + the three C=16 bottlenecks): the full
+        # chain's temporal-kernel collapses (k=(3,3,3)/(5,3,3), 30-40x MAC
+        # inflation) did not finish a 25-min v5e compile — see docs/BENCH.md
+        self._fold_span = fold_span
         self._early_plans = (_early_fold_plans_a2()
                              if early_fold and not causal else None)
 
@@ -247,14 +252,20 @@ class MoViNetA2(Module):
             z = act.hardswish(z6).reshape(z.shape)
             for i, key in enumerate(("b2_0", "b2_1", "b2_2")):
                 z = cx(self.block2.layers[i], z, folded=plans[key])
-            for i, key in enumerate(("b3_0", "b3_1", "b3_2", "b3_3",
-                                     "b3_4")):
-                z = cx(self.block3.layers[i], z, folded=plans[key])
-            # blocks4[0] lands at fold 1: output is the dense layout
-            x = cx(self.block4.layers[0], z, folded=plans["b4_0"])
-            for layer in self.block4.layers[1:]:
-                x = cx(layer, x)
-            for stage in (self.block5, self.block6):
+            if self._fold_span == "block4":
+                for i, key in enumerate(("b3_0", "b3_1", "b3_2", "b3_3",
+                                         "b3_4")):
+                    z = cx(self.block3.layers[i], z, folded=plans[key])
+                # blocks4[0] lands at fold 1: output is the dense layout
+                x = cx(self.block4.layers[0], z, folded=plans["b4_0"])
+                for layer in self.block4.layers[1:]:
+                    x = cx(layer, x)
+                stages = (self.block5, self.block6)
+            else:
+                from picklebot_tpu.ops.folded import unfold_nd
+                x = unfold_nd(z, (1, 1, 4), 16)
+                stages = (self.block3, self.block4, self.block5, self.block6)
+            for stage in stages:
                 x = cx(stage, x)
         else:
             x = act.hardswish(cx(self.stem_bn, cx(self.stem_conv, x)))
