@@ -46,6 +46,8 @@ def main():
                    default=None,
                    help="lane-folded stem+block2 (exact; MobileNetLarge3D)")
     p.add_argument("--no-early-fold", dest="early_fold", action="store_false")
+    p.add_argument("--fold-span", default="block2",
+                   help="fold depth (Large3D: block2|block4|boundary)")
     args = p.parse_args()
     if args.early_fold is None:
         # default ON where measured to win on v5e (exact rewrite, logits
@@ -54,9 +56,11 @@ def main():
         # Large3D train 487/651 clips/s bs16/64 (plain 195.7/376), infer
         # 1285/2033/2960 bs16/64/128 (plain 721/1859/2779); Small3D train
         # 882 (plain 401); MobileViT bs8 train 220.6 / infer 576.7
-        # (plain 179.0/520.7)
+        # (plain 179.0/520.7); MoViNetA2 block2-span train +15% / infer
+        # +9% at bs=8 (117.1/342.4 vs 102/314.8)
         args.early_fold = args.model in (
-            "MobileNetLarge3D", "MobileNetSmall3D", "MobileViT")
+            "MobileNetLarge3D", "MobileNetSmall3D", "MobileViT",
+            "MoViNetA2")
 
     from picklebot_tpu.core.module import DtypePolicy
     from picklebot_tpu.models.registry import initialize_model
@@ -68,7 +72,8 @@ def main():
     cfg = Config(model_name=args.model, num_classes=13,
                  dims=[64, 80, 96],
                  channels=[16, 16, 24, 24, 48, 48, 64, 64, 80, 80, 320],
-                 space_to_depth=args.s2d, early_fold=args.early_fold)
+                 space_to_depth=args.s2d, early_fold=args.early_fold,
+                 fold_span=args.fold_span)
     model = initialize_model(cfg)
     policy = DtypePolicy.bf16()
     rng = np.random.RandomState(0)
@@ -79,8 +84,7 @@ def main():
     if args.mode == "train":
         opt = AdamW8bit(weight_decay=5e-4)
         sched = cosine_annealing_lr(3e-4, 100)
-        step = make_train_step(model, opt, "CE", sched, policy=policy,
-                               donate=False)
+        step = make_train_step(model, opt, "CE", sched, policy=policy)
         state = create_train_state(model, opt, jax.random.key(0))
         feats = jax.device_put(feats_np[None])          # accum=1
         labels = jax.device_put(

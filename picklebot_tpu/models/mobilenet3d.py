@@ -119,6 +119,20 @@ def _early_fold_plans(variant: str = "w"):
     }
 
 
+def _boundary_plans_large():
+    """fold_span='boundary' continuation plans: block3 + block4[0] run
+    boundary-folded (ops/folded.BoundaryFold — canonical FLOPs, only the
+    narrow C=24..80 boundaries stay lane-packed), picking up from the
+    collapsed block2's fold of 4 and landing dense at block4[0]."""
+    from picklebot_tpu.ops.folded import BoundaryFold
+    return {
+        "b3_0": BoundaryFold(4, 2, 24, 40),
+        "b3_1": BoundaryFold(2, 2, 40, 40),
+        "b3_2": BoundaryFold(2, 2, 40, 40),
+        "b4_0": BoundaryFold(2, 1, 40, 80),
+    }
+
+
 class MobileNetLarge3D(Module):
     """Reference mobilenet.py:133-201.
 
@@ -184,11 +198,13 @@ class MobileNetLarge3D(Module):
             z = cx(self.block1, z, folded=plans["stem"])
             for i, key in enumerate(("b0", "b1", "b2")):
                 z = cx(self.block2.layers[i], z, folded=plans[key])
-            if self._fold_span == "block4":
+            if self._fold_span in ("block4", "boundary"):
+                bp = (plans if self._fold_span == "block4"
+                      else _boundary_plans_large())
                 for i, key in enumerate(("b3_0", "b3_1", "b3_2")):
-                    z = cx(self.block3.layers[i], z, folded=plans[key])
+                    z = cx(self.block3.layers[i], z, folded=bp[key])
                 # b4_0 lands at fold 1: output is already the dense layout
-                x = cx(self.block4.layers[0], z, folded=plans["b4_0"])
+                x = cx(self.block4.layers[0], z, folded=bp["b4_0"])
                 for layer in self.block4.layers[1:]:
                     x = cx(layer, x)
             else:

@@ -15,7 +15,8 @@ def _mobilenet_large3d(cfg):
     return MobileNetLarge3D(
         num_classes=cfg.num_classes,
         space_to_depth=getattr(cfg, "space_to_depth", False),
-        early_fold=getattr(cfg, "early_fold", False))
+        early_fold=getattr(cfg, "early_fold", False),
+        fold_span=getattr(cfg, "fold_span", "block2"))
 
 
 def _mobilenet_small3d(cfg):
@@ -30,7 +31,8 @@ def _movinet_a2(cfg):
     from picklebot_tpu.models.movinet import MoViNetA2
     return MoViNetA2(num_classes=cfg.num_classes,
                      space_to_depth=getattr(cfg, "space_to_depth", False),
-                     early_fold=getattr(cfg, "early_fold", False))
+                     early_fold=getattr(cfg, "early_fold", False),
+                     fold_span=getattr(cfg, "fold_span", "block2"))
 
 
 def _movinet_a2_stream(cfg):

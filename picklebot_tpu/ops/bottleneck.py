@@ -61,6 +61,9 @@ class Bottleneck3D(Module):
 
     def forward(self, cx: Ctx, x, folded=None):
         if folded is not None:
+            from picklebot_tpu.ops.folded import BoundaryFold
+            if isinstance(folded, BoundaryFold):
+                return self._forward_boundary(cx, x, folded)
             return self._forward_folded(cx, x, folded)
         if self.fused:
             from picklebot_tpu.ops.pallas.fused_bottleneck import (
@@ -159,6 +162,36 @@ class Bottleneck3D(Module):
         h = h6.reshape(h6.shape[:-2] + (F * h6.shape[-1],))
         h = self.nonlinearity(h)
         return cx(self.dropout, h, fold=F)
+
+    def _forward_boundary(self, cx: Ctx, x, plan):
+        """Boundary-folded execution (ops/folded.BoundaryFold): only the
+        narrow input/output live W-folded; expand is a per-phase matmul,
+        depthwise/SE run the standard modules on the canonical expanded
+        layout (the W-major fold<->unfold between them is a pure reshape),
+        and the projection refolds its output. Exactly canonical FLOPs —
+        for blocks whose E is lane-wide but whose cin/cout are not."""
+        import jax.numpy as jnp
+
+        p = cx.params
+        assert "b" not in p["pointwise_conv1"], "folded path: bias-free only"
+        dt = cx.policy.compute_dtype
+        F, F2 = plan.f_in, plan.f_out
+        w1 = p["pointwise_conv1"]["w"][0, 0, 0].astype(dt)   # (cin, E)
+        w2 = p["pointwise_conv2"]["w"][0, 0, 0].astype(dt)   # (E, cout)
+        h6 = x.astype(dt).reshape(x.shape[:-1] + (F, plan.cin))
+        h6 = jnp.einsum("...fc,ce->...fe", h6, w1)
+        E = h6.shape[-1]
+        h = h6.reshape(h6.shape[:-3] + (h6.shape[-3] * F, E))  # canonical W
+        h = cx(self.depthwise_conv, h)
+        if self.squeeze_excite is not None:
+            h = cx(self.squeeze_excite, h)
+        h6 = h.reshape(h.shape[:-2] + (h.shape[-2] // F2, F2, E))
+        h6 = jnp.einsum("...fe,eo->...fo", h6, w2)
+        if self.batchnorm is not None:
+            h6 = cx(self.batchnorm, h6)
+        h = h6.reshape(h6.shape[:-2] + (F2 * h6.shape[-1],))
+        h = self.nonlinearity(h)
+        return cx(self.dropout, h, fold=F2)
 
 
 class Bottleneck2D(Module):

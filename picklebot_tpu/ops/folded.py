@@ -125,6 +125,22 @@ def folded_conv_map(kernel: Sequence[int], stride: Sequence[int],
                       cin, cout)
 
 
+class BoundaryFold(NamedTuple):
+    """Zero-inflation folded execution for inverted bottlenecks whose
+    EXPANDED channels are lane-wide enough to run canonically (E >~ 64):
+    only the narrow input/output tensors live W-folded. The expand 1x1 is a
+    per-phase matmul on the folded input; its output reshapes to the
+    canonical spatial layout (pure reshape in W-major), depthwise + SE +
+    the projection run as the STANDARD modules/ops, and the projection
+    output refolds (pure reshape). No dense gather kernel, no structural
+    zeros — unlike the full collapse (FoldedConv), compute is exactly
+    canonical; only the narrow tensors' 128-lane padding is eliminated."""
+    f_in: int    # W fold of the incoming tensor
+    f_out: int   # W fold of the outgoing tensor (f_in // stride_w)
+    cin: int
+    cout: int
+
+
 def gather_weights(fc: FoldedConv, w_flat):
     """Scatter canonical weights into the folded dense kernel (trace-time;
     differentiable — the VJP is a segment-sum back into canonical slots)."""

@@ -63,8 +63,11 @@ class Config:
     attention_backend: str = "auto"     # auto | xla | pallas
     space_to_depth: bool = False        # fold 2x2 spatial into the stem conv
     early_fold: bool = False            # lane-folded early stage (exact;
-    #                                     MobileNet3D Large/Small + MoViNetA2;
-    #                                     ops/folded.py)
+    #                                     MobileNet3D Large/Small, MoViNetA2,
+    #                                     MobileViT; ops/folded.py)
+    fold_span: str = "block2"           # how deep the fold runs (Large3D /
+    #                                     MoViNetA2: block2|block4; Large3D
+    #                                     also: boundary)
 
     def validate(self) -> "Config":
         from picklebot_tpu.models.registry import MODELS

@@ -274,6 +274,37 @@ def test_fold_span_block4_matches(pair):
                                atol=2e-4, rtol=1e-4)
 
 
+def test_fold_span_boundary_matches(pair):
+    """Boundary-folded block3/block4[0] (per-phase matmuls + canonical
+    depthwise/SE; zero FLOP inflation) stays exact, including train-mode
+    dropout masks and gradients."""
+    plain, _, params = pair
+    ext = MobileNetLarge3D(num_classes=13, early_fold=True,
+                           fold_span="boundary")
+    x = np.random.RandomState(8).randn(2, 8, 64, 64, 3).astype(np.float32)
+    want = jax.jit(lambda p, x: plain.apply(p, x, train=False)[0])(params, x)
+    got = jax.jit(lambda p, x: ext.apply(p, x, train=False)[0])(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+    rng = jax.random.key(9)
+    y0, s0 = plain.apply(params, x, train=True, rng=rng)
+    y1, s1 = ext.apply(params, x, train=True, rng=rng)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=2e-4, rtol=1e-3)
+
+    def loss(model, p):
+        return jnp.sum(model.apply(p, x, train=False)[0] ** 2)
+
+    g0 = jax.jit(jax.grad(lambda p: loss(plain, p)))(params)
+    g1 = jax.jit(jax.grad(lambda p: loss(ext, p)))(params)
+    for (k0, a), (k1, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(k0))
+
+
 def test_fold_variants_agree(pair):
     """The H-major and W-major phase assignments are the same math."""
     from picklebot_tpu.models.mobilenet3d import _early_fold_plans
