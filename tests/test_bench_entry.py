@@ -1,0 +1,43 @@
+"""Smoke tests for the two driver-facing artifacts.
+
+bench.py prints the round-recorded JSON line and __graft_entry__.entry()
+is compile-checked by the driver — a regression in either silently costs a
+round, so both run here at tiny shapes on the CPU platform (conftest pins
+it)."""
+
+import json
+import sys
+
+import jax
+import numpy as np
+
+
+def test_bench_main_tiny(monkeypatch, capsys):
+    import bench
+    monkeypatch.setattr(sys, "argv", [
+        "bench.py", "--batch", "2", "--frames", "2", "--size", "32",
+        "--steps", "1", "--warmup", "1"])
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["value"] > 0 and np.isfinite(rec["value"])
+    assert rec["unit"] == "clips/s"
+
+
+def test_bench_infer_tiny(monkeypatch, capsys):
+    import bench
+    monkeypatch.setattr(sys, "argv", [
+        "bench.py", "--mode", "infer", "--batch", "2", "--frames", "2",
+        "--size", "32", "--steps", "1", "--warmup", "1"])
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] > 0
+
+
+def test_graft_entry_forward():
+    from __graft_entry__ import entry
+    fn, args = entry()
+    logits = jax.jit(fn)(*args)
+    assert logits.shape == (2, 13)
+    assert np.all(np.isfinite(np.asarray(logits, np.float32)))
