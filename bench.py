@@ -50,14 +50,19 @@ def main():
                    help="fold depth (Large3D: block2|block4|boundary)")
     args = p.parse_args()
     if args.fold_span is None:
-        # Large3D 'boundary' (block3/block4[0] boundary-folded, zero
-        # inflation) wins at bs<=32 (train 496.8 vs 487.0, infer 1318 vs
-        # 1285) and loses at bs128 infer (2799 vs 2960) — the relayouts
-        # around the canonical expanded tensors stop paying once batch
-        # parallelism amortizes the narrow tensors' padding
-        args.fold_span = ("boundary"
-                          if args.model == "MobileNetLarge3D"
-                          and args.batch <= 32 else "block2")
+        if args.model == "MobileNetLarge3D":
+            # 'boundary' (block3/block4[0] boundary-folded, zero inflation)
+            # wins at bs<=32 (train 496.8 vs 487.0, infer 1318 vs 1285) and
+            # loses at bs128 infer (2799 vs 2960) — the relayouts around
+            # the canonical expanded tensors stop paying once batch
+            # parallelism amortizes the narrow tensors' padding
+            args.fold_span = "boundary" if args.batch <= 32 else "block2"
+        elif args.model == "MobileViT":
+            # trunk bottlenecks boundary-folded: train 231.1 vs 220.6,
+            # infer 583.0 vs 576.7 at bs=8
+            args.fold_span = "trunk"
+        else:
+            args.fold_span = "block2"
     if args.early_fold is None:
         # default ON where measured to win on v5e (exact rewrite, logits
         # golden-equal, tests/test_early_fold.py). Since the W-only fold

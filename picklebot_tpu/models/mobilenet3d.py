@@ -248,9 +248,13 @@ class MobileNetSmall3D(Module):
     """Reference mobilenet.py:213-265."""
 
     def __init__(self, num_classes: int = 2, space_to_depth: bool = False,
-                 early_fold: bool = False):
+                 early_fold: bool = False, fold_span: str = "block3"):
         super().__init__()
         self.num_classes = num_classes
+        # "block3" (default): block3[0] joins the dense collapse chain;
+        # "boundary": block3[0] runs boundary-folded instead (canonical
+        # FLOPs — its k5/E=96 collapse carries ~15x structural zeros)
+        self._fold_span = fold_span
         B = Bottleneck3D
         lrelu = act.leaky_relu
 
@@ -292,7 +296,12 @@ class MobileNetSmall3D(Module):
             for i, key in enumerate(("b0", "b1", "b2")):
                 z = cx(self.block2.layers[i], z, folded=plans[key])
             # block3[0] lands at fold 1: output is the dense layout
-            x = cx(self.block3.layers[0], z, folded=plans["b3_0"])
+            if self._fold_span == "boundary":
+                from picklebot_tpu.ops.folded import BoundaryFold
+                x = cx(self.block3.layers[0], z,
+                       folded=BoundaryFold(2, 1, 24, 40))
+            else:
+                x = cx(self.block3.layers[0], z, folded=plans["b3_0"])
             for layer in self.block3.layers[1:]:
                 x = cx(layer, x)
         else:

@@ -249,10 +249,12 @@ class MobileViT(Module):
                  depths: Tuple[int, int, int] = (2, 4, 3),
                  attention_backend: str = "auto",
                  model_axis=None, space_to_depth: bool = False,
-                 early_fold: bool = False):
+                 early_fold: bool = False, fold_span: str = "stem"):
         super().__init__()
         assert len(dims) == 3 and len(depths) == 3
+        self._fold_span = fold_span
         ch = list(channels)
+        self._ch = ch
         init_dim, last_dim = ch[0], ch[-1]
         be = attention_backend
         ma = model_axis
@@ -293,19 +295,41 @@ class MobileViT(Module):
 
     def forward(self, cx: Ctx, x):
         if self._early_plans is not None:
-            from picklebot_tpu.ops.folded import fold_nd, unfold_nd
+            from picklebot_tpu.ops.folded import (BoundaryFold, fold_nd,
+                                                  unfold_nd)
             plans = self._early_plans
+            ch = self._ch
             z = fold_nd(x, plans["fold_in"])
             z = cx(self.conv1, z, folded=plans["conv1"])
             for i, key in enumerate(("s0", "s1", "s2", "s3")):
                 z = cx(self.stem[i], z, folded=plans[key])
-            x = unfold_nd(z, plans["unfold"], plans["s3"].cout)
+            if self._fold_span == "trunk":
+                # each trunk bottleneck runs boundary-folded (canonical
+                # FLOPs, narrow boundaries lane-packed); the ViT blocks run
+                # canonical — the W-major fold/unfold around them are pure
+                # reshapes
+                z = cx(self.trunk[0].layers[0], z,
+                       folded=BoundaryFold(4, 2, ch[3], ch[4]))
+                x = unfold_nd(z, (1, 1, 2), ch[4])
+                x = cx(self.trunk[0].layers[1], x)
+                z = fold_nd(x, (1, 1, 2))
+                x = cx(self.trunk[1].layers[0], z,
+                       folded=BoundaryFold(2, 1, ch[5], ch[6]))
+                x = cx(self.trunk[1].layers[1], x)
+                z = fold_nd(x, (1, 1, 2))
+                x = cx(self.trunk[2].layers[0], z,
+                       folded=BoundaryFold(2, 1, ch[7], ch[8]))
+                x = cx(self.trunk[2].layers[1], x)
+            else:
+                x = unfold_nd(z, plans["unfold"], plans["s3"].cout)
+                for i in range(len(self.trunk)):
+                    x = cx(self.trunk[i], x)
         else:
             x = cx(self.conv1, x)
             for i in range(len(self.stem)):
                 x = cx(self.stem[i], x)
-        for i in range(len(self.trunk)):
-            x = cx(self.trunk[i], x)
+            for i in range(len(self.trunk)):
+                x = cx(self.trunk[i], x)
         x = cx(self.to_logits_conv, x)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3)).astype(x.dtype)
         return cx(self.head, x)

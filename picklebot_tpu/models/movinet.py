@@ -67,7 +67,10 @@ class MoviNetBottleneck(Module):
 
     def forward(self, cx: Ctx, x, buffer=None, folded=None):
         if folded is not None:
+            from picklebot_tpu.ops.folded import BoundaryFold
             assert not self.causal, "folded path is offline-only"
+            if isinstance(folded, BoundaryFold):
+                return self._forward_boundary(cx, x, folded)
             return self._forward_folded(cx, x, folded)
         x = cx(self.expand, x)
         if self.causal:
@@ -83,6 +86,32 @@ class MoviNetBottleneck(Module):
         if self.causal:
             return x, new_buffer
         return x
+
+    def _forward_boundary(self, cx: Ctx, x, plan):
+        """Boundary-folded execution (ops/folded.BoundaryFold): narrow
+        input/output stay W-folded, expand is a per-phase matmul, the
+        depthwise conv + SE run the standard modules on the canonical
+        expanded layout (W-major fold<->unfold is a pure reshape), the
+        projection refolds. Exactly canonical FLOPs — the right mode for
+        A2's C=40..72 blocks whose temporal-kernel dense collapse measured
+        uncompilable (docs/BENCH.md)."""
+        p = cx.params
+        dt = cx.policy.compute_dtype
+        F, F2 = plan.f_in, plan.f_out
+        w1 = p["expand"]["w"][0, 0, 0].astype(dt)     # (cin, E)
+        w2 = p["project"]["w"][0, 0, 0].astype(dt)    # (E, cout)
+        h6 = x.astype(dt).reshape(x.shape[:-1] + (F, plan.cin))
+        h6 = jnp.einsum("...fc,ce->...fe", h6, w1)
+        E = h6.shape[-1]
+        h = h6.reshape(h6.shape[:-3] + (h6.shape[-3] * F, E))
+        h = cx(self.conv, h)
+        if self.squeeze_excite is not None:
+            h = cx(self.squeeze_excite, h)
+        h6 = h.reshape(h.shape[:-2] + (h.shape[-2] // F2, F2, E))
+        h6 = jnp.einsum("...fe,eo->...fo", h6, w2)
+        h6 = cx(self.batchnorm, h6)
+        h6 = act.hardswish(h6)
+        return h6.reshape(h6.shape[:-2] + (F2 * h6.shape[-1],))
 
     def _forward_folded(self, cx: Ctx, x, plan):
         """Lane-folded execution (ops/folded.py; plan maps cin -> E).
@@ -258,6 +287,17 @@ class MoViNetA2(Module):
                     z = cx(self.block3.layers[i], z, folded=plans[key])
                 # blocks4[0] lands at fold 1: output is the dense layout
                 x = cx(self.block4.layers[0], z, folded=plans["b4_0"])
+                for layer in self.block4.layers[1:]:
+                    x = cx(layer, x)
+                stages = (self.block5, self.block6)
+            elif self._fold_span == "boundary":
+                from picklebot_tpu.ops.folded import BoundaryFold
+                bp = [BoundaryFold(4, 2, 16, 40)] + \
+                    [BoundaryFold(2, 2, 40, 40)] * 4
+                for i in range(5):
+                    z = cx(self.block3.layers[i], z, folded=bp[i])
+                x = cx(self.block4.layers[0], z,
+                       folded=BoundaryFold(2, 1, 40, 72))
                 for layer in self.block4.layers[1:]:
                     x = cx(layer, x)
                 stages = (self.block5, self.block6)

@@ -24,7 +24,8 @@ def _mobilenet_small3d(cfg):
     return MobileNetSmall3D(
         num_classes=cfg.num_classes,
         space_to_depth=getattr(cfg, "space_to_depth", False),
-        early_fold=getattr(cfg, "early_fold", False))
+        early_fold=getattr(cfg, "early_fold", False),
+        fold_span=getattr(cfg, "fold_span", "block3"))
 
 
 def _movinet_a2(cfg):
@@ -53,7 +54,8 @@ def _mobilevit(cfg):
                      model_axis="model"
                      if getattr(cfg, "model_parallel", 1) > 1 else None,
                      space_to_depth=getattr(cfg, "space_to_depth", False),
-                     early_fold=getattr(cfg, "early_fold", False))
+                     early_fold=getattr(cfg, "early_fold", False),
+                     fold_span=getattr(cfg, "fold_span", "stem"))
 
 
 def _mobilevit_v2(cfg):

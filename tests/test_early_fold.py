@@ -164,6 +164,18 @@ def test_movinet_block4_span_logits_match():
                                atol=2e-4, rtol=1e-4)
 
 
+def test_movinet_boundary_span_logits_match():
+    from picklebot_tpu.models.movinet import MoViNetA2
+    plain = MoViNetA2(num_classes=5)
+    fold = MoViNetA2(num_classes=5, early_fold=True, fold_span="boundary")
+    params = plain.init(0)
+    x = np.random.RandomState(24).randn(1, 4, 32, 32, 3).astype(np.float32)
+    y0 = jax.jit(lambda p, x: plain.apply(p, x, train=False)[0])(params, x)
+    y1 = jax.jit(lambda p, x: fold.apply(p, x, train=False)[0])(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_movinet_gradients_match():
     from picklebot_tpu.models.movinet import MoViNetA2
     plain = MoViNetA2(num_classes=5)
@@ -212,6 +224,34 @@ def test_mobilevit_fold_logits_and_grads_match():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3,
             err_msg=jax.tree_util.keystr(k0))
+
+
+def test_mobilevit_trunk_span_matches():
+    """fold_span='trunk': the three trunk bottlenecks run boundary-folded
+    around canonical ViT blocks."""
+    from picklebot_tpu.models.mobilevit import MOBILEVIT_CONFIGS, MobileViT
+    kw = dict(num_classes=7, depths=(1, 1, 1), attention_backend="xla",
+              **MOBILEVIT_CONFIGS["xxs"])
+    plain = MobileViT(**kw)
+    fold = MobileViT(early_fold=True, fold_span="trunk", **kw)
+    params = plain.init(0)
+    x = np.random.RandomState(32).randn(1, 4, 32, 32, 3).astype(np.float32)
+    y0 = jax.jit(lambda p, x: plain.apply(p, x, train=False)[0])(params, x)
+    y1 = jax.jit(lambda p, x: fold.apply(p, x, train=False)[0])(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_small_boundary_span_matches(pair_small):
+    from picklebot_tpu.models.mobilenet3d import MobileNetSmall3D
+    plain, _, params = pair_small
+    fold = MobileNetSmall3D(num_classes=13, early_fold=True,
+                            fold_span="boundary")
+    x = np.random.RandomState(13).randn(2, 8, 64, 64, 3).astype(np.float32)
+    y0 = jax.jit(lambda p, x: plain.apply(p, x, train=False)[0])(params, x)
+    y1 = jax.jit(lambda p, x: fold.apply(p, x, train=False)[0])(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=2e-4, rtol=1e-4)
 
 
 def test_fold_unfold_roundtrip():
