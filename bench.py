@@ -61,7 +61,15 @@ def main():
             # trunk bottlenecks boundary-folded: train 231.1 vs 220.6,
             # infer 583.0 vs 576.7 at bs=8
             args.fold_span = "trunk"
+        elif args.model == "MobileNetSmall3D":
+            # block3[0] boundary-folded instead of the k5 collapse:
+            # train 958.7 vs 881.8 clips/s bs=16
+            args.fold_span = "boundary"
         else:
+            # MoViNetA2: the boundary span measured SLOWER (110.9/327.7 vs
+            # 117.1/342.4 train/infer bs=8) — its blocks' full temporal
+            # depthwise makes the canonical expanded tensors pricier than
+            # the narrow-boundary savings
             args.fold_span = "block2"
     if args.early_fold is None:
         # default ON where measured to win on v5e (exact rewrite, logits
