@@ -62,7 +62,7 @@ def main():
     x32 = jax.device_put(rng.rand(B, T, S, S, 3).astype(np.float32))
     xf = jax.device_put(np.asarray(
         fold_nd(jnp.asarray(rng.rand(B, T, S, S, 3), jnp.bfloat16),
-                (1, 2, 16))))
+                (1, 1, 16))))
 
     def folded_conv(z):
         dn = lax.conv_dimension_numbers((1, 1, 1, 1, z.shape[-1]), wf.shape,
@@ -81,15 +81,49 @@ def main():
 
     print(f"# bs={B} T={T} {S}^2 (ms)")
     t = timeit(jax.jit(lambda x: fold_nd(x.astype(jnp.bfloat16),
-                                         (1, 2, 16))), x32)
+                                         (1, 1, 16))), x32)
     print(f"fold_nd f32->bf16 alone        {t:7.2f}")
     t = timeit(jax.jit(folded_conv), xf)
     print(f"folded conv, pre-folded input  {t:7.2f}")
     t = timeit(jax.jit(lambda x: folded_conv(
-        fold_nd(x.astype(jnp.bfloat16), (1, 2, 16)))), x32)
+        fold_nd(x.astype(jnp.bfloat16), (1, 1, 16)))), x32)
     print(f"fold + conv fused (model path) {t:7.2f}")
     t = timeit(jax.jit(plain_conv), x32)
     print(f"plain stride-2 stem conv       {t:7.2f}")
+
+    # parity decomposition: the strided (T,H) window splits into 4
+    # STRIDE-1 convs over the T/H parity planes (slices partition the
+    # input, so total MACs and bytes are unchanged — only the conv
+    # becomes XLA's best case)
+    def parity_conv(z):
+        # out[t',h'] = sum_{dt,dh,dw} zpad[2t'+dt, 2h'+dh, w'+dw-1]·w[...]
+        # split zpad by (T,H) parity: even planes carry taps {0,2} (k=2,
+        # stride 1), odd planes the center tap {1} (k=1)
+        z = z.astype(jnp.bfloat16)
+        wb = jnp.asarray(gather_weights(plan, w), jnp.bfloat16)  # (3,3,2,..)
+        zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+        to, ho = T // 2, S // 2
+        pieces = []
+        for tp in (0, 1):
+            for hp in (0, 1):
+                zs = zp[:, tp::2, hp::2]
+                kt = (0, 2) if tp == 0 else (1,)
+                kh = (0, 2) if hp == 0 else (1,)
+                wk = wb[jnp.asarray(kt)][:, jnp.asarray(kh)]
+                dn = lax.conv_dimension_numbers(
+                    (1, 1, 1, 1, 48), wk.shape, ("NTHWC", "THWIO", "NTHWC"))
+                out = lax.conv_general_dilated(
+                    zs, wk, (1, 1, 1), [(0, 0), (0, 0), (1, 0)],
+                    dimension_numbers=dn)
+                pieces.append(out[:, :to, :ho])
+        return sum(pieces)
+
+    want = jax.jit(folded_conv)(xf)
+    got = jax.jit(parity_conv)(xf)
+    err = float(jnp.max(jnp.abs(want.astype(jnp.float32)
+                                - got.astype(jnp.float32))))
+    t = timeit(jax.jit(parity_conv), xf)
+    print(f"parity-split stride-1 convs     {t:7.2f}   (max err {err:.2e})")
 
     # uint8 path (bench/train): preprocess normalize + fold + conv
     xu8 = jax.device_put(rng.randint(0, 255, (B, T, S, S, 3)).astype(np.uint8))
@@ -97,7 +131,7 @@ def main():
     def pre(x):
         return (x.astype(jnp.bfloat16) / 255.0 - 0.5) / 0.25
 
-    t = timeit(jax.jit(lambda x: folded_conv(fold_nd(pre(x), (1, 2, 16)))),
+    t = timeit(jax.jit(lambda x: folded_conv(fold_nd(pre(x), (1, 1, 16)))),
                xu8)
     print(f"uint8 pre + fold + conv        {t:7.2f}")
     t = timeit(jax.jit(lambda x: plain_conv(pre(x))), xu8)
