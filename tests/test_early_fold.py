@@ -196,12 +196,14 @@ def test_movinet_gradients_match():
             err_msg=jax.tree_util.keystr(k0))
 
 
-def test_mobilevit_fold_logits_and_grads_match():
+@pytest.mark.parametrize("variant", ["xxs", "xs"])
+def test_mobilevit_fold_logits_and_grads_match(variant):
     """conv1 (_ConvBNSiLU) + the four stem Bottleneck3Ds fold; transformer
-    trunk untouched."""
+    trunk untouched. Parametrized over size variants — the plans are built
+    from each config's channel table."""
     from picklebot_tpu.models.mobilevit import MOBILEVIT_CONFIGS, MobileViT
     kw = dict(num_classes=7, depths=(1, 1, 1), attention_backend="xla",
-              **MOBILEVIT_CONFIGS["xxs"])
+              **MOBILEVIT_CONFIGS[variant])
     plain = MobileViT(**kw)
     fold = MobileViT(early_fold=True, **kw)
     params = plain.init(0)
