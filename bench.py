@@ -72,8 +72,9 @@ def main():
             # the narrow-boundary savings
             args.fold_span = "block2"
     if args.early_fold is None:
-        # default ON where measured to win on v5e (exact rewrite, logits
-        # golden-equal, tests/test_early_fold.py). Since the W-only fold
+        # default ON where measured to win on v5e (exact rewrite; logits
+        # match within float tolerance, tests/test_early_fold.py). Since
+        # the W-only fold
         # (pure-reshape in-fold) it wins at every measured point:
         # Large3D train 487/651 clips/s bs16/64 (plain 195.7/376), infer
         # 1285/2033/2960 bs16/64/128 (plain 721/1859/2779); Small3D train

@@ -140,13 +140,20 @@ class MobileNetLarge3D(Module):
     through block4's first bottleneck — ~90% of the plain train step, all
     at C=16..40 paying up to 8x 128-lane padding — execute via the
     collapsed/lane-folded rewrites in ops/folded.py. Same parameters, same
-    checkpoints, logits golden-equal (tests/test_early_fold.py).
+    checkpoints; logits match within float tolerance
+    (tests/test_early_fold.py).
     """
+
+    FOLD_SPANS = ("block2", "block4", "boundary")
 
     def __init__(self, num_classes: int = 2, space_to_depth: bool = False,
                  early_fold: bool = False, fold_span: str = "block2"):
         super().__init__()
         self.num_classes = num_classes
+        if fold_span not in self.FOLD_SPANS:
+            raise ValueError(
+                f"MobileNetLarge3D fold_span={fold_span!r} not recognized "
+                f"(valid: {self.FOLD_SPANS})")
         self._fold_span = fold_span
         B = Bottleneck3D
         relu = act.relu
@@ -247,6 +254,8 @@ def _early_fold_plans_small():
 class MobileNetSmall3D(Module):
     """Reference mobilenet.py:213-265."""
 
+    FOLD_SPANS = ("block3", "boundary")
+
     def __init__(self, num_classes: int = 2, space_to_depth: bool = False,
                  early_fold: bool = False, fold_span: str = "block3"):
         super().__init__()
@@ -254,6 +263,10 @@ class MobileNetSmall3D(Module):
         # "block3" (default): block3[0] joins the dense collapse chain;
         # "boundary": block3[0] runs boundary-folded instead (canonical
         # FLOPs — its k5/E=96 collapse carries ~15x structural zeros)
+        if fold_span not in self.FOLD_SPANS:
+            raise ValueError(
+                f"MobileNetSmall3D fold_span={fold_span!r} not recognized "
+                f"(valid: {self.FOLD_SPANS})")
         self._fold_span = fold_span
         B = Bottleneck3D
         lrelu = act.leaky_relu

@@ -216,12 +216,14 @@ class TransformerStack(Module):
         return x
 
 
-def _early_fold_plans_vit(ch, expansion, kernel_size):
+def _early_fold_plans_vit(ch, kernel_size):
     """MobileViT lane-fold chain (W-major; ops/folded.py): conv1 + the four
     stem Bottleneck3Ds — the C=16/24 @112^2 layers paying 8x lane padding.
     The stem blocks are the same reference-quirk Bottleneck3D (BN+act after
     projection only, no SE), so they collapse fully. W in-fold 16 on the
-    stem conv is a pure reshape (no H fold — see mobilenet3d's plans)."""
+    stem conv is a pure reshape (no H fold — see mobilenet3d's plans).
+    The plans depend only on the channel table and kernel size (the
+    expansion ratio vanishes inside the collapsed expand->dw->project)."""
     from picklebot_tpu.ops.folded import folded_conv_map
     k, p = kernel_size, 1   # reference fixes conv padding at 1
     return {
@@ -242,6 +244,8 @@ def _early_fold_plans_vit(ch, expansion, kernel_size):
 class MobileViT(Module):
     """reference mobilevit.py:146-205."""
 
+    FOLD_SPANS = ("stem", "trunk")
+
     def __init__(self, dims: Sequence[int], channels: Sequence[int],
                  num_classes: int, expansion: int = 4,
                  kernel_size: int = 3,
@@ -252,13 +256,17 @@ class MobileViT(Module):
                  early_fold: bool = False, fold_span: str = "stem"):
         super().__init__()
         assert len(dims) == 3 and len(depths) == 3
+        if fold_span not in self.FOLD_SPANS:
+            raise ValueError(
+                f"MobileViT fold_span={fold_span!r} not recognized "
+                f"(valid: {self.FOLD_SPANS})")
         self._fold_span = fold_span
         ch = list(channels)
         self._ch = ch
         init_dim, last_dim = ch[0], ch[-1]
         be = attention_backend
         ma = model_axis
-        self._early_plans = (_early_fold_plans_vit(ch, expansion, kernel_size)
+        self._early_plans = (_early_fold_plans_vit(ch, kernel_size)
                              if early_fold else None)
 
         self.conv1 = conv_nxn_bn(3, init_dim, stride=2,

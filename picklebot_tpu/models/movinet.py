@@ -228,6 +228,8 @@ def _early_fold_plans_a2():
 class MoViNetA2(Module):
     """Offline clip classifier (reference movinet.py:80-165)."""
 
+    FOLD_SPANS = ("block2", "block4", "boundary")
+
     def __init__(self, num_classes: int = 2, causal: bool = False,
                  space_to_depth: bool = False, early_fold: bool = False,
                  fold_span: str = "block2"):
@@ -237,6 +239,10 @@ class MoViNetA2(Module):
         # default span block2 (stem + the three C=16 bottlenecks): the full
         # chain's temporal-kernel collapses (k=(3,3,3)/(5,3,3), 30-40x MAC
         # inflation) did not finish a 25-min v5e compile — see docs/BENCH.md
+        if fold_span not in self.FOLD_SPANS:
+            raise ValueError(
+                f"MoViNetA2 fold_span={fold_span!r} not recognized "
+                f"(valid: {self.FOLD_SPANS})")
         self._fold_span = fold_span
         self._early_plans = (_early_fold_plans_a2()
                              if early_fold and not causal else None)

@@ -16,7 +16,7 @@ def _mobilenet_large3d(cfg):
         num_classes=cfg.num_classes,
         space_to_depth=getattr(cfg, "space_to_depth", False),
         early_fold=getattr(cfg, "early_fold", False),
-        fold_span=getattr(cfg, "fold_span", "block2"))
+        fold_span=getattr(cfg, "fold_span", None) or "block2")
 
 
 def _mobilenet_small3d(cfg):
@@ -25,7 +25,7 @@ def _mobilenet_small3d(cfg):
         num_classes=cfg.num_classes,
         space_to_depth=getattr(cfg, "space_to_depth", False),
         early_fold=getattr(cfg, "early_fold", False),
-        fold_span=getattr(cfg, "fold_span", "block3"))
+        fold_span=getattr(cfg, "fold_span", None) or "block3")
 
 
 def _movinet_a2(cfg):
@@ -33,7 +33,7 @@ def _movinet_a2(cfg):
     return MoViNetA2(num_classes=cfg.num_classes,
                      space_to_depth=getattr(cfg, "space_to_depth", False),
                      early_fold=getattr(cfg, "early_fold", False),
-                     fold_span=getattr(cfg, "fold_span", "block2"))
+                     fold_span=getattr(cfg, "fold_span", None) or "block2")
 
 
 def _movinet_a2_stream(cfg):
@@ -55,7 +55,7 @@ def _mobilevit(cfg):
                      if getattr(cfg, "model_parallel", 1) > 1 else None,
                      space_to_depth=getattr(cfg, "space_to_depth", False),
                      early_fold=getattr(cfg, "early_fold", False),
-                     fold_span=getattr(cfg, "fold_span", "stem"))
+                     fold_span=getattr(cfg, "fold_span", None) or "stem")
 
 
 def _mobilevit_v2(cfg):
@@ -91,6 +91,18 @@ MODELS: Dict[str, Callable[[Any], Any]] = {
     # capability extension: streaming MoViNet
     "MoViNetA2Stream": _movinet_a2_stream,
 }
+
+
+def fold_spans_for(model_name: str):
+    """Per-model fold_span vocabulary (the model class's FOLD_SPANS), or
+    None for models without a folded path. Used by Config.validate()."""
+    if model_name in ("MobileNetLarge3D", "MoViNetA2"):
+        return ("block2", "block4", "boundary")
+    if model_name == "MobileNetSmall3D":
+        return ("block3", "boundary")
+    if model_name == "MobileViT":
+        return ("stem", "trunk")
+    return None
 
 
 def initialize_model(cfg):

@@ -8,10 +8,15 @@ mobilevit.py:82-85); we implement the evident intent (the head-merge present
 in profiling_mobilevit.py:102) — a documented divergence.
 
 Backends:
-  * 'xla'    — plain einsum softmax attention; XLA fuses well at these sizes.
-  * 'pallas' — first-party blockwise flash-attention kernel
-               (ops/pallas/flash_attention.py), used when seq-len is large
-               enough to matter and shapes are TPU-tile friendly.
+  * 'auto'   — head-packed Pallas flash kernel (ops/pallas/flash_packed.py)
+               when the shape qualifies (all heads fit the 128-lane minor
+               dim and the sequence is long enough that it beats XLA —
+               measured on v5e, see _PACKED_MIN_SEQ); XLA otherwise.
+  * 'xla'    — plain einsum softmax attention.
+  * 'packed' — force the head-packed Pallas kernel.
+  * 'pallas' — the generic per-head blockwise flash kernel
+               (ops/pallas/flash_attention.py); kept for head dims that
+               don't pack into 128 lanes and for comparison benches.
 
 LinearSelfAttention is MobileViT V2's O(n) separable attention
 (mobilevitv2.py:9-55), reformulated channels-last: scores softmax over the
@@ -29,6 +34,11 @@ import jax.numpy as jnp
 from picklebot_tpu.core.module import Ctx, Module
 from picklebot_tpu.ops.linear import Dense, Dropout
 from picklebot_tpu.ops.norm import LayerNorm
+
+# Below this many tokens XLA's fused softmax attention matches or beats the
+# head-packed kernel (v5e, bf16, 8x16 heads: N=200 tie 1.5ms, N=1568 kernel
+# wins 2.40 vs 3.33ms fwd / 3.42 vs 6.23ms fwd+bwd — probe_flash_packed.py)
+_PACKED_MIN_SEQ = 512
 
 
 def sdpa_xla(q, k, v, scale: float, dropout_p: float = 0.0,
@@ -72,13 +82,9 @@ class MultiHeadAttention(Module):
         backend = self.backend
         dropout_active = cx.train and self.dropout_p > 0
         if backend == "auto":
-            # Measured on v5e (MobileViT-xxs, T=64, 224², bf16): XLA's fused
-            # softmax attention beats the Pallas flash kernel ~2.3x e2e even
-            # at multi-thousand-token sequences — dim_head=16 underutilizes
-            # the MXU either way and XLA's fusion wins. 'auto' therefore
-            # stays on XLA; the kernel is for explicit opt-in
-            # (backend='pallas') and for head dims/sequence lengths where
-            # the (N, N) score matrix becomes the binding constraint.
+            # the head-packed kernel is selected earlier (forward, on the
+            # unsplit qkv); reaching here on 'auto' means the shape didn't
+            # qualify, so XLA it is
             backend = "xla"
         if dropout_active:
             # the flash kernel has no dropout path; silently dropping the
@@ -91,9 +97,33 @@ class MultiHeadAttention(Module):
         return sdpa_xla(q, k, v, self.scale,
                         self.dropout_p if cx.train else 0.0, rng)
 
+    def _use_head_packed(self, cx: Ctx, n: int) -> bool:
+        """Head-packed kernel eligibility: every head must pack into the
+        128-lane minor dim (MobileViT: 8 x 16 = 128 exactly), the kernel
+        has no dropout path, and below ~_PACKED_MIN_SEQ tokens XLA's fused
+        attention is at parity or better (measured on v5e — see
+        docs/kernel_evidence.json)."""
+        if self.backend == "packed":
+            return True
+        if self.backend != "auto":
+            return False
+        if cx.train and self.dropout_p > 0:
+            return False
+        return self.inner_dim <= 128 and n >= _PACKED_MIN_SEQ
+
     def forward(self, cx: Ctx, x):
         x = cx(self.norm, x)
         qkv = cx(self.to_qkv, x)                       # (..., N, 3*inner)
+
+        if self._use_head_packed(cx, x.shape[-2]):
+            # heads never split: the packed kernel consumes the fused
+            # projection's (..., N, H*D) layout directly
+            from picklebot_tpu.ops.pallas.flash_packed import (
+                flash_attention_packed)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            out = flash_attention_packed(q, k, v, self.heads,
+                                         scale=self.scale)
+            return cx(self.out_dropout, cx(self.to_out, out))
 
         if self.backend == "pallas_packed" and not (
                 cx.train and self.dropout_p > 0):

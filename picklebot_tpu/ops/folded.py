@@ -88,8 +88,22 @@ def folded_conv_map(kernel: Sequence[int], stride: Sequence[int],
     THWIO (groups=1) or the collapsed bottleneck weight. Folded input
     channels are ordered (q_dim0, q_dim1, ..., ci); folded output channels
     (phi_dim0, phi_dim1, ..., co) — block-major fold (fold_nd below).
+
+    Geometry preconditions (fail loudly instead of producing wrong shapes):
+    dilation-1 convs only (there is no dilation parameter by design), and
+    every folded dim must satisfy the 'same'-conv output-size identity
+    out = N/stride, i.e. 0 <= 2p - k + s < s — the tap re-indexing in
+    _dim_taps tiles output blocks exactly under that relation.
     """
     rank = len(kernel)
+    for i in range(rank):
+        if folds_in[i] > 1 or folds_out[i] > 1:
+            k, s, p = kernel[i], stride[i], padding[i]
+            if not (0 <= 2 * p - k + s < s):
+                raise ValueError(
+                    f"folded dim {i}: kernel={k} stride={s} pad={p} violates "
+                    f"the out=N/stride identity (need 0 <= 2p-k+s < s); "
+                    f"this fold plan would produce wrong shapes")
     per_dim = [_dim_taps(folds_in[i], folds_out[i], stride[i], kernel[i],
                          padding[i]) for i in range(rank)]
     kdims = tuple(pd[0] for pd in per_dim)

@@ -266,7 +266,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             mask[n:] = 0.0
         return feats, labels, mask
 
-    def run_eval(epoch):
+    def run_eval():
         tot_loss_sum, tot_correct, tot_n = 0.0, 0.0, 0.0
         print("Evaluating...")
         batches = 0
@@ -363,7 +363,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
 
             if epoch % config.eval_interval == 0 or \
                     epoch == config.max_iters - 1:
-                val_loss, val_accuracy, val_samples = run_eval(epoch)
+                val_loss, val_accuracy, val_samples = run_eval()
                 val_losses.append(val_loss)
                 val_percent.append(val_accuracy)
                 summary["val_samples"] = val_samples

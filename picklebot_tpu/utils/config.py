@@ -65,9 +65,13 @@ class Config:
     early_fold: bool = False            # lane-folded early stage (exact;
     #                                     MobileNet3D Large/Small, MoViNetA2,
     #                                     MobileViT; ops/folded.py)
-    fold_span: str = "block2"           # how deep the fold runs (Large3D /
-    #                                     MoViNetA2: block2|block4; Large3D
-    #                                     also: boundary)
+    fold_span: Optional[str] = None     # how deep the fold runs; None =
+    #                                     model default. Vocabulary is
+    #                                     per-model (each model's FOLD_SPANS):
+    #                                     Large3D/MoViNetA2:
+    #                                       block2|block4|boundary
+    #                                     Small3D: block3|boundary
+    #                                     MobileViT: stem|trunk
 
     def validate(self) -> "Config":
         from picklebot_tpu.models.registry import MODELS
@@ -100,6 +104,15 @@ class Config:
                 raise ValueError(
                     "model_parallel is currently supported for MobileViT "
                     "(transformer FFN sharding)")
+        if self.fold_span is not None:
+            # per-model vocabularies; a typo or another model's span name
+            # must fail here, not silently run the shortest fold
+            from picklebot_tpu.models.registry import fold_spans_for
+            valid = fold_spans_for(self.model_name)
+            if valid is not None and self.fold_span not in valid:
+                raise ValueError(
+                    f"fold_span={self.fold_span!r} is not valid for "
+                    f"{self.model_name} (valid: {valid})")
         return self
 
     @property

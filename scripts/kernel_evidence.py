@@ -26,9 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from picklebot_tpu.ops.attention import sdpa_xla  # noqa: E402
 from picklebot_tpu.ops.pallas.flash_attention import flash_attention  # noqa: E402
+from picklebot_tpu.ops.pallas.flash_packed import flash_attention_packed  # noqa: E402
 
 
 def sync(x):
+    if isinstance(x, (tuple, list)):
+        return sum(sync(t) for t in x)
     return float(jnp.sum(jnp.asarray(x, jnp.float32)))
 
 
@@ -41,6 +44,23 @@ def timeit(fn, *args, steps=10, warmup=3):
         out = fn(*args)
     sync(out)
     return (time.perf_counter() - t0) / steps * 1e3
+
+
+def timeit_loop(fn, q, k, v, reps=20):
+    """ms per fn(q, k, v) call inside ONE jitted fori_loop (each iteration
+    data-depends on the last) — immune to the remote-TPU tunnel's per-call
+    dispatch latency, which pollutes sub-30ms host-side timings."""
+    def body(_, carry):
+        out = fn(carry, k, v)
+        if isinstance(out, tuple):
+            out = out[0]
+        return carry + 1e-6 * out.astype(carry.dtype)
+
+    looped = jax.jit(lambda q: jax.lax.fori_loop(0, reps, body, q))
+    sync(looped(q))
+    t0 = time.perf_counter()
+    sync(looped(q))
+    return (time.perf_counter() - t0) / reps * 1e3
 
 
 def flash_evidence(results):
@@ -98,6 +118,60 @@ def flash_evidence(results):
         print(name, json.dumps(entry, indent=1))
 
 
+def flash_packed_evidence(results):
+    """Head-packed kernel (ops/pallas/flash_packed.py) vs XLA on the SAME
+    packed (..., N, H*D) layout, timed with the in-graph loop. This is the
+    kernel 'auto' ships on the default path (ops/attention.py)."""
+    rng = np.random.RandomState(0)
+    heads, dim_head = 8, 16
+    scale = dim_head ** -0.5
+
+    def sdpa_packed(q, k, v):
+        def split(t):
+            t = t.reshape(t.shape[:-1] + (heads, dim_head))
+            return jnp.swapaxes(t, -2, -3)
+        out = sdpa_xla(split(q), split(k), split(v), scale)
+        out = jnp.swapaxes(out, -2, -3)
+        return out.reshape(out.shape[:-2] + (heads * dim_head,))
+
+    def f_packed(q, k, v):
+        return flash_attention_packed(q, k, v, heads, scale)
+
+    def grad_of(fn):
+        def loss(q, k, v):
+            return jnp.sum(fn(q, k, v).astype(jnp.float32) ** 2)
+        return jax.grad(loss, argnums=(0, 1, 2))
+
+    out = {}
+    for name, (b, n) in [("mobilevit_stage1", (8, 1568)),
+                         ("stage2", (8, 200)),
+                         ("long4k", (4, 4096))]:
+        q = jnp.asarray(rng.randn(b, n, heads * dim_head), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(b, n, heads * dim_head), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(b, n, heads * dim_head), jnp.bfloat16)
+        want = np.asarray(jax.jit(sdpa_packed)(q, k, v), np.float32)
+        got = np.asarray(jax.jit(f_packed)(q, k, v), np.float32)
+        ga = jax.jit(grad_of(f_packed))(q, k, v)
+        gb = jax.jit(grad_of(sdpa_packed))(q, k, v)
+        entry = {
+            "shape": dict(batch=b, heads=heads, seq=n, dim_head=dim_head,
+                          dtype="bfloat16", layout="packed (N, H*D)"),
+            "fwd_max_abs_err_vs_xla": float(np.max(np.abs(got - want))),
+            "bwd_max_abs_err_vs_xla": float(max(
+                np.max(np.abs(np.asarray(x, np.float32)
+                              - np.asarray(y, np.float32)))
+                for x, y in zip(ga, gb))),
+            "fwd_ms": {"pallas_packed": timeit_loop(f_packed, q, k, v),
+                       "xla": timeit_loop(sdpa_packed, q, k, v)},
+            "fwd_bwd_ms": {
+                "pallas_packed": timeit_loop(grad_of(f_packed), q, k, v),
+                "xla": timeit_loop(grad_of(sdpa_packed), q, k, v)},
+        }
+        out[name] = entry
+        print("packed", name, json.dumps(entry, indent=1))
+    results["flash_attention_packed"] = out
+
+
 def fused_bottleneck_evidence(results):
     from picklebot_tpu.core.module import DtypePolicy
     from picklebot_tpu.ops.bottleneck import Bottleneck3D
@@ -143,6 +217,7 @@ def main():
     }
     assert results["platform"] == "tpu", \
         f"evidence must be gathered on-chip, got {results['platform']}"
+    flash_packed_evidence(results)
     flash_evidence(results)
     fused_bottleneck_evidence(results)
     with open(args.out, "w") as fh:

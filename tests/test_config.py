@@ -1,0 +1,89 @@
+"""Config validation tests — fold_span vocabularies are per model and a
+typo (or another model's span name) must fail loudly at config time rather
+than silently running the shortest fold (round-2 advisor finding)."""
+
+import dataclasses
+
+import pytest
+
+from picklebot_tpu.utils.config import Config
+from picklebot_tpu.models.registry import fold_spans_for, initialize_model
+
+
+def _cfg(**kw):
+    return Config(**kw).validate()
+
+
+def test_fold_span_default_is_model_default():
+    cfg = _cfg(model_name="MobileNetSmall3D", early_fold=True)
+    assert cfg.fold_span is None
+    model = initialize_model(cfg)
+    assert model._fold_span == "block3"
+
+
+@pytest.mark.parametrize("model,span", [
+    ("MobileNetLarge3D", "boundary"),
+    ("MobileNetSmall3D", "boundary"),
+    ("MoViNetA2", "block4"),
+    ("MobileViT", "trunk"),
+])
+def test_fold_span_valid_values_accepted(model, span):
+    kw = {}
+    if model == "MobileViT":
+        kw = dict(dims=[64, 80, 96], channels=[16, 16, 24, 24, 48, 48,
+                                               64, 64, 80, 80, 320])
+    cfg = _cfg(model_name=model, fold_span=span, **kw)
+    assert initialize_model(cfg)._fold_span == span
+
+
+@pytest.mark.parametrize("model,span", [
+    ("MobileNetLarge3D", "boundry"),      # typo
+    ("MobileNetSmall3D", "block2"),       # another model's span
+    ("MobileViT", "block2"),
+    ("MoViNetA2", "stem"),
+])
+def test_fold_span_invalid_values_rejected(model, span):
+    with pytest.raises(ValueError, match="fold_span"):
+        _cfg(model_name=model, fold_span=span)
+
+
+def test_model_constructors_reject_unknown_span():
+    from picklebot_tpu.models.mobilenet3d import (MobileNetLarge3D,
+                                                  MobileNetSmall3D)
+    from picklebot_tpu.models.movinet import MoViNetA2
+    from picklebot_tpu.models.mobilevit import MobileViT
+    for cls in (MobileNetLarge3D, MobileNetSmall3D, MoViNetA2):
+        with pytest.raises(ValueError, match="fold_span"):
+            cls(num_classes=2, fold_span="nope")
+    with pytest.raises(ValueError, match="fold_span"):
+        MobileViT(dims=[64, 80, 96],
+                  channels=[16, 16, 24, 24, 48, 48, 64, 64, 80, 80, 320],
+                  num_classes=2, fold_span="nope")
+
+
+def test_fold_spans_for_matches_model_classes():
+    """The registry's config-time vocabulary table must not drift from the
+    model classes' FOLD_SPANS."""
+    from picklebot_tpu.models.mobilenet3d import (MobileNetLarge3D,
+                                                  MobileNetSmall3D)
+    from picklebot_tpu.models.movinet import MoViNetA2
+    from picklebot_tpu.models.mobilevit import MobileViT
+    assert fold_spans_for("MobileNetLarge3D") == MobileNetLarge3D.FOLD_SPANS
+    assert fold_spans_for("MobileNetSmall3D") == MobileNetSmall3D.FOLD_SPANS
+    assert fold_spans_for("MoViNetA2") == MoViNetA2.FOLD_SPANS
+    assert fold_spans_for("MobileViT") == MobileViT.FOLD_SPANS
+    assert fold_spans_for("MobileViTV2") is None
+
+
+def test_folded_conv_map_rejects_bad_geometry():
+    """Advisor finding: invalid fold geometry must raise at plan-build time
+    instead of silently producing wrong shapes."""
+    from picklebot_tpu.ops.folded import folded_conv_map
+    # k=4, s=2, p=1: 2p-k+s = 0 OK; k=4, s=2, p=0: 2p-k+s = -2 -> reject
+    with pytest.raises(ValueError, match="fold"):
+        folded_conv_map((1, 4, 4), (1, 2, 2), (0, 0, 0),
+                        (1, 1, 8), (1, 1, 4), 3, 16)
+    # even-kernel 'valid'-style geometry also rejected on a folded dim
+    with pytest.raises(ValueError, match="fold"):
+        folded_conv_map((1, 2, 2), (1, 1, 1), (1, 1, 1),
+                        (1, 1, 8), (1, 1, 8), 3, 16)
