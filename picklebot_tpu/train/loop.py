@@ -71,9 +71,15 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     if n_procs > 1:
         if mesh is None:
             raise ValueError("multi-process training requires a device mesh")
-        if mp > 1:
-            raise ValueError("model_parallel under multi-host is not "
-                             "supported by train() yet (use the step API)")
+        # DP x TP: the mesh is laid out data-major (parallel/mesh.py), so a
+        # host's devices span whole data rows when its device count divides
+        # by mp — each host then owns an integral slice of the data axis and
+        # per-host batch assembly (make_array_from_process_local_data) works
+        # unchanged. state placement honors state_specs in place() below.
+        if mp > 1 and (jax.local_device_count() % mp != 0):
+            raise ValueError(
+                f"model_parallel={mp} must divide the per-host device count "
+                f"({jax.local_device_count()}) so TP groups stay host-local")
         if n_data % n_procs != 0:
             raise ValueError(f"data_parallel={n_data} must divide evenly "
                              f"across {n_procs} processes")

@@ -1,13 +1,14 @@
-"""Per-block on-chip cost breakdown for MobileNetLarge3D at bench shapes.
+"""Per-block on-chip cost breakdown at bench shapes (Large3D + MoViNetA2).
 
 Times jitted *prefixes* of the forward pass (block1, block1-2, ...) and the
 same prefixes with a sum-loss backward, then prints per-block deltas. This
-is the tunnel-safe way to localize the train step's 82 ms (bs=16): the
-remote-TPU profiler trace isn't readable here, and deltas of >5 ms prefixes
-sit above the tunnel-latency noise floor (CLAUDE.md).
+is the tunnel-safe way to localize the train step's cost: the remote-TPU
+profiler trace isn't readable here, and deltas of >5 ms prefixes sit above
+the tunnel-latency noise floor (CLAUDE.md).
 
-Usage: python scripts/profile_blocks.py [--batch 16] [--frames 32]
-       [--size 224] [--s2d] [--steps 5]
+Usage: python scripts/profile_blocks.py [--model MoViNetA2] [--batch 16]
+       [--frames 32] [--size 224] [--s2d] [--steps 5] [--early-fold]
+       [--per-layer]  (MoViNet: also prints every bottleneck inside stages)
 """
 
 from __future__ import annotations
@@ -43,15 +44,108 @@ def timeit(fn, *args, steps=5, warmup=2):
     return (time.perf_counter() - t0) / steps * 1e3
 
 
+def movinet_prefixes(model, per_layer: bool):
+    """Prefix builders for MoViNetA2: each returns (name, forward_fn).
+    Handles the early-fold block2 span (the bench default)."""
+    from picklebot_tpu.ops.folded import fold_nd, unfold_nd
+    import math as _math
+
+    steps = []
+
+    def stem(cx, h):
+        if model._early_plans is not None:
+            plans = model._early_plans
+            z = fold_nd(h, plans["fold_in"])
+            z = cx(model.stem_conv, z, folded=plans["stem"])
+            F = _math.prod(plans["stem"].folds_out)
+            z6 = cx(model.stem_bn, z.reshape(z.shape[:-1] + (F, 16)))
+            return act.hardswish(z6).reshape(z.shape)
+        return act.hardswish(cx(model.stem_bn, cx(model.stem_conv, h)))
+
+    steps.append(("stem", stem))
+
+    def block2(cx, h):
+        if model._early_plans is not None:
+            plans = model._early_plans
+            for i, key in enumerate(("b2_0", "b2_1", "b2_2")):
+                h = cx(model.block2.layers[i], h, folded=plans[key])
+            assert model._fold_span == "block2", "profile: block2 span only"
+            return unfold_nd(h, (1, 1, 4), 16)
+        return cx(model.block2, h)
+
+    steps.append(("block2", block2))
+    for sname in ("block3", "block4", "block5", "block6"):
+        stage = getattr(model, sname)
+        if per_layer:
+            for li in range(len(stage.layers)):
+                def one(cx, h, stage=stage, li=li):
+                    return cx(stage.layers[li], h)
+                steps.append((f"{sname}[{li}]", one))
+        else:
+            def whole(cx, h, stage=stage):
+                return cx(stage, h)
+            steps.append((sname, whole))
+
+    def head(cx, h):
+        h = act.hardswish(cx(model.head_bn, cx(model.head_conv, h)))
+        h = cx(model.pool, h)
+        h = act.hardswish(cx(model.fc1_bn, cx(model.fc1, h)))
+        return cx(model.fc2, h)
+
+    steps.append(("head", head))
+    return steps
+
+
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--model", default="MobileNetLarge3D",
+                   choices=["MobileNetLarge3D", "MoViNetA2"])
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--frames", type=int, default=32)
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--s2d", action="store_true")
     p.add_argument("--early-fold", action="store_true")
+    p.add_argument("--per-layer", action="store_true")
     args = p.parse_args()
+
+    if args.model == "MoViNetA2":
+        from picklebot_tpu.models.movinet import MoViNetA2
+        model = MoViNetA2(num_classes=13, space_to_depth=args.s2d,
+                          early_fold=args.early_fold)
+        params = jax.device_put(model.init(0))
+        policy = DtypePolicy.bf16()
+        rng = np.random.RandomState(0)
+        x = jax.device_put(rng.rand(
+            args.batch, args.frames, args.size, args.size,
+            3).astype(np.float32))
+        steps = movinet_prefixes(model, args.per_layer)
+
+        print(f"# MoViNetA2 bs={args.batch} T={args.frames} {args.size}^2 "
+              f"bf16 early_fold={args.early_fold} "
+              f"(ms, deltas vs previous prefix)")
+        prev_f, prev_b = 0.0, 0.0
+        for n in range(1, len(steps) + 1):
+            def f(variables, x, n=n):
+                cx = Ctx(model, variables["params"], variables["state"],
+                         train=False, rng=None, policy=policy)
+                h = x
+                for _, fn in steps[:n]:
+                    h = fn(cx, h)
+                return h
+            fwd = jax.jit(f)
+            t_f = timeit(fwd, params, x, steps=args.steps)
+
+            def loss(variables, x, f=f):
+                return jnp.sum(f(variables, x).astype(jnp.float32))
+            bwd = jax.jit(jax.grad(loss))
+            t_b = timeit(lambda v, xx: jax.tree_util.tree_leaves(
+                bwd(v, xx))[0], params, x, steps=args.steps)
+            print(f"{steps[n-1][0]:10s} fwd {t_f:7.2f} "
+                  f"(+{t_f - prev_f:6.2f})   "
+                  f"fwd+bwd {t_b:7.2f} (+{t_b - prev_b:6.2f})", flush=True)
+            prev_f, prev_b = t_f, t_b
+        return
 
     model = MobileNetLarge3D(num_classes=13, space_to_depth=args.s2d,
                              early_fold=args.early_fold)

@@ -1,0 +1,155 @@
+"""Converged-accuracy parity: both frameworks learn the same task to the
+same accuracy (round-3 VERDICT item 4).
+
+Round-2 gap: parity was gated on 30-step training dynamics and logit
+equality, but nothing demonstrated both frameworks *reach the same val
+accuracy* on the same data. The reference's one hard accuracy artifact
+(41.17% val on its absent dataset, BASELINE.md) can't be reproduced here,
+so the strongest feasible proxy: train the reference's torch
+MobileNetSmall3D (reference train.py:186-343 loop semantics: CE + AdamW +
+cosine schedule + /255 normalize, mobilenet.py:213-265) and picklebot-tpu's
+on the IDENTICAL synthetic_learnable clips (13 brightness classes) in the
+IDENTICAL batch order, then require both to converge well above chance and
+land within a few points of each other.
+
+Numbers from a representative run are recorded in docs/BENCH.md
+("Converged-accuracy parity").
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if os.path.isdir(REF) and REF not in sys.path:
+    sys.path.insert(0, REF)
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "config")),
+    reason="reference checkout not available")
+
+N_TRAIN, N_VAL = 64, 32
+BATCH = 8
+EPOCHS = 20
+LR, WD = 3e-3, 5e-4
+SHAPE = (8, 32, 32)      # (T, H, W) before ragged-T variation
+N_CLASSES = 13
+CHANCE = 1.0 / N_CLASSES
+
+
+def _dataset_arrays():
+    """The same collated uint8 arrays both frameworks consume."""
+    from picklebot_tpu.data.dataset import ClipDataset, pad_collate
+    ds = ClipDataset("", "", backend="synthetic_learnable",
+                     synthetic_len=N_TRAIN + N_VAL, synthetic_shape=SHAPE)
+
+    def collate(indices):
+        clips, labels = zip(*[ds[i] for i in indices])
+        feats, lbls = pad_collate(list(clips), list(labels),
+                                  t_bucket=SHAPE[0], max_frames=SHAPE[0])
+        return feats, lbls.astype(np.int64)
+
+    train = collate(range(N_TRAIN))
+    val = collate(range(N_TRAIN, N_TRAIN + N_VAL))
+    return train, val
+
+
+def _batch_orders():
+    """One shared shuffled batch order per epoch (set_epoch analog)."""
+    orders = []
+    for epoch in range(EPOCHS):
+        perm = np.random.RandomState(1000 + epoch).permutation(N_TRAIN)
+        orders.append([perm[i:i + BATCH] for i in range(0, N_TRAIN, BATCH)])
+    return orders
+
+
+def _train_torch(train, val, orders):
+    from mobilenet import MobileNetSmall3D as TSmall
+    feats, labels = train
+    vfeats, vlabels = val
+    torch.manual_seed(0)
+    model = TSmall(num_classes=N_CLASSES)
+    model.initialize_weights()        # reference train.py:177 (a no-op here)
+    opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=WD)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=EPOCHS)
+    crit = torch.nn.CrossEntropyLoss()
+
+    def to_x(a):                      # extract_features_labels train.py:102-108
+        return torch.from_numpy(a.astype(np.float32)).permute(
+            0, 4, 1, 2, 3) / 255.0
+
+    for order in orders:
+        model.train()
+        for idx in order:
+            x, y = to_x(feats[idx]), torch.from_numpy(labels[idx])
+            opt.zero_grad()
+            loss = crit(model(x), y)
+            loss.backward()
+            opt.step()
+        sched.step()
+    model.eval()
+    correct = 0
+    with torch.no_grad():
+        for i in range(0, N_VAL, BATCH):
+            out = model(to_x(vfeats[i:i + BATCH]))
+            correct += int((out.argmax(1) ==
+                            torch.from_numpy(vlabels[i:i + BATCH])).sum())
+    return correct / N_VAL
+
+
+def _train_ours(train, val, orders):
+    from picklebot_tpu.core.module import DtypePolicy
+    from picklebot_tpu.models.mobilenet3d import MobileNetSmall3D
+    from picklebot_tpu.train.optim import AdamW, cosine_annealing_lr
+    from picklebot_tpu.train.step import (create_train_state, make_eval_step,
+                                          make_train_step)
+
+    feats, labels = train
+    vfeats, vlabels = val
+    model = MobileNetSmall3D(N_CLASSES)
+    opt = AdamW(weight_decay=WD)
+    step = make_train_step(model, opt, "CE",
+                           cosine_annealing_lr(LR, EPOCHS),
+                           policy=DtypePolicy.f32(), donate=False)
+    eval_step = make_eval_step(model, "CE", policy=DtypePolicy.f32())
+    state = create_train_state(model, opt, 0)
+
+    for e, order in enumerate(orders):
+        # the loop drives the schedule by epoch (loop.py), matching the
+        # torch side's per-epoch scheduler.step()
+        state = state._replace(epoch=jnp.asarray(e, np.int32))
+        for i, idx in enumerate(order):
+            state, _ = step(state,
+                            jnp.asarray(feats[idx][None]),
+                            jnp.asarray(labels[idx].astype(np.int32)[None]),
+                            jax.random.key(e * 1000 + i))
+    correct = 0.0
+    for i in range(0, N_VAL, BATCH):
+        metrics = eval_step(state, jnp.asarray(vfeats[i:i + BATCH]),
+                            jnp.asarray(vlabels[i:i + BATCH].astype(np.int32)),
+                            jnp.ones((BATCH,), np.float32))
+        correct += float(np.sum(np.asarray(metrics["correct"])))
+    return correct / N_VAL
+
+
+@needs_ref
+@pytest.mark.golden
+@pytest.mark.slow
+def test_converged_accuracy_parity():
+    train, val, = _dataset_arrays()
+    orders = _batch_orders()
+    acc_ours = _train_ours(train, val, orders)
+    acc_torch = _train_torch(train, val, orders)
+    print(f"\nconverged val accuracy: picklebot-tpu {acc_ours:.3f}, "
+          f"reference-torch {acc_torch:.3f} (chance {CHANCE:.3f})")
+    # both converge well above chance...
+    assert acc_ours >= 4 * CHANCE, acc_ours
+    assert acc_torch >= 4 * CHANCE, acc_torch
+    # ...and to the same place (different frameworks, different init/dropout
+    # draws — a few points of slack, same bar VERDICT r2 set)
+    assert abs(acc_ours - acc_torch) <= 0.15, (acc_ours, acc_torch)
