@@ -74,6 +74,16 @@ def decode_npy(path: str) -> np.ndarray:
     return np.ascontiguousarray(arr, np.uint8)
 
 
+def decode_ffmpeg(path: str) -> np.ndarray:
+    """Second real video decode backend: the first-party libavcodec core
+    (data/native_src/videodec.cpp) — the analog of the reference's
+    torchvision.io.read_video path (dataloader.py:41-43), which is likewise
+    an ffmpeg integration. Same (T, H, W, 3) uint8 RGB as decode_opencv;
+    byte-parity on the same mp4s is tested (tests/test_data.py)."""
+    from picklebot_tpu.data.native import decode_video_ffmpeg
+    return decode_video_ffmpeg(path)
+
+
 class ClipDataset:
     def __init__(self, annotations_file: str, video_dir: str,
                  backend: str = "opencv",
@@ -120,6 +130,8 @@ class ClipDataset:
         path = os.path.join(self.video_dir, self.filenames[idx])
         if self.backend == "opencv":
             return decode_opencv(path), label
+        if self.backend == "ffmpeg":
+            return decode_ffmpeg(path), label
         if self.backend == "npy":
             return decode_npy(path), label
         raise ValueError(f"unknown backend {self.backend}")

@@ -1,9 +1,16 @@
-"""ctypes bridge to the C++ collate core (data/native_src/collate.cpp).
+"""ctypes bridges to the C++ data cores (data/native_src/*.cpp).
 
-Builds the shared library on first use (g++, cached next to the source);
-falls back to pure numpy when a compiler isn't available. The GIL is
-released for the duration of the copy (ctypes does this for foreign calls),
-so decode threads keep running while a batch is assembled.
+* collate.cpp  — parallel ragged-clip collate into the padded batch.
+* videodec.cpp — libavformat/libavcodec video decode to RGB24 (T, H, W, 3):
+  the first-party analog of the reference's torchvision.read_video backend
+  (reference dataloader.py:41-43).
+
+Each shared library builds on first use (g++, cached next to the source)
+and degrades gracefully: collate falls back to numpy; the ffmpeg decoder
+reports unavailable (ClipDataset raises a clear error for that backend)
+when the libav* dev libraries aren't installed. The GIL is released for
+the duration of every foreign call, so decode threads keep running while
+a batch is assembled.
 """
 
 from __future__ import annotations
@@ -58,6 +65,84 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int]
         _LIB = lib
         return _LIB
+
+
+_VDEC_LOCK = threading.Lock()
+_VDEC_LIB: Optional[ctypes.CDLL] = None
+_VDEC_TRIED = False
+
+_VDEC_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "native_src", "videodec.cpp")
+
+
+def _build_videodec() -> Optional[str]:
+    so_path = os.path.join(os.path.dirname(_VDEC_SRC), "libvideodec.so")
+    if os.path.exists(so_path) and (
+            os.path.getmtime(so_path) >= os.path.getmtime(_VDEC_SRC)):
+        return so_path
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", so_path, _VDEC_SRC,
+             "-lavformat", "-lavcodec", "-lavutil", "-lswscale"],
+            check=True, capture_output=True, timeout=180)
+        return so_path
+    except Exception:
+        return None
+
+
+def get_videodec_lib() -> Optional[ctypes.CDLL]:
+    global _VDEC_LIB, _VDEC_TRIED
+    with _VDEC_LOCK:
+        if _VDEC_LIB is not None or _VDEC_TRIED:
+            return _VDEC_LIB
+        _VDEC_TRIED = True
+        if not os.path.exists(_VDEC_SRC):
+            return None
+        so = _build_videodec()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        lib.pb_decode_video.restype = ctypes.c_int
+        lib.pb_decode_video.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.pb_video_free.restype = None
+        lib.pb_video_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        _VDEC_LIB = lib
+        return _VDEC_LIB
+
+
+def ffmpeg_available() -> bool:
+    return get_videodec_lib() is not None
+
+
+def decode_video_ffmpeg(path: str, max_frames: int = 0) -> np.ndarray:
+    """Decode a video via the first-party libavcodec core -> (T, H, W, 3)
+    uint8 RGB. Raises RuntimeError when the native library is unavailable
+    or the file can't be decoded."""
+    lib = get_videodec_lib()
+    if lib is None:
+        raise RuntimeError(
+            "ffmpeg decode backend unavailable: the native videodec "
+            "library could not be built (needs g++ and the libavformat/"
+            "libavcodec/libswscale dev libraries)")
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    t = ctypes.c_int64()
+    h = ctypes.c_int64()
+    w = ctypes.c_int64()
+    ret = lib.pb_decode_video(path.encode(), max_frames,
+                              ctypes.byref(out), ctypes.byref(t),
+                              ctypes.byref(h), ctypes.byref(w))
+    if ret != 0:
+        raise RuntimeError(f"ffmpeg decode failed for {path!r} (code {ret})")
+    try:
+        n = t.value * h.value * w.value * 3
+        arr = np.ctypeslib.as_array(out, shape=(n,)).copy()
+    finally:
+        lib.pb_video_free(out)
+    return arr.reshape(t.value, h.value, w.value, 3)
 
 
 def native_collate(dst: np.ndarray, clips: Sequence[np.ndarray],

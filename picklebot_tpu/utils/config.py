@@ -47,7 +47,8 @@ class Config:
 
     # --- picklebot-tpu extensions ---
     optimizer: str = "adamw8bit"        # adamw | adamw8bit
-    data_backend: str = "opencv"   # opencv|npy|synthetic|synthetic_learnable
+    data_backend: str = "opencv"   # opencv|ffmpeg|npy|synthetic|
+    #                                synthetic_learnable
     num_workers: int = 4
     t_bucket: int = 8
     max_frames: int = 256
@@ -96,7 +97,7 @@ class Config:
         if self.apply_mean_std and (self.mean is None or self.std is None):
             raise ValueError(
                 "apply_mean_std=true requires 'mean' and 'std' in the config")
-        if self.data_backend not in ("opencv", "npy", "synthetic",
+        if self.data_backend not in ("opencv", "ffmpeg", "npy", "synthetic",
                                      "synthetic_learnable"):
             raise ValueError(f"Invalid data_backend: {self.data_backend}")
         if self.model_parallel > 1:
