@@ -179,8 +179,30 @@ def fused_bottleneck_evidence(results):
     cases = [  # stride-1 Large3D blocks (kernel-eligible)
         ("c16_e16_k3_112", 16, 16, 16, 3, (4, 8, 112, 112, 16)),
         ("c112_e672_k3_14", 112, 112, 672, 3, (16, 18, 14, 14, 112)),
+        # the boundary-fold regime (round-3 VERDICT item 7): Large3D
+        # block3's stride-1 bottlenecks run canonically inside BoundaryFold
+        # — C=40, E=120, k5, SE @ 28^2, the wide-channel shape the kernel's
+        # docstring predicted it should win
+        ("c40_e120_k5_28_boundary", 40, 40, 120, 5, (16, 14, 28, 28, 40)),
     ]
     policy = DtypePolicy.bf16()
+
+    def timeit_xloop(fn, v, x, reps=10):
+        """In-graph loop timing (see timeit_loop) for apply-style fns."""
+        def body(_, carry):
+            out = fn(v, carry)
+            s = jnp.sum(out, axis=-1, keepdims=True)
+            # crop to the common extent (the T-inflation quirk can make the
+            # output LONGER than the input on the temporal dim)
+            sl = tuple(slice(0, min(cd, sd))
+                       for cd, sd in zip(carry.shape, s.shape))
+            return carry.at[sl].add((1e-6 * s[sl]).astype(carry.dtype))
+        looped = jax.jit(lambda x: jax.lax.fori_loop(0, reps, body, x))
+        sync(looped(x))
+        t0 = time.perf_counter()
+        sync(looped(x))
+        return (time.perf_counter() - t0) / reps * 1e3
+
     for name, cin, cout, e, k, xshape in cases:
         x = jnp.asarray(rng.rand(*xshape), jnp.bfloat16)
         fused = Bottleneck3D(cin, cout, e, stride=1, kernel_size=k,
@@ -188,18 +210,18 @@ def fused_bottleneck_evidence(results):
         plain = Bottleneck3D(cin, cout, e, stride=1, kernel_size=k,
                              use_se=True, dropout=0.0)
         v = fused.init(0)
-        f_fused = jax.jit(lambda v, x: fused.apply(
-            v, x, train=False, policy=policy)[0])
-        f_plain = jax.jit(lambda v, x: plain.apply(
-            v, x, train=False, policy=policy)[0])
-        want = np.asarray(f_plain(v, x), np.float32)
-        got = np.asarray(f_fused(v, x), np.float32)
+        f_fused = lambda v, x: fused.apply(v, x, train=False,
+                                           policy=policy)[0]
+        f_plain = lambda v, x: plain.apply(v, x, train=False,
+                                           policy=policy)[0]
+        want = np.asarray(jax.jit(f_plain)(v, x), np.float32)
+        got = np.asarray(jax.jit(f_fused)(v, x), np.float32)
         entry = {
             "input": list(xshape), "expand": e, "kernel": k, "se": True,
             "max_abs_err_vs_xla": float(np.max(np.abs(got - want))),
             "out_absmax": float(np.max(np.abs(want))),
-            "fwd_ms": {"pallas_fused": timeit(f_fused, v, x),
-                       "xla": timeit(f_plain, v, x)},
+            "fwd_ms": {"pallas_fused": timeit_xloop(f_fused, v, x),
+                       "xla": timeit_xloop(f_plain, v, x)},
         }
         results["fused_bottleneck"][name] = entry
         print(name, json.dumps(entry, indent=1))

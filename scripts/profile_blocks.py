@@ -107,6 +107,8 @@ def main():
     p.add_argument("--s2d", action="store_true")
     p.add_argument("--early-fold", action="store_true")
     p.add_argument("--per-layer", action="store_true")
+    p.add_argument("--fwd-only", action="store_true",
+                   help="skip the fwd+bwd timing (inference profiling)")
     args = p.parse_args()
 
     if args.model == "MoViNetA2":
@@ -135,6 +137,11 @@ def main():
                 return h
             fwd = jax.jit(f)
             t_f = timeit(fwd, params, x, steps=args.steps)
+            if args.fwd_only:
+                print(f"{steps[n-1][0]:10s} fwd {t_f:7.2f} "
+                      f"(+{t_f - prev_f:6.2f})", flush=True)
+                prev_f = t_f
+                continue
 
             def loss(variables, x, f=f):
                 return jnp.sum(f(variables, x).astype(jnp.float32))
@@ -205,6 +212,11 @@ def main():
         f = prefix_fwd(n)
         fwd = jax.jit(f)
         t_f = timeit(fwd, params, x, steps=args.steps)
+        if args.fwd_only:
+            print(f"{stages[n-1]:8s} fwd {t_f:7.2f} (+{t_f - prev_f:6.2f})",
+                  flush=True)
+            prev_f = t_f
+            continue
 
         def loss(variables, x, f=f):
             return jnp.sum(f(variables, x).astype(jnp.float32))
