@@ -34,12 +34,8 @@ class Bottleneck3D(Module):
                  use_se: bool = False, kernel_size: int = 3,
                  nonlinearity: Callable = act.hardswish,
                  batchnorm: bool = True, dropout: float = 0.0,
-                 bias: bool = False, fused: bool = False):
+                 bias: bool = False):
         super().__init__()
-        # fused=True routes eligible shapes through the Pallas
-        # expand→depthwise→SE→project kernel (ops/pallas/fused_bottleneck —
-        # see its benchmark verdict; XLA is the measured default)
-        self.fused = fused and not bias
         self.stride = stride
         self.kernel_size = kernel_size
         self.use_se = use_se
@@ -65,34 +61,6 @@ class Bottleneck3D(Module):
             if isinstance(folded, BoundaryFold):
                 return self._forward_boundary(cx, x, folded)
             return self._forward_folded(cx, x, folded)
-        if self.fused:
-            from picklebot_tpu.ops.pallas.fused_bottleneck import (
-                fused_bottleneck, fused_bottleneck_eligible)
-            if fused_bottleneck_eligible(x.shape[2], x.shape[3],
-                                         self.kernel_size, self.stride,
-                                         self.use_se):
-                import jax.numpy as jnp
-                dt = cx.policy.compute_dtype
-                p = cx.params
-                se = p.get("squeeze_excite", {})
-                e_ch = p["pointwise_conv1"]["w"].shape[-1]
-                zeros_se = (jnp.zeros((e_ch, e_ch // 4), dt),
-                            jnp.zeros((e_ch // 4,), dt),
-                            jnp.zeros((e_ch // 4, e_ch), dt),
-                            jnp.zeros((e_ch,), dt))
-                se_args = (tuple(jnp.asarray(se[k], dt) for k in
-                                 ("w1", "b1", "w2", "b2"))
-                           if self.use_se else zeros_se)
-                out = fused_bottleneck(
-                    x.astype(dt),
-                    jnp.asarray(p["pointwise_conv1"]["w"], dt),
-                    jnp.asarray(p["depthwise_conv"]["w"], dt),
-                    jnp.asarray(p["pointwise_conv2"]["w"], dt),
-                    *se_args, self.kernel_size, self.stride, self.use_se, 8)
-                if self.batchnorm is not None:
-                    out = cx(self.batchnorm, out)
-                out = self.nonlinearity(out)
-                return cx(self.dropout, out)
         x = cx(self.pointwise_conv1, x)
         x = cx(self.depthwise_conv, x)
         if self.squeeze_excite is not None:

@@ -25,17 +25,20 @@ kernel since the depthwise temporal kernel is 1). Forward-only: the custom
 VJP recomputes with the unfused XLA path, which is also the numerical
 reference in tests. Off-TPU the kernel runs in interpret mode.
 
-Benchmark verdict (v5e, bf16, bs=16, MobileNetLarge3D stride-1 blocks,
-2026-08): correct everywhere but 1.5–2.3x SLOWER than XLA's unfused path
-(e.g. C16/E16@112² 21.6 vs 12.4 ms; C112/E672@14² 4.1 vs 2.8 ms). The
-expanded tensor's HBM round-trip that this kernel eliminates is not the
-binding constraint at these channel counts — the 128-lane padding waste
-(C=16..160 « 128 lanes) dominates both paths equally, and the SE recompute
-doubles FLOPs. Kept as an optional, tested backend: it becomes the right
-tool when channel counts reach lane width (wider model variants) or when
-XLA's fusion regresses. Wire-up: Bottleneck3D(fused=True) — default stays
-XLA. Known Mosaic limits: stride-2 slices unsupported; W<8 frames
-(h_out<8) crash the remote compiler — gated in fused_bottleneck_eligible.
+Benchmark verdict — RETIRED (round 3). Round-2 numbers (v5e, bf16,
+bs=16, MobileNetLarge3D stride-1 blocks): 1.5-2.3x SLOWER than XLA's
+unfused path (C16/E16@112² 21.6 vs 12.4 ms; C112/E672@14² 4.1 vs 2.8).
+Round 3 re-asked the question in the kernel's own predicted best regime —
+the BoundaryFold path's canonical lane-dense expanded tensors
+(C40/E120/k5/SE @ 28², scripts/probe_fused_boundary.py): 8.6 vs XLA
+7.1 ms, still a loss. The expanded tensor's HBM round-trip this kernel
+eliminates is not the binding constraint anywhere in this model family,
+and the SE recompute doubles FLOPs. The Bottleneck3D(fused=...) wiring is
+REMOVED (round-3 VERDICT item 7); the kernel remains here as a tested,
+directly-callable artifact (fused_bottleneck / apply_fused_bottleneck)
+with its evidence in docs/kernel_evidence.json. Known Mosaic limits:
+stride-2 slices unsupported; W<8 frames (h_out<8) crash the remote
+compiler — gated in fused_bottleneck_eligible.
 """
 
 from __future__ import annotations
@@ -275,3 +278,26 @@ def _fb_bwd(kernel_size, stride, use_se, tile_h, residuals, g):
 
 
 fused_bottleneck.defvjp(_fb_fwd, _fb_bwd)
+
+
+def apply_fused_bottleneck(params, x, kernel_size: int, stride: int,
+                           use_se: bool, dtype):
+    """Run the kernel from a Bottleneck3D params dict (expand/depthwise/
+    SE/project weights) — the marshaling the retired Bottleneck3D(fused=)
+    wiring used to do; kept for the evidence scripts and tests."""
+    import jax.numpy as jnp
+    se = params.get("squeeze_excite", {})
+    e_ch = params["pointwise_conv1"]["w"].shape[-1]
+    zeros_se = (jnp.zeros((e_ch, e_ch // 4), dtype),
+                jnp.zeros((e_ch // 4,), dtype),
+                jnp.zeros((e_ch // 4, e_ch), dtype),
+                jnp.zeros((e_ch,), dtype))
+    se_args = (tuple(jnp.asarray(se[k], dtype)
+                     for k in ("w1", "b1", "w2", "b2"))
+               if use_se else zeros_se)
+    return fused_bottleneck(
+        x.astype(dtype),
+        jnp.asarray(params["pointwise_conv1"]["w"], dtype),
+        jnp.asarray(params["depthwise_conv"]["w"], dtype),
+        jnp.asarray(params["pointwise_conv2"]["w"], dtype),
+        *se_args, kernel_size, stride, use_se, 8)

@@ -203,17 +203,30 @@ def fused_bottleneck_evidence(results):
         sync(looped(x))
         return (time.perf_counter() - t0) / reps * 1e3
 
+    from picklebot_tpu.ops import activations as act
+    from picklebot_tpu.ops.pallas.fused_bottleneck import (
+        apply_fused_bottleneck)
     for name, cin, cout, e, k, xshape in cases:
         x = jnp.asarray(rng.rand(*xshape), jnp.bfloat16)
-        fused = Bottleneck3D(cin, cout, e, stride=1, kernel_size=k,
-                             use_se=True, dropout=0.0, fused=True)
         plain = Bottleneck3D(cin, cout, e, stride=1, kernel_size=k,
                              use_se=True, dropout=0.0)
-        v = fused.init(0)
-        f_fused = lambda v, x: fused.apply(v, x, train=False,
-                                           policy=policy)[0]
-        f_plain = lambda v, x: plain.apply(v, x, train=False,
-                                           policy=policy)[0]
+        v = plain.init(0)
+
+        def f_fused(v, x, k=k):
+            # the retired kernel, called directly, plus the module's
+            # eval-mode BN + hardswish tail so the comparison stays
+            # block-for-block with the XLA path
+            dt = policy.compute_dtype
+            out = apply_fused_bottleneck(v["params"], x, k, 1, True, dt)
+            bn_p = v["params"]["batchnorm"]
+            bn_s = v["state"]["batchnorm"]
+            inv = jax.lax.rsqrt(jnp.asarray(bn_s["var"], jnp.float32) + 1e-5)
+            out = ((out.astype(jnp.float32) - bn_s["mean"]) * inv
+                   * bn_p["scale"] + bn_p["bias"]).astype(dt)
+            return act.hardswish(out)
+
+        def f_plain(v, x):
+            return plain.apply(v, x, train=False, policy=policy)[0]
         want = np.asarray(jax.jit(f_plain)(v, x), np.float32)
         got = np.asarray(jax.jit(f_fused)(v, x), np.float32)
         entry = {
@@ -230,6 +243,8 @@ def fused_bottleneck_evidence(results):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="docs/kernel_evidence.json")
+    p.add_argument("--only", choices=["packed", "flash", "fused"],
+                   help="run one section and merge into the existing json")
     args = p.parse_args()
     results = {
         "platform": jax.devices()[0].platform,
@@ -239,9 +254,18 @@ def main():
     }
     assert results["platform"] == "tpu", \
         f"evidence must be gathered on-chip, got {results['platform']}"
-    flash_packed_evidence(results)
-    flash_evidence(results)
-    fused_bottleneck_evidence(results)
+    if args.only and os.path.exists(args.out):
+        with open(args.out) as fh:
+            prev = json.load(fh)
+        prev.update({k: v for k, v in results.items()
+                     if k in ("platform", "device")})
+        results = prev
+    if args.only in (None, "packed"):
+        flash_packed_evidence(results)
+    if args.only in (None, "flash"):
+        flash_evidence(results)
+    if args.only in (None, "fused"):
+        fused_bottleneck_evidence(results)
     with open(args.out, "w") as fh:
         json.dump(results, fh, indent=1)
     print("wrote", args.out)

@@ -76,14 +76,22 @@ def test_fused_bottleneck_gradients(rng):
                                    rtol=5e-4, atol=5e-4)
 
 
-def test_bottleneck3d_fused_flag_matches_default(rng):
-    """Bottleneck3D(fused=True) must equal the default XLA path."""
+def test_fused_kernel_with_bn_tail_matches_module(rng):
+    """apply_fused_bottleneck (the retired-from-Bottleneck3D direct entry)
+    + eval-mode BN/hardswish must equal the module's XLA path — the same
+    comparison the evidence scripts record."""
+    import jax
+    from picklebot_tpu.ops import activations as act
+    from picklebot_tpu.ops.pallas.fused_bottleneck import (
+        apply_fused_bottleneck)
     m_ref = Bottleneck3D(8, 16, 24, stride=1, use_se=True, kernel_size=3)
-    m_fused = Bottleneck3D(8, 16, 24, stride=1, use_se=True, kernel_size=3,
-                           fused=True)
     v = m_ref.init(0)
     x = jnp.asarray(rng.rand(2, 4, 16, 16, 8).astype(np.float32))
     want, _ = m_ref.apply(v, x, train=False)
-    got, _ = m_fused.apply(v, x, train=False)
+    out = apply_fused_bottleneck(v["params"], x, 3, 1, True, jnp.float32)
+    bn_p, bn_s = v["params"]["batchnorm"], v["state"]["batchnorm"]
+    inv = jax.lax.rsqrt(jnp.asarray(bn_s["var"], jnp.float32) + 1e-5)
+    got = act.hardswish((out - bn_s["mean"]) * inv
+                        * bn_p["scale"] + bn_p["bias"])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
