@@ -242,3 +242,46 @@ def test_tp_gradients_match_dense(rng):
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(dense),
                 rtol=1e-5, atol=1e-6, err_msg=path)
+
+
+def test_tp_with_packed_flash_attention(rng):
+    """The head-packed flash kernel (ops/pallas/flash_packed.py) must
+    compose with the shard_map DP x TP step: attention params are
+    replicated, FFNs sharded, and the Pallas call runs per-device inside
+    the mesh. Loss must match the unsharded xla-attention reference."""
+    opt = AdamW(weight_decay=1e-4)
+    sched = cosine_annealing_lr(1e-3, 10)
+    policy = DtypePolicy.f32()
+    feats, labels = _data(rng)
+
+    class PackedTransformer(TinyTransformer):
+        def __init__(self, model_axis=None):
+            Module.__init__(self)
+            self.embed = Dense(4 * 4 * 3, 128)
+            self.transformer = TransformerStack(
+                128, depth=1, heads=8, dim_head=16, ffw_dim=64,
+                backend="packed", model_axis=model_axis)
+            self.head = Dense(128, 13)
+
+    ref = PackedTransformer()
+    ref_state = create_train_state(ref, opt, 0)
+    ref_step = make_train_step(ref, opt, "CE", sched, policy=policy,
+                               donate=False)
+    _, m1 = ref_step(ref_state, feats, labels, jax.random.key(5))
+
+    tp = PackedTransformer(model_axis="model")
+    mesh = make_mesh(data=4, model=2)
+    state0 = create_train_state(tp, opt, 0)
+    specs = train_state_specs(state0, MOBILEVIT_TP_RULES)
+    state0 = jax.device_put(
+        state0, jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, P)))
+    step = make_train_step(tp, opt, "CE", sched, policy=policy,
+                           mesh=mesh, donate=False, state_specs=specs)
+    _, m2 = step(state0,
+                 jax.device_put(feats, NamedSharding(mesh, P(None, "data"))),
+                 jax.device_put(labels, NamedSharding(mesh, P(None, "data"))),
+                 jax.device_put(jax.random.key(5), NamedSharding(mesh, P())))
+    np.testing.assert_allclose(np.asarray(m1["loss"]),
+                               np.asarray(m2["loss"]), rtol=1e-5, atol=1e-5)
