@@ -2,7 +2,6 @@
 typo (or another model's span name) must fail loudly at config time rather
 than silently running the shortest fold (round-2 advisor finding)."""
 
-import dataclasses
 
 import pytest
 
