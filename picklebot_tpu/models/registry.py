@@ -68,14 +68,18 @@ def _mobilenet_large2d(cfg):
     from picklebot_tpu.models.mobilenet2d_lstm import MobileNetLarge2D
     return MobileNetLarge2D(
         num_classes=cfg.num_classes,
-        space_to_depth=getattr(cfg, "space_to_depth", False))
+        space_to_depth=getattr(cfg, "space_to_depth", False),
+        early_fold=getattr(cfg, "early_fold", False),
+        fold_span=getattr(cfg, "fold_span", None) or "block2")
 
 
 def _mobilenet_small2d(cfg):
     from picklebot_tpu.models.mobilenet2d_lstm import MobileNetSmall2D
     return MobileNetSmall2D(
         num_classes=cfg.num_classes,
-        space_to_depth=getattr(cfg, "space_to_depth", False))
+        space_to_depth=getattr(cfg, "space_to_depth", False),
+        early_fold=getattr(cfg, "early_fold", False),
+        fold_span=getattr(cfg, "fold_span", None) or "block3")
 
 
 MODELS: Dict[str, Callable[[Any], Any]] = {
@@ -102,6 +106,10 @@ def fold_spans_for(model_name: str):
         return ("block3", "boundary")
     if model_name == "MobileViT":
         return ("stem", "trunk")
+    if model_name == "MobileNetLarge2D":
+        return ("block2", "boundary")
+    if model_name == "MobileNetSmall2D":
+        return ("block3", "boundary")
     return None
 
 

@@ -73,93 +73,113 @@ class Bottleneck3D(Module):
         return x
 
     def _forward_folded(self, cx: Ctx, x, plan):
-        """Collapsed + lane-folded execution (ops/folded.py).
-
-        Without SE, expand -> depthwise -> project has no norm or
-        nonlinearity in between (reference mobilenet.py:62-96), so the three
-        convs combine into one (1,k,k) map, executed as a dense folded conv
-        with channel-packed lanes (``plan`` maps cin -> cout).
-
-        With SE (which sits between depthwise and project), expand and
-        depthwise still collapse (both linear; ``plan`` maps cin -> E); SE
-        then runs as the STANDARD module on a (..., F, E) reshape — its
-        global pool reduces every axis but the last, so pooling over phases
-        too averages exactly the canonical element set per channel, and the
-        scale broadcast applies the canonical per-channel factor to every
-        phase — and the projection becomes a per-phase matmul (1x1 convs
-        never mix phases).
-
-        BN runs on a (..., F, C) reshape of the standard module (same
-        stats, same state); dropout tiles the canonical mask across phases
-        (bit-identical, see ChannelDropout). Exactness vs the plain path is
-        golden-tested (tests/test_early_fold.py).
-        """
-        import jax.numpy as jnp
-        import math as _math
-        from jax import lax
-        from picklebot_tpu.ops.folded import gather_weights
-
-        p = cx.params
-        w1 = p["pointwise_conv1"]["w"]   # (1,1,1, cin, E)
-        wdw = p["depthwise_conv"]["w"]   # (1,k,k, 1, E)
-        w2 = p["pointwise_conv2"]["w"]   # (1,1,1, E, cout)
-        assert "b" not in p["pointwise_conv1"], "folded path: bias-free only"
-        dt = cx.policy.compute_dtype
-        # collapse in f32 (params dtype), cast once after the gather
-        if self.squeeze_excite is None:
-            wc = jnp.einsum("ie,hwe,eo->hwio", w1[0, 0, 0], wdw[0, :, :, 0],
-                            w2[0, 0, 0])[None]      # (1,k,k,cin,cout)
-        else:
-            assert plan.cout == w1.shape[-1], "SE plan must map cin -> E"
-            wc = jnp.einsum("ie,hwe->hwie", w1[0, 0, 0],
-                            wdw[0, :, :, 0])[None]  # (1,k,k,cin,E)
-        wf = gather_weights(plan, wc).astype(dt)
-        dn = lax.conv_dimension_numbers(
-            (1, 1, 1, 1, x.shape[-1]), wf.shape, ("NTHWC", "THWIO", "NTHWC"))
-        h = lax.conv_general_dilated(
-            x.astype(dt), wf, plan.strides, list(plan.pads),
-            dimension_numbers=dn)
-        F = _math.prod(plan.folds_out)
-        h6 = h.reshape(h.shape[:-1] + (F, plan.cout))
-        if self.squeeze_excite is not None:
-            h6 = cx(self.squeeze_excite, h6)
-            h6 = jnp.einsum("...fe,eo->...fo", h6,
-                            w2[0, 0, 0].astype(dt))   # per-phase projection
-        if self.batchnorm is not None:
-            h6 = cx(self.batchnorm, h6)
-        h = h6.reshape(h6.shape[:-2] + (F * h6.shape[-1],))
-        h = self.nonlinearity(h)
-        return cx(self.dropout, h, fold=F)
+        return _folded_bottleneck(self, cx, x, plan)
 
     def _forward_boundary(self, cx: Ctx, x, plan):
-        """Boundary-folded execution (ops/folded.BoundaryFold): only the
-        narrow input/output live W-folded; expand is a per-phase matmul,
-        depthwise/SE run the standard modules on the canonical expanded
-        layout (the W-major fold<->unfold between them is a pure reshape),
-        and the projection refolds its output. Exactly canonical FLOPs —
-        for blocks whose E is lane-wide but whose cin/cout are not."""
-        import jax.numpy as jnp
+        return _boundary_bottleneck(self, cx, x, plan)
 
-        p = cx.params
-        assert "b" not in p["pointwise_conv1"], "folded path: bias-free only"
-        dt = cx.policy.compute_dtype
-        F, F2 = plan.f_in, plan.f_out
-        w1 = p["pointwise_conv1"]["w"][0, 0, 0].astype(dt)   # (cin, E)
-        w2 = p["pointwise_conv2"]["w"][0, 0, 0].astype(dt)   # (E, cout)
-        h6 = x.astype(dt).reshape(x.shape[:-1] + (F, plan.cin))
-        h6 = jnp.einsum("...fc,ce->...fe", h6, w1)
-        E = h6.shape[-1]
-        h = h6.reshape(h6.shape[:-3] + (h6.shape[-3] * F, E))  # canonical W
-        h = cx(self.depthwise_conv, h)
-        if self.squeeze_excite is not None:
-            h = cx(self.squeeze_excite, h)
-        h6 = h.reshape(h.shape[:-2] + (h.shape[-2] // F2, F2, E))
-        h6 = jnp.einsum("...fe,eo->...fo", h6, w2)
-        if self.batchnorm is not None:
-            h6 = cx(self.batchnorm, h6)
-        h = h6.reshape(h6.shape[:-2] + (F2 * h6.shape[-1],))
-        h = self.nonlinearity(h)
-        return cx(self.dropout, h, fold=F2)
+
+def _folded_bottleneck(block, cx: Ctx, x, plan):
+    """Collapsed + lane-folded execution (ops/folded.py) — rank-agnostic
+    (shared by Bottleneck3D and Bottleneck2D; the kernel rank rides the
+    depthwise weight's shape and the conv dimension numbers come from the
+    block's own 1x1 conv, which encode only the NTHWC/NHWC ordering).
+
+    Without SE, expand -> depthwise -> project has no norm or
+    nonlinearity in between (reference mobilenet.py:62-96 and :120-130),
+    so the three convs combine into one k-window map, executed as a dense
+    folded conv with channel-packed lanes (``plan`` maps cin -> cout).
+
+    With SE (which sits between depthwise and project), expand and
+    depthwise still collapse (both linear; ``plan`` maps cin -> E); SE
+    then runs as the STANDARD module on a (..., F, E) reshape — its
+    global pool reduces every axis but the last, so pooling over phases
+    too averages exactly the canonical element set per channel, and the
+    scale broadcast applies the canonical per-channel factor to every
+    phase — and the projection becomes a per-phase matmul (1x1 convs
+    never mix phases).
+
+    BN runs on a (..., F, C) reshape of the standard module (same
+    stats, same state); dropout — where the block has any: the reference's
+    Bottleneck2D never calls its Dropout2d — tiles the canonical mask
+    across phases (bit-identical, see ChannelDropout). Exactness vs the
+    plain path is golden-tested (tests/test_early_fold.py,
+    tests/test_early_fold_2d.py).
+    """
+    import jax.numpy as jnp
+    import math as _math
+    from jax import lax
+    from picklebot_tpu.ops.folded import gather_weights
+
+    p = cx.params
+    w1 = p["pointwise_conv1"]["w"]   # (1..., cin, E)
+    wdw = p["depthwise_conv"]["w"]   # (k..., 1, E)
+    w2 = p["pointwise_conv2"]["w"]   # (1..., E, cout)
+    assert "b" not in p["pointwise_conv1"], "folded path: bias-free only"
+    dt = cx.policy.compute_dtype
+    w1m = w1.reshape(w1.shape[-2:])
+    w2m = w2.reshape(w2.shape[-2:])
+    wdwm = wdw[..., 0, :]            # (k..., E)
+    # collapse in f32 (params dtype), cast once after the gather
+    if block.squeeze_excite is None:
+        wc = jnp.einsum("ie,...e,eo->...io", w1m, wdwm, w2m)  # (k...,cin,cout)
+    else:
+        assert plan.cout == w1.shape[-1], "SE plan must map cin -> E"
+        wc = jnp.einsum("ie,...e->...ie", w1m, wdwm)          # (k...,cin,E)
+    wf = gather_weights(plan, wc).astype(dt)
+    h = lax.conv_general_dilated(
+        x.astype(dt), wf, plan.strides, list(plan.pads),
+        dimension_numbers=block.pointwise_conv1.dn)
+    F = _math.prod(plan.folds_out)
+    h6 = h.reshape(h.shape[:-1] + (F, plan.cout))
+    if block.squeeze_excite is not None:
+        h6 = cx(block.squeeze_excite, h6)
+        h6 = jnp.einsum("...fe,eo->...fo", h6,
+                        w2m.astype(dt))   # per-phase projection
+    if block.batchnorm is not None:
+        h6 = cx(block.batchnorm, h6)
+    h = h6.reshape(h6.shape[:-2] + (F * h6.shape[-1],))
+    h = block.nonlinearity(h)
+    drop = getattr(block, "dropout", None)
+    if drop is not None:
+        h = cx(drop, h, fold=F)
+    return h
+
+
+def _boundary_bottleneck(block, cx: Ctx, x, plan):
+    """Boundary-folded execution (ops/folded.BoundaryFold), rank-agnostic:
+    only the narrow input/output live W-folded; expand is a per-phase
+    matmul, depthwise/SE run the standard modules on the canonical expanded
+    layout (the W-major fold<->unfold between them is a pure reshape),
+    and the projection refolds its output. Exactly canonical FLOPs —
+    for blocks whose E is lane-wide but whose cin/cout are not."""
+    import jax.numpy as jnp
+
+    p = cx.params
+    assert "b" not in p["pointwise_conv1"], "folded path: bias-free only"
+    dt = cx.policy.compute_dtype
+    F, F2 = plan.f_in, plan.f_out
+    w1 = p["pointwise_conv1"]["w"]
+    w1 = w1.reshape(w1.shape[-2:]).astype(dt)            # (cin, E)
+    w2 = p["pointwise_conv2"]["w"]
+    w2 = w2.reshape(w2.shape[-2:]).astype(dt)            # (E, cout)
+    h6 = x.astype(dt).reshape(x.shape[:-1] + (F, plan.cin))
+    h6 = jnp.einsum("...fc,ce->...fe", h6, w1)
+    E = h6.shape[-1]
+    h = h6.reshape(h6.shape[:-3] + (h6.shape[-3] * F, E))  # canonical W
+    h = cx(block.depthwise_conv, h)
+    if block.squeeze_excite is not None:
+        h = cx(block.squeeze_excite, h)
+    h6 = h.reshape(h.shape[:-2] + (h.shape[-2] // F2, F2, E))
+    h6 = jnp.einsum("...fe,eo->...fo", h6, w2)
+    if block.batchnorm is not None:
+        h6 = cx(block.batchnorm, h6)
+    h = h6.reshape(h6.shape[:-2] + (F2 * h6.shape[-1],))
+    h = block.nonlinearity(h)
+    drop = getattr(block, "dropout", None)
+    if drop is not None:
+        h = cx(drop, h, fold=F2)
+    return h
 
 
 class Bottleneck2D(Module):
@@ -184,7 +204,12 @@ class Bottleneck2D(Module):
         # NB: reference Bottleneck2D constructs nn.Dropout2d but never calls
         # it in forward (mobilenet.py:120-130); we match by omitting it.
 
-    def forward(self, cx: Ctx, x):
+    def forward(self, cx: Ctx, x, folded=None):
+        if folded is not None:
+            from picklebot_tpu.ops.folded import BoundaryFold
+            if isinstance(folded, BoundaryFold):
+                return _boundary_bottleneck(self, cx, x, folded)
+            return _folded_bottleneck(self, cx, x, folded)
         x = cx(self.pointwise_conv1, x)
         x = cx(self.depthwise_conv, x)
         if self.squeeze_excite is not None:

@@ -65,7 +65,8 @@ class Config:
     space_to_depth: bool = False        # fold 2x2 spatial into the stem conv
     early_fold: bool = False            # lane-folded early stage (exact;
     #                                     MobileNet3D Large/Small, MoViNetA2,
-    #                                     MobileViT; ops/folded.py)
+    #                                     MobileViT, MobileNet2D Large/Small;
+    #                                     ops/folded.py)
     fold_span: Optional[str] = None     # how deep the fold runs; None =
     #                                     model default. Vocabulary is
     #                                     per-model (each model's FOLD_SPANS):
@@ -73,6 +74,8 @@ class Config:
     #                                       block2|block4|boundary
     #                                     Small3D: block3|boundary
     #                                     MobileViT: stem|trunk
+    #                                     Large2D: block2|boundary
+    #                                     Small2D: block3|boundary
 
     def validate(self) -> "Config":
         from picklebot_tpu.models.registry import MODELS
