@@ -61,10 +61,13 @@ def main():
             # trunk bottlenecks boundary-folded: train 231.1 vs 220.6,
             # infer 583.0 vs 576.7 at bs=8
             args.fold_span = "trunk"
-        elif args.model == "MobileNetSmall3D":
-            # block3[0] boundary-folded instead of the k5 collapse:
-            # train 958.7 vs 881.8 clips/s bs=16
+        elif args.model in ("MobileNetSmall3D", "MobileNetSmall2D"):
+            # Small3D: block3[0] boundary-folded instead of the k5 collapse:
+            # train 958.7 vs 881.8 clips/s bs=16; Small2D mirrors the
+            # channel table (its fold measured OFF overall — see below)
             args.fold_span = "boundary"
+        elif args.model == "MobileNetLarge2D":
+            args.fold_span = "block2"
         else:
             # MoViNetA2: the boundary span measured SLOWER (110.9/327.7 vs
             # 117.1/342.4 train/infer bs=8) — its blocks' full temporal
@@ -81,6 +84,11 @@ def main():
         # 882 (plain 401); MobileViT bs8 train 220.6 / infer 576.7
         # (plain 179.0/520.7); MoViNetA2 block2-span train +15% / infer
         # +9% at bs=8 (117.1/342.4 vs 102/314.8)
+        # NOT the 2D+LSTM models: their trunks batch frames (B*T 4-D image
+        # convs, a regime XLA already serves well) and the fold measured a
+        # loss at every point — Large2D train 418.9/417.8 vs plain 507.7,
+        # infer 1003.7 vs 1693.4 bs=8 T=16; Small2D train 894.0 vs 934.9
+        # (docs/BENCH.md "2D+LSTM models")
         args.early_fold = args.model in (
             "MobileNetLarge3D", "MobileNetSmall3D", "MobileViT",
             "MoViNetA2")
@@ -100,9 +108,12 @@ def main():
     model = initialize_model(cfg)
     policy = DtypePolicy.bf16()
     rng = np.random.RandomState(0)
-    feats_np = rng.randint(
-        0, 255, (args.batch, args.frames, args.size, args.size, 3)
-    ).astype(np.uint8)
+    # MobileViTV2 is the zoo's 2D image classifier (reference
+    # mobilevitv2.py:266-305, (B, H, W, C) input, no clip dim)
+    is_image = args.model == "MobileViTV2"
+    shape = ((args.batch, args.size, args.size, 3) if is_image
+             else (args.batch, args.frames, args.size, args.size, 3))
+    feats_np = rng.randint(0, 255, shape).astype(np.uint8)
 
     if args.mode == "train":
         opt = AdamW8bit(weight_decay=5e-4)
@@ -143,12 +154,13 @@ def main():
 
     name = ("train step fwd+bwd+adamw8bit" if args.mode == "train"
             else "batched inference")
+    tdesc = "" if is_image else f"T={args.frames} "
     print(json.dumps({
         "metric": f"clips/sec/chip ({args.model} {name}, "
-                  f"bs={args.batch} T={args.frames} {args.size}x{args.size} "
+                  f"bs={args.batch} {tdesc}{args.size}x{args.size} "
                   f"bf16)",
         "value": round(clips_per_sec, 2),
-        "unit": "clips/s",
+        "unit": "images/s" if is_image else "clips/s",
         "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 2),
     }))
 
