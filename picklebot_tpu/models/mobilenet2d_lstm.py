@@ -72,14 +72,32 @@ class _FrameLSTMNet(Module):
     def cnn(self, cx: Ctx, frames):
         raise NotImplementedError
 
-    def forward(self, cx: Ctx, x):
-        """x: (B, T, H, W, C) -> (B, num_classes)."""
+    def forward(self, cx: Ctx, x, carry=None):
+        """x: (B, T, H, W, C) -> (B, num_classes).
+
+        Streaming (online) mode: pass ``carry`` — the per-layer LSTM
+        (h, c) state from ``init_stream`` or a previous call — and the
+        model processes x as the NEXT chunk of an ongoing clip, returning
+        ``(logits, new_carry)``. The LSTM is inherently causal, so chunked
+        evaluation equals the full pass exactly (tests/test_stream_2d.py);
+        the reference has no online path for these models (it loops frames
+        but always consumes whole clips, mobilenet.py:355-366)."""
         b, t = x.shape[0], x.shape[1]
         frames = x.reshape((b * t,) + x.shape[2:])
         feats = self.cnn(cx, frames)                 # (B*T, 1, 1, F) or (B*T,F)
         feats = feats.reshape(b, t, self.feature_dim)
-        seq = cx(self.lstm, feats)                   # (B, T, H)
-        return cx(self.classifier, seq[:, -1, :])
+        if carry is None:
+            seq = cx(self.lstm, feats)               # (B, T, H)
+            return cx(self.classifier, seq[:, -1, :])
+        seq, carry = cx(self.lstm, feats, initial=carry, return_state=True)
+        return cx(self.classifier, seq[:, -1, :]), carry
+
+    def init_stream(self, batch: int):
+        """Zero LSTM state for streaming: per-layer (h, c), host-side numpy
+        (never touches the device at construction — see CLAUDE.md)."""
+        import numpy as np
+        shape = (self.lstm.num_layers, batch, self.lstm.hidden_size)
+        return (np.zeros(shape, np.float32), np.zeros(shape, np.float32))
 
 
 def _early_fold_plans_2d(small: bool):

@@ -152,12 +152,20 @@ class LSTM(Module):
         return spec
 
     def forward(self, cx: Ctx, x,
-                initial: Optional[Tuple[jax.Array, jax.Array]] = None):
-        """x: (B, T, input_size) -> (B, T, H) outputs of the last layer."""
+                initial: Optional[Tuple[jax.Array, jax.Array]] = None,
+                return_state: bool = False):
+        """x: (B, T, input_size) -> (B, T, H) outputs of the last layer.
+
+        ``initial``: optional per-layer (h, c), each (num_layers, B, H) —
+        torch.nn.LSTM's (h_0, c_0). With ``return_state`` the final
+        (h_T, c_T) stack is returned alongside the sequence, enabling
+        chunked/streaming evaluation (carry the state between chunks).
+        """
         b = x.shape[0]
         h_dim = self.hidden_size
         dtype = cx.policy.compute_dtype
         seq = x.astype(dtype)
+        h_finals, c_finals = [], []
         for l in range(self.num_layers):
             w_ih = cx.param(f"w_ih_l{l}").astype(dtype)
             w_hh = cx.param(f"w_hh_l{l}").astype(dtype)
@@ -181,7 +189,12 @@ class LSTM(Module):
                 h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
                 return (h_new, c_new), h_new
 
-            _, outs = jax.lax.scan(step, (h0, c0),
-                                   jnp.swapaxes(x_proj, 0, 1))
+            (h_fin, c_fin), outs = jax.lax.scan(step, (h0, c0),
+                                                jnp.swapaxes(x_proj, 0, 1))
             seq = jnp.swapaxes(outs, 0, 1)
+            if return_state:
+                h_finals.append(h_fin)
+                c_finals.append(c_fin)
+        if return_state:
+            return seq, (jnp.stack(h_finals), jnp.stack(c_finals))
         return seq
