@@ -9,6 +9,17 @@ Usage:
       clip1.mp4 clip2.mp4 ...
   python -m picklebot_tpu.serve <config.json> --checkpoint ck --csv ann.csv \
       [--limit N]   # evaluate accuracy over an annotation CSV
+  python -m picklebot_tpu.serve <config.json> --checkpoint ck --stream \
+      [--chunk 1] clip.mp4   # online frame-by-frame prediction stream
+
+`--stream` serves the online models (MoViNetA2Stream via stream buffers,
+MobileNet{Large,Small}2D via carried LSTM state): the clip is consumed in
+`--chunk`-frame pieces with O(1) carried state, emitting one JSON
+prediction line per chunk — the serving shape of a live camera feed. The
+reference has no online path (its 2D models loop frames but always
+consume whole clips, mobilenet.py:355-366). Chunked streaming equals the
+full causal pass exactly (tests/test_streaming.py, test_stream_2d.py);
+measured latency: 1.0-3.0 ms/frame on v5e (docs/BENCH.md).
 """
 
 from __future__ import annotations
@@ -19,6 +30,59 @@ import sys
 
 # 13-class zone task: 0 = ball zones... the 2-class task is ball/strike
 BALL_STRIKE = {0: "ball", 1: "strike"}
+
+STREAM_MODELS = ("MoViNetA2Stream", "MobileNetLarge2D", "MobileNetSmall2D")
+
+
+def _serve_stream(args, config, model, variables, policy, mean, std,
+                  decode_preds, label_of):
+    """Online mode: consume each clip in --chunk-frame pieces with carried
+    state (stream buffers / LSTM (h, c)), one JSON prediction per chunk."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from picklebot_tpu.data.dataset import decode_opencv
+    from picklebot_tpu.train.step import preprocess
+
+    if config.model_name not in STREAM_MODELS:
+        print(f"--stream needs one of {STREAM_MODELS} "
+              f"(got {config.model_name})", file=sys.stderr)
+        return 1
+    if not args.clips:
+        print("no clips given", file=sys.stderr)
+        return 1
+    is_movinet = config.model_name == "MoViNetA2Stream"
+
+    @jax.jit
+    def stream_step(variables, feats, carry):
+        x = preprocess(feats, policy.compute_dtype, mean, std)
+        (logits, carry), _ = model.apply(variables, x, carry, train=False,
+                                         policy=policy)
+        return logits, carry
+
+    for clip_path in args.clips:
+        frames = decode_opencv(clip_path)        # (T, H, W, 3) uint8
+        t_total, h, w = frames.shape[:3]
+        if is_movinet:
+            carry = model.init_stream(1, h, w, dtype=policy.compute_dtype)
+        else:
+            # cast the zero LSTM state to the compute dtype so the carry
+            # is jit-shape-stable from the first chunk (zeros are exact
+            # in either dtype)
+            h0, c0 = model.init_stream(1)
+            carry = (jnp.asarray(h0, policy.compute_dtype),
+                     jnp.asarray(c0, policy.compute_dtype))
+        for start in range(0, t_total, args.chunk):
+            chunk = frames[start:start + args.chunk]
+            logits, carry = stream_step(variables, chunk[None], carry)
+            logits = np.asarray(logits, np.float32)
+            preds, confs = decode_preds(logits)
+            print(json.dumps({
+                "clip": clip_path, "frame": start + len(chunk),
+                "pred": int(preds[0]), "label": label_of(preds[0]),
+                "confidence": round(float(confs[0]), 4)}))
+    return 0
 
 
 def main(argv=None):
@@ -31,6 +95,11 @@ def main(argv=None):
                    help="annotation csv: evaluate accuracy instead")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--stream", action="store_true",
+                   help="online mode: carried state, one prediction per "
+                        "chunk (MoViNetA2Stream / MobileNet*2D)")
+    p.add_argument("--chunk", type=int, default=1,
+                   help="frames per streaming step (--stream)")
     args = p.parse_args(argv)
 
     import jax
@@ -66,6 +135,30 @@ def main(argv=None):
     policy = DtypePolicy.bf16() if config.use_autocast else DtypePolicy.f32()
     mean = config.mean if config.apply_mean_std else None
     std = config.std if config.apply_mean_std else None
+
+    def decode_preds(logits):
+        """logits (B, num_classes) -> (preds, confidences)."""
+        if config.criterion == "BCE":
+            # single-logit head: sigmoid threshold (argmax over one logit
+            # would always predict 0)
+            prob1 = 1.0 / (1.0 + np.exp(-logits[:, 0]))
+            preds = (prob1 >= 0.5).astype(np.int64)
+            confs = np.where(preds == 1, prob1, 1.0 - prob1)
+        else:
+            e = np.exp(logits - logits.max(-1, keepdims=True))
+            probs = e / e.sum(-1, keepdims=True)
+            preds = logits.argmax(-1)
+            confs = probs[np.arange(len(preds)), preds]
+        return preds, confs
+
+    def label_of(pr):
+        return (BALL_STRIKE.get(int(pr), f"zone_{int(pr)}")
+                if config.num_classes <= 2 else f"zone_{int(pr)}")
+
+    if args.stream:
+        return _serve_stream(args, config, model, variables, policy,
+                             mean, std, decode_preds, label_of)
+
     if config.model_name == "MoViNetA2Stream":
         # streaming model: one chunk containing the whole clip == the full
         # causal pass; carry built per batch shape
@@ -86,22 +179,10 @@ def main(argv=None):
         feats, _ = pad_collate(batch_clips, [0] * len(batch_clips),
                                config.t_bucket, config.max_frames)
         logits = np.asarray(predict(variables, feats), np.float32)
-        if config.criterion == "BCE":
-            # single-logit head: sigmoid threshold (argmax over one logit
-            # would always predict 0)
-            prob1 = 1.0 / (1.0 + np.exp(-logits[:, 0]))
-            preds = (prob1 >= 0.5).astype(np.int64)
-            confs = np.where(preds == 1, prob1, 1.0 - prob1)
-        else:
-            e = np.exp(logits - logits.max(-1, keepdims=True))
-            probs = e / e.sum(-1, keepdims=True)
-            preds = logits.argmax(-1)
-            confs = probs[np.arange(len(preds)), preds]
+        preds, confs = decode_preds(logits)
         for name, pr, cf in zip(names, preds, confs):
-            label = BALL_STRIKE.get(int(pr), f"zone_{int(pr)}") \
-                if config.num_classes <= 2 else f"zone_{int(pr)}"
             print(json.dumps({"clip": name, "pred": int(pr),
-                              "label": label,
+                              "label": label_of(pr),
                               "confidence": round(float(cf), 4)}))
         return preds
 

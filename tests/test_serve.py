@@ -86,3 +86,82 @@ def test_serve_streaming_model(tmp_path, monkeypatch, capsys):
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
              if l.startswith("{")]
     assert len([l for l in lines if "pred" in l]) == 2
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model_name,size", [("MobileNetSmall2D", 224),
+                                             ("MoViNetA2Stream", 32)])
+def test_serve_stream_mode(tmp_path, monkeypatch, capsys, rng, model_name,
+                           size):
+    """--stream consumes an mp4 in chunks with carried state and emits one
+    prediction line per chunk; the final line matches the whole-clip
+    prediction (both paths are causal — tests/test_stream_2d.py,
+    test_streaming.py prove logit equality; this covers the CLI wiring).
+    The 2D models keep the reference's fixed 7x7 AvgPool (mobilenet.py:
+    301,435) so they need real 224^2 frames; MoViNet pools globally."""
+    cv2 = pytest.importorskip("cv2")
+    monkeypatch.chdir(tmp_path)
+    from picklebot_tpu.models.registry import initialize_model
+    from picklebot_tpu.train import checkpoint as ckpt
+    from picklebot_tpu.utils.config import Config
+
+    cfg_json = {
+        "model_name": model_name, "num_classes": 13,
+        "criterion": "CE", "use_autocast": False,
+        "batch_size": 1, "effective_batch_size": 1,
+        "train_annotations_file": "", "val_annotations_file": "",
+        "video_paths": "", "data_backend": "synthetic",
+        "synthetic_len": 2, "synthetic_shape": [6, size, size],
+        "t_bucket": 6, "max_frames": 6}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg_json))
+    model = initialize_model(Config(model_name=model_name, num_classes=13))
+    v = model.init(0)
+    path = ckpt.save_checkpoint(str(tmp_path / "ck"), 0,
+                                {"params": v["params"],
+                                 "model_state": v["state"]})
+
+    vid = tmp_path / "c.mp4"
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                        (size, size))
+    for _ in range(6):
+        w.write(rng.randint(0, 255, (size, size, 3)).astype(np.uint8))
+    w.release()
+
+    rc = serve.main([str(cfg_path), "--checkpoint", path, "--stream",
+                     "--chunk", "2", str(vid)])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert [l["frame"] for l in lines] == [2, 4, 6]
+    assert all(0 <= l["pred"] < 13 and 0 < l["confidence"] <= 1
+               for l in lines)
+
+    # whole-clip prediction agrees with the last streamed line
+    rc = serve.main([str(cfg_path), "--checkpoint", path, str(vid)])
+    assert rc == 0
+    full = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    assert full["pred"] == lines[-1]["pred"]
+
+
+def test_serve_stream_rejects_nonstream_model(tmp_path, capsys):
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "model_name": "MobileNetSmall3D", "num_classes": 13,
+        "criterion": "CE", "use_autocast": False,
+        "batch_size": 1, "effective_batch_size": 1,
+        "train_annotations_file": "", "val_annotations_file": "",
+        "video_paths": "", "data_backend": "synthetic"}))
+    from picklebot_tpu.models.registry import initialize_model
+    from picklebot_tpu.train import checkpoint as ckpt
+    from picklebot_tpu.utils.config import Config
+    model = initialize_model(Config(model_name="MobileNetSmall3D",
+                                    num_classes=13))
+    v = model.init(0)
+    path = ckpt.save_checkpoint(str(tmp_path / "ck"), 0,
+                                {"params": v["params"],
+                                 "model_state": v["state"]})
+    rc = serve.main([str(cfg_path), "--checkpoint", path, "--stream",
+                     "x.mp4"])
+    assert rc == 1
