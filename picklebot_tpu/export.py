@@ -1,0 +1,177 @@
+"""AOT deployment artifacts: a serialized StableHLO predictor in one file.
+
+The TPU-native analog of the reference's deployment surface —
+`torch.compile(mode='max-autotune-no-cudagraphs')` at train.py:179-182 and
+the HuggingFace demo space the README links for serving: instead of a
+Python module tree + checkpoint that must be re-assembled and re-traced at
+serving time, `export` lowers the jitted predictor ONCE (jax.export →
+StableHLO) with the trained weights baked in as constants and writes a
+single self-contained artifact. Loading needs jax only — no model zoo, no
+checkpoint machinery, no config — and runs on every platform the artifact
+was lowered for (default: tpu + cpu).
+
+The batch dimension is exported SYMBOLICALLY by default (shape
+polymorphism), so one artifact serves any batch size without re-export;
+frames/height/width stay static (XLA static-shape discipline — the same
+t_bucket padding contract the data pipeline enforces).
+
+Artifact format: a zip with `metadata.json` (model/task facts the server
+needs: num_classes, criterion, frames, size, dtype policy, jax version)
+and `predict.shlo` (jax.export serialization). Input contract:
+uint8 (B, frames, size, size, 3) RGB clips; output: float32 logits
+(B, num_classes) — preprocessing (/255, optional mean/std) is compiled in.
+
+Usage:
+  python -m picklebot_tpu.export <config.json> --checkpoint ck \
+      --out model.pbz [--frames 32] [--size 224] [--batch -1]
+  python -m picklebot_tpu.serve --exported model.pbz clip1.mp4 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import zipfile
+
+METADATA_NAME = "metadata.json"
+BLOB_NAME = "predict.shlo"
+
+
+def build_predict_fn(model, variables, policy, mean, std, model_name):
+    """Closure uint8 clips -> f32 logits with weights baked in (the same
+    math as serve.py's batched path, train/step.py:make_predict_fn)."""
+    import jax.numpy as jnp
+
+    from picklebot_tpu.train.step import preprocess
+
+    def predict(features):
+        x = preprocess(features, policy.compute_dtype, mean, std)
+        if model_name == "MoViNetA2Stream":
+            # whole-clip pass == one chunk with fresh stream buffers
+            carry = model.init_stream(x.shape[0], x.shape[2], x.shape[3],
+                                      dtype=policy.compute_dtype)
+            (logits, _), _ = model.apply(variables, x, carry, train=False,
+                                         policy=policy)
+        else:
+            logits, _ = model.apply(variables, x, train=False, policy=policy)
+        return logits.astype(jnp.float32)
+
+    return predict
+
+
+def export_predictor(model, variables, policy, *, frames, size,
+                     mean=None, std=None, model_name="", batch=None,
+                     platforms=("tpu", "cpu")):
+    """Lower the predictor AOT and return a jax.export.Exported.
+
+    batch=None exports a symbolic batch dim ("b"); an int pins it.
+    """
+    import jax
+    from jax import export as jexport
+
+    predict = build_predict_fn(model, variables, policy, mean, std,
+                               model_name)
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = int(batch)
+    spec = jax.ShapeDtypeStruct((b, frames, size, size, 3), jax.numpy.uint8)
+    return jexport.export(jax.jit(predict), platforms=list(platforms))(spec)
+
+
+def save_artifact(path, exported, meta: dict):
+    """Write the single-file zip artifact."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(METADATA_NAME, json.dumps(meta, indent=1))
+        z.writestr(BLOB_NAME, exported.serialize())
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+
+def load_artifact(path):
+    """(jitted callable uint8 clips -> f32 logits, metadata dict).
+
+    Needs only jax — deserialization rebuilds the computation from
+    StableHLO; the weights are constants inside it.
+    """
+    import jax
+    from jax import export as jexport
+
+    with zipfile.ZipFile(path) as z:
+        meta = json.loads(z.read(METADATA_NAME))
+        exported = jexport.deserialize(bytearray(z.read(BLOB_NAME)))
+    return jax.jit(exported.call), meta
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Export an AOT StableHLO serving artifact")
+    p.add_argument("config")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--frames", type=int, default=32)
+    p.add_argument("--size", type=int, default=224)
+    p.add_argument("--batch", type=int, default=-1,
+                   help="-1 (default): symbolic batch dim; N: pinned")
+    p.add_argument("--platforms", default="tpu,cpu",
+                   help="comma-separated lowering targets")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from picklebot_tpu.core.module import DtypePolicy
+    from picklebot_tpu.models.registry import initialize_model
+    from picklebot_tpu.train import checkpoint as ckpt
+    from picklebot_tpu.train.key_maps import key_map_for
+    from picklebot_tpu.utils.config import load_config
+
+    config = load_config(args.config)
+    if config.model_parallel > 1:
+        import dataclasses
+        config = dataclasses.replace(config, model_parallel=1)
+    model = initialize_model(config)
+    variables = model.init(config.seed)
+    if args.checkpoint.endswith(".pth"):
+        variables = ckpt.load_pth(args.checkpoint, variables,
+                                  key_map=key_map_for(config.model_name))
+    else:
+        payload = ckpt.restore_checkpoint(args.checkpoint, None)
+        variables = {"params": payload["params"],
+                     "state": payload["model_state"]}
+    policy = DtypePolicy.bf16() if config.use_autocast else DtypePolicy.f32()
+    mean = config.mean if config.apply_mean_std else None
+    std = config.std if config.apply_mean_std else None
+
+    exported = export_predictor(
+        model, variables, policy, frames=args.frames, size=args.size,
+        mean=mean, std=std, model_name=config.model_name,
+        batch=None if args.batch == -1 else args.batch,
+        platforms=tuple(args.platforms.split(",")))
+    meta = {
+        "model_name": config.model_name,
+        "num_classes": config.num_classes,
+        "criterion": config.criterion,
+        "frames": args.frames,
+        "size": args.size,
+        "batch": args.batch,
+        "platforms": args.platforms.split(","),
+        "compute_dtype": str(policy.compute_dtype.__name__
+                             if hasattr(policy.compute_dtype, "__name__")
+                             else policy.compute_dtype),
+        "jax_version": jax.__version__,
+        "input": "uint8 (B, frames, size, size, 3) RGB",
+        "output": "float32 logits (B, num_classes)",
+    }
+    save_artifact(args.out, exported, meta)
+    print(json.dumps({"exported": args.out,
+                      "platforms": meta["platforms"],
+                      "batch": "symbolic" if args.batch == -1 else args.batch,
+                      "bytes": __import__("os").path.getsize(args.out)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

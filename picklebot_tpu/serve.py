@@ -11,6 +11,9 @@ Usage:
       [--limit N]   # evaluate accuracy over an annotation CSV
   python -m picklebot_tpu.serve <config.json> --checkpoint ck --stream \
       [--chunk 1] clip.mp4   # online frame-by-frame prediction stream
+  python -m picklebot_tpu.serve --exported model.pbz clip1.mp4 ...
+      # serve from an AOT StableHLO artifact (picklebot_tpu/export.py):
+      # weights baked in, no config/checkpoint/model-zoo at load time
 
 `--stream` serves the online models (MoViNetA2Stream via stream buffers,
 MobileNet{Large,Small}2D via carried LSTM state): the clip is consumed in
@@ -85,12 +88,65 @@ def _serve_stream(args, config, model, variables, policy, mean, std,
     return 0
 
 
+def _serve_exported(args):
+    """Serve from an AOT artifact (picklebot_tpu/export.py): StableHLO with
+    baked weights — no config, no checkpoint, no model zoo at load time."""
+    import numpy as np
+
+    from picklebot_tpu.data.dataset import decode_opencv
+    from picklebot_tpu.export import load_artifact
+
+    predict, meta = load_artifact(args.exported)
+    frames, size = meta["frames"], meta["size"]
+    num_classes, criterion = meta["num_classes"], meta["criterion"]
+    if not args.clips:
+        print("no clips given", file=sys.stderr)
+        return 1
+
+    def prep(clip):
+        """(T, H, W, 3) uint8 -> (frames, size, size, 3): pad/trim T, check
+        spatial dims (the artifact's shapes are compiled in)."""
+        if clip.shape[1] != size or clip.shape[2] != size:
+            raise ValueError(
+                f"artifact was exported for {size}x{size} frames, clip is "
+                f"{clip.shape[1]}x{clip.shape[2]}")
+        clip = clip[:frames]
+        if clip.shape[0] < frames:
+            clip = np.concatenate(
+                [clip, np.zeros((frames - clip.shape[0],) + clip.shape[1:],
+                                np.uint8)])
+        return clip
+
+    for start in range(0, len(args.clips), args.batch):
+        names = args.clips[start:start + args.batch]
+        feats = np.stack([prep(decode_opencv(c)) for c in names])
+        logits = np.asarray(predict(feats), np.float32)
+        if criterion == "BCE":
+            prob1 = 1.0 / (1.0 + np.exp(-logits[:, 0]))
+            preds = (prob1 >= 0.5).astype(np.int64)
+            confs = np.where(preds == 1, prob1, 1.0 - prob1)
+        else:
+            e = np.exp(logits - logits.max(-1, keepdims=True))
+            probs = e / e.sum(-1, keepdims=True)
+            preds = logits.argmax(-1)
+            confs = probs[np.arange(len(preds)), preds]
+        for name, pr, cf in zip(names, preds, confs):
+            label = (BALL_STRIKE.get(int(pr), f"zone_{int(pr)}")
+                     if num_classes <= 2 else f"zone_{int(pr)}")
+            print(json.dumps({"clip": name, "pred": int(pr), "label": label,
+                              "confidence": round(float(cf), 4)}))
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Classify pitch clips")
-    p.add_argument("config")
+    p.add_argument("config", nargs="?", default=None)
     p.add_argument("clips", nargs="*")
-    p.add_argument("--checkpoint", required=True,
+    p.add_argument("--checkpoint", default=None,
                    help="Orbax step dir or torch .pth")
+    p.add_argument("--exported", default=None,
+                   help="AOT artifact from python -m picklebot_tpu.export "
+                        "(replaces config + --checkpoint)")
     p.add_argument("--csv", default=None,
                    help="annotation csv: evaluate accuracy instead")
     p.add_argument("--limit", type=int, default=None)
@@ -101,6 +157,16 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=1,
                    help="frames per streaming step (--stream)")
     args = p.parse_args(argv)
+
+    if args.exported is not None:
+        # without a config the first positional is really a clip
+        if args.config is not None:
+            args.clips = [args.config] + args.clips
+        return _serve_exported(args)
+    if args.config is None or args.checkpoint is None:
+        print("need <config> and --checkpoint (or --exported)",
+              file=sys.stderr)
+        return 1
 
     import jax
     import numpy as np
