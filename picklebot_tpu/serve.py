@@ -14,6 +14,10 @@ Usage:
   python -m picklebot_tpu.serve --exported model.pbz clip1.mp4 ...
       # serve from an AOT StableHLO artifact (picklebot_tpu/export.py):
       # weights baked in, no config/checkpoint/model-zoo at load time
+  python -m picklebot_tpu.serve <config.json> --checkpoint ck --http 8000
+  python -m picklebot_tpu.serve --exported model.pbz --http 8000
+      # HTTP endpoint (the network-facing counterpart of the reference's
+      # HF demo space): POST /predict, body = video file -> JSON
 
 `--stream` serves the online models (MoViNetA2Stream via stream buffers,
 MobileNet{Large,Small}2D via carried LSTM state): the clip is consumed in
@@ -37,8 +41,73 @@ BALL_STRIKE = {0: "ball", 1: "strike"}
 STREAM_MODELS = ("MoViNetA2Stream", "MobileNetLarge2D", "MobileNetSmall2D")
 
 
-def _serve_stream(args, config, model, variables, policy, mean, std,
-                  decode_preds, label_of):
+def decode_logits(logits, criterion, num_classes):
+    """f32 logits (B, C) -> per-clip {pred, label, confidence} dicts."""
+    import numpy as np
+
+    if criterion == "BCE":
+        # single-logit head: sigmoid threshold (argmax over one logit
+        # would always predict 0)
+        prob1 = 1.0 / (1.0 + np.exp(-logits[:, 0]))
+        preds = (prob1 >= 0.5).astype(np.int64)
+        confs = np.where(preds == 1, prob1, 1.0 - prob1)
+    else:
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = e / e.sum(-1, keepdims=True)
+        preds = logits.argmax(-1)
+        confs = probs[np.arange(len(preds)), preds]
+    out = []
+    for pr, cf in zip(preds, confs):
+        label = (BALL_STRIKE.get(int(pr), f"zone_{int(pr)}")
+                 if num_classes <= 2 else f"zone_{int(pr)}")
+        out.append({"pred": int(pr), "label": label,
+                    "confidence": round(float(cf), 4)})
+    return out
+
+
+def make_http_server(port, classify_path, info):
+    """HTTP serving endpoint (the network-facing counterpart of the
+    reference's HuggingFace demo space): POST /predict with a video file
+    as the request body -> JSON prediction; GET / -> model/server info.
+    Returns the ThreadingHTTPServer (caller runs serve_forever)."""
+    import http.server
+    import os
+    import tempfile
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet: predictions go to the client
+            pass
+
+        def _send(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            self._send(200, info)
+
+        def do_POST(self):
+            if self.path != "/predict":
+                return self._send(404, {"error": "POST /predict"})
+            n = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(n)
+            fd, path = tempfile.mkstemp(suffix=".mp4")
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    f.write(data)
+                self._send(200, classify_path(path))
+            except Exception as e:  # noqa: BLE001 — surface to the client
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            finally:
+                os.unlink(path)
+
+    return http.server.ThreadingHTTPServer(("", port), Handler)
+
+
+def _serve_stream(args, config, model, variables, policy, mean, std):
     """Online mode: consume each clip in --chunk-frame pieces with carried
     state (stream buffers / LSTM (h, c)), one JSON prediction per chunk."""
     import jax
@@ -79,12 +148,10 @@ def _serve_stream(args, config, model, variables, policy, mean, std,
         for start in range(0, t_total, args.chunk):
             chunk = frames[start:start + args.chunk]
             logits, carry = stream_step(variables, chunk[None], carry)
-            logits = np.asarray(logits, np.float32)
-            preds, confs = decode_preds(logits)
-            print(json.dumps({
-                "clip": clip_path, "frame": start + len(chunk),
-                "pred": int(preds[0]), "label": label_of(preds[0]),
-                "confidence": round(float(confs[0]), 4)}))
+            rec = decode_logits(np.asarray(logits, np.float32),
+                                config.criterion, config.num_classes)[0]
+            print(json.dumps({"clip": clip_path,
+                              "frame": start + len(chunk), **rec}))
     return 0
 
 
@@ -99,9 +166,6 @@ def _serve_exported(args):
     predict, meta = load_artifact(args.exported)
     frames, size = meta["frames"], meta["size"]
     num_classes, criterion = meta["num_classes"], meta["criterion"]
-    if not args.clips:
-        print("no clips given", file=sys.stderr)
-        return 1
 
     def prep(clip):
         """(T, H, W, 3) uint8 -> (frames, size, size, 3): pad/trim T, check
@@ -117,24 +181,29 @@ def _serve_exported(args):
                                 np.uint8)])
         return clip
 
+    def classify_path(path):
+        feats = prep(decode_opencv(path))[None]
+        logits = np.asarray(predict(feats), np.float32)
+        return decode_logits(logits, criterion, num_classes)[0]
+
+    if args.http is not None:
+        srv = make_http_server(args.http, classify_path,
+                               {"mode": "exported", **meta})
+        print(json.dumps({"serving": f"http://0.0.0.0:"
+                          f"{srv.server_address[1]}"}), flush=True)
+        srv.serve_forever()
+        return 0
+
+    if not args.clips:
+        print("no clips given", file=sys.stderr)
+        return 1
     for start in range(0, len(args.clips), args.batch):
         names = args.clips[start:start + args.batch]
         feats = np.stack([prep(decode_opencv(c)) for c in names])
         logits = np.asarray(predict(feats), np.float32)
-        if criterion == "BCE":
-            prob1 = 1.0 / (1.0 + np.exp(-logits[:, 0]))
-            preds = (prob1 >= 0.5).astype(np.int64)
-            confs = np.where(preds == 1, prob1, 1.0 - prob1)
-        else:
-            e = np.exp(logits - logits.max(-1, keepdims=True))
-            probs = e / e.sum(-1, keepdims=True)
-            preds = logits.argmax(-1)
-            confs = probs[np.arange(len(preds)), preds]
-        for name, pr, cf in zip(names, preds, confs):
-            label = (BALL_STRIKE.get(int(pr), f"zone_{int(pr)}")
-                     if num_classes <= 2 else f"zone_{int(pr)}")
-            print(json.dumps({"clip": name, "pred": int(pr), "label": label,
-                              "confidence": round(float(cf), 4)}))
+        for name, rec in zip(names, decode_logits(logits, criterion,
+                                                  num_classes)):
+            print(json.dumps({"clip": name, **rec}))
     return 0
 
 
@@ -156,6 +225,9 @@ def main(argv=None):
                         "chunk (MoViNetA2Stream / MobileNet*2D)")
     p.add_argument("--chunk", type=int, default=1,
                    help="frames per streaming step (--stream)")
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="serve over HTTP instead: POST /predict with a "
+                        "video file body -> JSON prediction (0 = any port)")
     args = p.parse_args(argv)
 
     if args.exported is not None:
@@ -202,28 +274,9 @@ def main(argv=None):
     mean = config.mean if config.apply_mean_std else None
     std = config.std if config.apply_mean_std else None
 
-    def decode_preds(logits):
-        """logits (B, num_classes) -> (preds, confidences)."""
-        if config.criterion == "BCE":
-            # single-logit head: sigmoid threshold (argmax over one logit
-            # would always predict 0)
-            prob1 = 1.0 / (1.0 + np.exp(-logits[:, 0]))
-            preds = (prob1 >= 0.5).astype(np.int64)
-            confs = np.where(preds == 1, prob1, 1.0 - prob1)
-        else:
-            e = np.exp(logits - logits.max(-1, keepdims=True))
-            probs = e / e.sum(-1, keepdims=True)
-            preds = logits.argmax(-1)
-            confs = probs[np.arange(len(preds)), preds]
-        return preds, confs
-
-    def label_of(pr):
-        return (BALL_STRIKE.get(int(pr), f"zone_{int(pr)}")
-                if config.num_classes <= 2 else f"zone_{int(pr)}")
-
     if args.stream:
         return _serve_stream(args, config, model, variables, policy,
-                             mean, std, decode_preds, label_of)
+                             mean, std)
 
     if config.model_name == "MoViNetA2Stream":
         # streaming model: one chunk containing the whole clip == the full
@@ -245,12 +298,28 @@ def main(argv=None):
         feats, _ = pad_collate(batch_clips, [0] * len(batch_clips),
                                config.t_bucket, config.max_frames)
         logits = np.asarray(predict(variables, feats), np.float32)
-        preds, confs = decode_preds(logits)
-        for name, pr, cf in zip(names, preds, confs):
-            print(json.dumps({"clip": name, "pred": int(pr),
-                              "label": label_of(pr),
-                              "confidence": round(float(cf), 4)}))
-        return preds
+        recs = decode_logits(logits, config.criterion, config.num_classes)
+        for name, rec in zip(names, recs):
+            print(json.dumps({"clip": name, **rec}))
+        return np.array([r["pred"] for r in recs])
+
+    if args.http is not None:
+        def classify_path(path):
+            feats, _ = pad_collate([decode_opencv(path)], [0],
+                                   config.t_bucket, config.max_frames)
+            logits = np.asarray(predict(variables, feats), np.float32)
+            return decode_logits(logits, config.criterion,
+                                 config.num_classes)[0]
+
+        srv = make_http_server(args.http, classify_path,
+                               {"mode": "checkpoint",
+                                "model_name": config.model_name,
+                                "num_classes": config.num_classes,
+                                "criterion": config.criterion})
+        print(json.dumps({"serving": f"http://0.0.0.0:"
+                          f"{srv.server_address[1]}"}), flush=True)
+        srv.serve_forever()
+        return 0
 
     if args.csv:
         ds = ClipDataset(args.csv, config.video_paths,

@@ -165,3 +165,77 @@ def test_serve_stream_rejects_nonstream_model(tmp_path, capsys):
     rc = serve.main([str(cfg_path), "--checkpoint", path, "--stream",
                      "x.mp4"])
     assert rc == 1
+
+
+@pytest.mark.slow
+def test_serve_http_exported(tmp_path, monkeypatch, rng):
+    """--http endpoint over an AOT artifact: GET / returns the metadata,
+    POST /predict classifies an uploaded mp4, bad uploads get a 400."""
+    cv2 = pytest.importorskip("cv2")
+    import http.client
+    import threading
+    import time
+
+    from picklebot_tpu import export as pexp
+    from picklebot_tpu.core.module import DtypePolicy
+    from picklebot_tpu.models.registry import initialize_model
+    from picklebot_tpu.utils.config import Config
+
+    model = initialize_model(Config(model_name="MobileNetSmall3D",
+                                    num_classes=13))
+    v = model.init(0)
+    exp = pexp.export_predictor(model, v, DtypePolicy.f32(), frames=6,
+                                size=48, model_name="MobileNetSmall3D",
+                                platforms=("cpu",))
+    art = tmp_path / "m.pbz"
+    pexp.save_artifact(art, exp, {"model_name": "MobileNetSmall3D",
+                                  "num_classes": 13, "criterion": "CE",
+                                  "frames": 6, "size": 48})
+
+    vid = tmp_path / "c.mp4"
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                        (48, 48))
+    for _ in range(6):
+        w.write(rng.randint(0, 255, (48, 48, 3)).astype(np.uint8))
+    w.release()
+
+    created = {}
+    orig = serve.make_http_server
+
+    def capture(port, classify, info):
+        created["srv"] = orig(port, classify, info)
+        return created["srv"]
+
+    monkeypatch.setattr(serve, "make_http_server", capture)
+    th = threading.Thread(
+        target=serve.main,
+        args=(["--exported", str(art), "--http", "0"],), daemon=True)
+    th.start()
+    for _ in range(500):
+        if "srv" in created:
+            break
+        time.sleep(0.02)
+    port = created["srv"].server_address[1]
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/")
+        info = json.loads(conn.getresponse().read())
+        assert info["num_classes"] == 13 and info["mode"] == "exported"
+
+        conn.request("POST", "/predict", body=vid.read_bytes())
+        resp = conn.getresponse()
+        assert resp.status == 200
+        rec = json.loads(resp.read())
+        assert 0 <= rec["pred"] < 13 and 0 < rec["confidence"] <= 1
+
+        conn.request("POST", "/predict", body=b"not a video")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "error" in json.loads(resp.read())
+
+        conn.request("POST", "/elsewhere", body=b"")
+        assert conn.getresponse().status == 404
+    finally:
+        created["srv"].shutdown()
+    th.join(timeout=30)
+    assert not th.is_alive()
