@@ -18,6 +18,8 @@ Usage:
   python -m picklebot_tpu.serve --exported model.pbz --http 8000
       # HTTP endpoint (the network-facing counterpart of the reference's
       # HF demo space): POST /predict, body = video file -> JSON
+  python -m picklebot_tpu.serve <config.json> --checkpoint ck \
+      --data-parallel 8 --csv val.csv   # batch sharded over 8 chips (ICI)
 
 `--stream` serves the online models (MoViNetA2Stream via stream buffers,
 MobileNet{Large,Small}2D via carried LSTM state): the clip is consumed in
@@ -228,6 +230,9 @@ def main(argv=None):
     p.add_argument("--http", type=int, default=None, metavar="PORT",
                    help="serve over HTTP instead: POST /predict with a "
                         "video file body -> JSON prediction (0 = any port)")
+    p.add_argument("--data-parallel", type=int, default=1, metavar="N",
+                   help="shard each inference batch over N devices "
+                        "(shard_map over the 'data' mesh axis)")
     args = p.parse_args(argv)
 
     if args.exported is not None:
@@ -283,6 +288,11 @@ def main(argv=None):
         # causal pass; carry built per batch shape
         from picklebot_tpu.train.step import preprocess
 
+        if args.data_parallel > 1:
+            print("--data-parallel does not support MoViNetA2Stream "
+                  "(stream-buffer carry)", file=sys.stderr)
+            return 1
+
         @jax.jit
         def predict(variables, feats):
             x = preprocess(feats, policy.compute_dtype, mean, std)
@@ -291,6 +301,23 @@ def main(argv=None):
             (logits, _), _ = model.apply(variables, x, carry, train=False,
                                          policy=policy)
             return logits
+    elif args.data_parallel > 1:
+        # multi-chip serving: batch sharded over the 'data' mesh axis; the
+        # ragged last chunk pads to the mesh size and trims after
+        from picklebot_tpu.parallel.mesh import make_mesh
+        from picklebot_tpu.train.step import make_sharded_predict_fn
+
+        mesh = make_mesh(data=args.data_parallel, model=1)
+        sharded = make_sharded_predict_fn(model, mesh, policy,
+                                          mean=mean, std=std)
+
+        def predict(variables, feats):
+            b, dp = feats.shape[0], args.data_parallel
+            pad = (-b) % dp
+            if pad:
+                feats = np.concatenate(
+                    [feats, np.zeros((pad,) + feats.shape[1:], feats.dtype)])
+            return sharded(variables, feats)[:b]
     else:
         predict = make_predict_fn(model, policy, mean=mean, std=std)
 

@@ -234,3 +234,27 @@ def make_predict_fn(model: Module, policy: Optional[DtypePolicy] = None,
         return logits
 
     return jax.jit(predict)
+
+
+def make_sharded_predict_fn(model: Module, mesh: Mesh,
+                            policy: Optional[DtypePolicy] = None,
+                            mean=None, std=None, state_specs=None):
+    """Data-parallel batched inference over a device mesh: the batch dim
+    splits across the 'data' axis (must divide by its size), every device
+    runs the local forward, logits gather back sharded-by-batch. The
+    serving-side counterpart of the shard_map train/eval steps — scales
+    throughput over ICI exactly like DDP inference would over NCCL.
+    TP-sharded params keep their layouts via ``state_specs`` (same
+    contract as make_eval_step)."""
+    policy = policy or DtypePolicy.bf16()
+
+    def local_predict(variables, features):
+        x = preprocess(features, policy.compute_dtype, mean, std)
+        logits, _ = model.apply(variables, x, train=False, policy=policy)
+        return logits
+
+    st_specs = state_specs if state_specs is not None else P()
+    sharded = shard_map(local_predict, mesh=mesh,
+                        in_specs=(st_specs, P("data")),
+                        out_specs=P("data"), check_vma=False)
+    return jax.jit(sharded)

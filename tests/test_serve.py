@@ -239,3 +239,43 @@ def test_serve_http_exported(tmp_path, monkeypatch, rng):
         created["srv"].shutdown()
     th.join(timeout=30)
     assert not th.is_alive()
+
+
+@pytest.mark.slow
+def test_serve_data_parallel_matches_single(tmp_path, monkeypatch, capsys):
+    """--data-parallel 8 shards each serving batch over the CPU mesh and
+    returns the same predictions as plain serving (incl. the ragged last
+    batch, which pads to the mesh size and trims)."""
+    monkeypatch.chdir(tmp_path)
+    from picklebot_tpu.models.registry import initialize_model
+    from picklebot_tpu.train import checkpoint as ckpt
+    from picklebot_tpu.utils.config import Config
+
+    model = initialize_model(Config(model_name="MobileNetSmall3D",
+                                    num_classes=13))
+    v = model.init(0)
+    path = ckpt.save_checkpoint(str(tmp_path / "ck"), 0,
+                                {"params": v["params"],
+                                 "model_state": v["state"]})
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "model_name": "MobileNetSmall3D", "num_classes": 13,
+        "criterion": "CE", "use_autocast": False,
+        "batch_size": 2, "effective_batch_size": 2,
+        "train_annotations_file": "", "val_annotations_file": "",
+        "video_paths": "", "data_backend": "synthetic",
+        "synthetic_len": 6, "synthetic_shape": [4, 32, 32],
+        "t_bucket": 4, "max_frames": 4}))
+
+    def run(extra):
+        rc = serve.main([str(cfg), "--checkpoint", path, "--csv", "x",
+                         "--limit", "6", "--batch", "6"] + extra)
+        assert rc == 0
+        return [json.loads(l) for l in
+                capsys.readouterr().out.splitlines()
+                if l.startswith("{") and "pred" in l]
+
+    plain = run([])
+    sharded = run(["--data-parallel", "8"])   # 6 clips pad to 8, trim
+    assert len(plain) == len(sharded) == 6
+    assert [p["pred"] for p in plain] == [s["pred"] for s in sharded]

@@ -185,3 +185,21 @@ def test_cosine_schedule_matches_torch():
         for _ in range(7):
             opt.step()
             sch.step()
+
+
+def test_sharded_predict_matches_single_device(rng):
+    """8-way DP inference == plain jit on the same batch (serve's
+    --data-parallel path; eval-mode BN, so TinyVideoNet is fine)."""
+    from picklebot_tpu.train.step import make_predict_fn, make_sharded_predict_fn
+
+    model = TinyVideoNet()
+    variables = model.init(0)
+    policy = DtypePolicy.f32()
+    feats = jnp.asarray(
+        rng.randint(0, 255, (16, 4, 16, 16, 3)).astype(np.uint8))
+
+    plain = make_predict_fn(model, policy)(variables, feats)
+    mesh = make_mesh(data=8)
+    sharded = make_sharded_predict_fn(model, mesh, policy)(variables, feats)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
+                               rtol=1e-5, atol=1e-5)
