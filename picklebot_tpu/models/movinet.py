@@ -228,7 +228,7 @@ def _early_fold_plans_a2():
 class MoViNetA2(Module):
     """Offline clip classifier (reference movinet.py:80-165)."""
 
-    FOLD_SPANS = ("block2", "block4", "boundary")
+    FOLD_SPANS = ("block2", "block4", "boundary", "stem")
 
     def __init__(self, num_classes: int = 2, causal: bool = False,
                  space_to_depth: bool = False, early_fold: bool = False,
@@ -285,6 +285,20 @@ class MoViNetA2(Module):
             F = _math.prod(plans["stem"].folds_out)
             z6 = cx(self.stem_bn, z.reshape(z.shape[:-1] + (F, 16)))
             z = act.hardswish(z6).reshape(z.shape)
+            if self._fold_span == "stem":
+                # stem-only span: unfold (W-major -> pure reshape) and run
+                # every bottleneck canonically — isolates the folded-conv
+                # codegen wall to the stem (docs/BENCH.md MoViNet section)
+                from picklebot_tpu.ops.folded import unfold_nd
+                x = unfold_nd(z, (1, 1, 8), 16)
+                for stage in self._stages():
+                    x = cx(stage, x)
+                x = act.hardswish(cx(self.head_bn, cx(self.head_conv, x)))
+                x = cx(self.head_dropout, x)
+                x = cx(self.pool, x)
+                x = act.hardswish(cx(self.fc1_bn, cx(self.fc1, x)))
+                x = cx(self.fc_dropout, x)
+                return cx(self.fc2, x)
             for i, key in enumerate(("b2_0", "b2_1", "b2_2")):
                 z = cx(self.block2.layers[i], z, folded=plans[key])
             if self._fold_span == "block4":

@@ -176,6 +176,20 @@ def test_movinet_boundary_span_logits_match():
                                atol=2e-4, rtol=1e-4)
 
 
+def test_movinet_stem_span_logits_match():
+    """fold_span='stem': only the stem conv runs folded; the unfold back
+    to canonical is a pure W-major reshape."""
+    from picklebot_tpu.models.movinet import MoViNetA2
+    plain = MoViNetA2(num_classes=5)
+    fold = MoViNetA2(num_classes=5, early_fold=True, fold_span="stem")
+    params = plain.init(0)
+    x = np.random.RandomState(25).randn(1, 4, 32, 32, 3).astype(np.float32)
+    y0 = jax.jit(lambda p, x: plain.apply(p, x, train=False)[0])(params, x)
+    y1 = jax.jit(lambda p, x: fold.apply(p, x, train=False)[0])(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_movinet_gradients_match():
     from picklebot_tpu.models.movinet import MoViNetA2
     plain = MoViNetA2(num_classes=5)
