@@ -155,8 +155,9 @@ def main():
     name = ("train step fwd+bwd+adamw8bit" if args.mode == "train"
             else "batched inference")
     tdesc = "" if is_image else f"T={args.frames} "
+    sample = "images" if is_image else "clips"
     print(json.dumps({
-        "metric": f"clips/sec/chip ({args.model} {name}, "
+        "metric": f"{sample}/sec/chip ({args.model} {name}, "
                   f"bs={args.batch} {tdesc}{args.size}x{args.size} "
                   f"bf16)",
         "value": round(clips_per_sec, 2),

@@ -79,22 +79,36 @@ int pb_decode_video(const char *path, int64_t max_frames, uint8_t **out,
     std::vector<uint8_t> frames;
     int64_t width = 0, height = 0, count = 0;
     bool flushing = false;
+    bool pending = false;  // a read packet the decoder hasn't accepted yet
 
     while (true) {
         if (!flushing) {
-            ret = av_read_frame(c.fmt, c.pkt);
-            if (ret == AVERROR_EOF) {
-                flushing = true;
-                avcodec_send_packet(c.dec, nullptr);  // drain
-            } else if (ret < 0) {
-                return ret;
-            } else if (c.pkt->stream_index != stream) {
-                av_packet_unref(c.pkt);
-                continue;
-            } else {
+            if (!pending) {
+                ret = av_read_frame(c.fmt, c.pkt);
+                if (ret == AVERROR_EOF) {
+                    flushing = true;
+                    avcodec_send_packet(c.dec, nullptr);  // drain
+                } else if (ret < 0) {
+                    return ret;
+                } else if (c.pkt->stream_index != stream) {
+                    av_packet_unref(c.pkt);
+                    continue;
+                } else {
+                    pending = true;
+                }
+            }
+            if (pending) {
                 ret = avcodec_send_packet(c.dec, c.pkt);
-                av_packet_unref(c.pkt);
-                if (ret < 0 && ret != AVERROR(EAGAIN)) return ret;
+                if (ret == AVERROR(EAGAIN)) {
+                    // decoder output queue full (FFmpeg contract): keep
+                    // the packet, drain receive_frame below, re-send this
+                    // same packet next iteration — dropping it here would
+                    // silently lose frames on buffering decoders
+                } else {
+                    av_packet_unref(c.pkt);
+                    pending = false;
+                    if (ret < 0) return ret;
+                }
             }
         }
         while (true) {

@@ -99,17 +99,21 @@ MODELS: Dict[str, Callable[[Any], Any]] = {
 
 def fold_spans_for(model_name: str):
     """Per-model fold_span vocabulary (the model class's FOLD_SPANS), or
-    None for models without a folded path. Used by Config.validate()."""
-    if model_name in ("MobileNetLarge3D", "MoViNetA2"):
-        return ("block2", "block4", "boundary")
-    if model_name == "MobileNetSmall3D":
-        return ("block3", "boundary")
+    None for models without a folded path. Used by Config.validate().
+    Derived from the class attribute so constructor-vs-config validation
+    cannot drift (lazy imports, same pattern as the constructors above)."""
+    if model_name in ("MobileNetLarge3D", "MobileNetSmall3D"):
+        from picklebot_tpu.models import mobilenet3d as m
+        return getattr(m, model_name).FOLD_SPANS
+    if model_name == "MoViNetA2":
+        from picklebot_tpu.models.movinet import MoViNetA2
+        return MoViNetA2.FOLD_SPANS
     if model_name == "MobileViT":
-        return ("stem", "trunk")
-    if model_name == "MobileNetLarge2D":
-        return ("block2", "boundary")
-    if model_name == "MobileNetSmall2D":
-        return ("block3", "boundary")
+        from picklebot_tpu.models.mobilevit import MobileViT
+        return MobileViT.FOLD_SPANS
+    if model_name in ("MobileNetLarge2D", "MobileNetSmall2D"):
+        from picklebot_tpu.models import mobilenet2d_lstm as m
+        return getattr(m, model_name).FOLD_SPANS
     return None
 
 

@@ -103,11 +103,14 @@ class MultiHeadAttention(Module):
         has no dropout path, and below ~_PACKED_MIN_SEQ tokens XLA's fused
         attention is at parity or better (measured on v5e — see
         docs/kernel_evidence.json)."""
+        if cx.train and self.dropout_p > 0:
+            # no dropout path in the kernel: fall back to XLA rather than
+            # silently changing training regularization (same policy as
+            # _attend's guard for every other backend)
+            return False
         if self.backend == "packed":
             return True
         if self.backend != "auto":
-            return False
-        if cx.train and self.dropout_p > 0:
             return False
         return self.inner_dim <= 128 and n >= _PACKED_MIN_SEQ
 

@@ -236,6 +236,18 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.exported is not None:
+        # the artifact path serves whole fixed-shape clips only: CSV
+        # evaluation, chunked streaming and mesh sharding all need the
+        # live model/config — error instead of silently changing behavior
+        unsupported = [f for f, on in (
+            ("--csv", args.csv is not None),
+            ("--stream", args.stream),
+            ("--data-parallel", args.data_parallel > 1)) if on]
+        if unsupported:
+            print(f"--exported does not support {', '.join(unsupported)} "
+                  f"(use <config> --checkpoint for those modes)",
+                  file=sys.stderr)
+            return 1
         # without a config the first positional is really a clip
         if args.config is not None:
             args.clips = [args.config] + args.clips

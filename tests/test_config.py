@@ -24,6 +24,7 @@ def test_fold_span_default_is_model_default():
     ("MobileNetLarge3D", "boundary"),
     ("MobileNetSmall3D", "boundary"),
     ("MoViNetA2", "block4"),
+    ("MoViNetA2", "stem"),
     ("MobileViT", "trunk"),
 ])
 def test_fold_span_valid_values_accepted(model, span):
@@ -39,7 +40,7 @@ def test_fold_span_valid_values_accepted(model, span):
     ("MobileNetLarge3D", "boundry"),      # typo
     ("MobileNetSmall3D", "block2"),       # another model's span
     ("MobileViT", "block2"),
-    ("MoViNetA2", "stem"),
+    ("MoViNetA2", "trunk"),
 ])
 def test_fold_span_invalid_values_rejected(model, span):
     with pytest.raises(ValueError, match="fold_span"):
