@@ -67,6 +67,8 @@ def export_predictor(model, variables, policy, *, frames, size,
     """Lower the predictor AOT and return a jax.export.Exported.
 
     batch=None exports a symbolic batch dim ("b"); an int pins it.
+    MobileViTV2 (the zoo's 2D image classifier) exports an image input
+    (B, size, size, 3); every other model a clip (B, frames, size, size, 3).
     """
     import jax
     from jax import export as jexport
@@ -77,7 +79,9 @@ def export_predictor(model, variables, policy, *, frames, size,
         (b,) = jexport.symbolic_shape("b")
     else:
         b = int(batch)
-    spec = jax.ShapeDtypeStruct((b, frames, size, size, 3), jax.numpy.uint8)
+    shape = ((b, size, size, 3) if model_name == "MobileViTV2"
+             else (b, frames, size, size, 3))
+    spec = jax.ShapeDtypeStruct(shape, jax.numpy.uint8)
     return jexport.export(jax.jit(predict), platforms=list(platforms))(spec)
 
 

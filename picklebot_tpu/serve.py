@@ -166,6 +166,14 @@ def _serve_exported(args):
     from picklebot_tpu.export import load_artifact
 
     predict, meta = load_artifact(args.exported)
+    if meta.get("model_name") == "MobileViTV2":
+        # image classifier: the artifact consumes (B, H, W, 3) frames, not
+        # clips — serve's mp4 contract doesn't apply (load_artifact() gives
+        # the callable directly for image pipelines)
+        print("--exported serving is clip-based; MobileViTV2 artifacts "
+              "take single images (use picklebot_tpu.export.load_artifact)",
+              file=sys.stderr)
+        return 1
     frames, size = meta["frames"], meta["size"]
     num_classes, criterion = meta["num_classes"], meta["criterion"]
 

@@ -122,3 +122,34 @@ def test_export_cli_and_serve(tmp_path, monkeypatch, capsys, rng):
     assert len(lines) == 2
     assert all(0 <= l["pred"] < 13 and 0 < l["confidence"] <= 1
                for l in lines)
+
+
+@pytest.mark.parametrize("model_name,kw,shape", [
+    ("MobileViT",
+     dict(dims=[64, 80, 96],
+          channels=[16, 16, 24, 24, 48, 48, 64, 64, 80, 80, 320]),
+     (2, 4, 64, 64, 3)),
+    ("MobileNetSmall2D", {}, (2, 4, 224, 224, 3)),   # fixed 7x7 AvgPool
+    ("MobileViTV2", {}, (2, 64, 64, 3)),             # image model
+])
+def test_export_model_families(tmp_path, rng, model_name, kw, shape):
+    """The AOT path covers the whole zoo: attention (MobileViT), the
+    LSTM scan (2D models) and the image-input MobileViTV2 all lower,
+    serialize, reload and match the live model."""
+    model = initialize_model(Config(model_name=model_name, num_classes=13,
+                                    **kw))
+    v = model.init(0)
+    pol = DtypePolicy.f32()
+    frames = shape[1] if len(shape) == 5 else 1
+    size = shape[2] if len(shape) == 5 else shape[1]
+    exp = pexp.export_predictor(model, v, pol, frames=frames, size=size,
+                                model_name=model_name, platforms=("cpu",))
+    path = tmp_path / "m.pbz"
+    pexp.save_artifact(path, exp, {"model_name": model_name})
+    fn, _ = pexp.load_artifact(path)
+    x = rng.randint(0, 255, shape).astype(np.uint8)
+    got = np.asarray(fn(x))
+    assert got.shape == (shape[0], 13)
+    live = pexp.build_predict_fn(model, v, pol, None, None, model_name)
+    np.testing.assert_allclose(got, np.asarray(live(x)),
+                               rtol=1e-4, atol=1e-4)
