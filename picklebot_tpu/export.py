@@ -82,7 +82,18 @@ def export_predictor(model, variables, policy, *, frames, size,
     shape = ((b, size, size, 3) if model_name == "MobileViTV2"
              else (b, frames, size, size, 3))
     spec = jax.ShapeDtypeStruct(shape, jax.numpy.uint8)
-    return jexport.export(jax.jit(predict), platforms=list(platforms))(spec)
+    try:
+        return jexport.export(jax.jit(predict),
+                              platforms=list(platforms))(spec)
+    except ValueError as e:
+        if "interpret mode" in str(e) and len(platforms) > 1:
+            raise ValueError(
+                "multi-platform export failed because a Pallas TPU kernel "
+                "is on this model's path (MobileViT selects the "
+                "head-packed flash-attention kernel at N>=512 tokens) and "
+                "Mosaic lowers for TPU only — export with "
+                "platforms=('tpu',) / --platforms tpu") from e
+        raise
 
 
 def save_artifact(path, exported, meta: dict):
