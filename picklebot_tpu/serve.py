@@ -17,7 +17,10 @@ Usage:
   python -m picklebot_tpu.serve <config.json> --checkpoint ck --http 8000
   python -m picklebot_tpu.serve --exported model.pbz --http 8000
       # HTTP endpoint (the network-facing counterpart of the reference's
-      # HF demo space): POST /predict, body = video file -> JSON
+      # HF demo space): POST /predict, body = video file -> JSON.
+      # Concurrent requests coalesce into one predictor call per
+      # --batch-window ms (TPU throughput wants wide batches; the batch
+      # dim buckets to powers of two so XLA compiles O(log) shapes)
   python -m picklebot_tpu.serve <config.json> --checkpoint ck \
       --data-parallel 8 --csv val.csv   # batch sharded over 8 chips (ICI)
 
@@ -65,6 +68,73 @@ def decode_logits(logits, criterion, num_classes):
         out.append({"pred": int(pr), "label": label,
                     "confidence": round(float(cf), 4)})
     return out
+
+
+class RequestBatcher:
+    """Cross-request dynamic batching for HTTP serving.
+
+    Concurrent POST /predict bodies are decoded in their handler threads
+    and enqueued; one worker thread drains the queue into a single batch —
+    waiting up to ``window_ms`` after the first clip arrives, or until
+    ``max_batch`` clips are pending — and runs the jitted predictor ONCE.
+    TPU serving wants wide batches (bs=16 inference is ~5x sixteen bs=1
+    calls, docs/BENCH.md); per-request dispatch would leave the MXU idle.
+    The batch dim pads to the next power of two (zeros, trimmed after) so
+    XLA compiles at most log2(max_batch)+1 batch shapes.
+    """
+
+    def __init__(self, predict_batch, max_batch=8, window_ms=10.0):
+        import queue
+        import threading
+        self._predict_batch = predict_batch   # list[clip] -> list[dict]
+        self.max_batch = max(1, max_batch)
+        self.window_s = window_ms / 1e3
+        self._q = queue.Queue()
+        self._queue_mod = queue
+        t = threading.Thread(target=self._loop, daemon=True)
+        t.start()
+
+    def submit(self, clip):
+        """Block until the clip's prediction dict is ready."""
+        import threading
+        ev = threading.Event()
+        slot = {}
+        self._q.put((clip, ev, slot))
+        ev.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+    def _loop(self):
+        import time
+        while True:
+            entries = [self._q.get()]
+            deadline = time.monotonic() + self.window_s
+            while len(entries) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    entries.append(self._q.get(timeout=left))
+                except self._queue_mod.Empty:
+                    break
+            try:
+                results = self._predict_batch([e[0] for e in entries])
+                for (clip, ev, slot), rec in zip(entries, results):
+                    slot["result"] = rec
+                    ev.set()
+            except Exception as e:  # noqa: BLE001 — deliver to every waiter
+                for clip, ev, slot in entries:
+                    slot["error"] = e
+                    ev.set()
+
+
+def pad_batch_pow2(n, max_batch):
+    """Batch-dim bucket: next power of two >= n, capped at max_batch."""
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max(max_batch, n))
 
 
 def make_http_server(port, classify_path, info):
@@ -197,7 +267,29 @@ def _serve_exported(args):
         return decode_logits(logits, criterion, num_classes)[0]
 
     if args.http is not None:
-        srv = make_http_server(args.http, classify_path,
+        pinned = meta.get("batch", -1)
+        pinned = pinned if isinstance(pinned, int) and pinned > 0 else None
+
+        def predict_clips(clips):
+            feats = np.stack(clips)
+            b = feats.shape[0]
+            target = pinned or pad_batch_pow2(b, args.batch)
+            if b > target:
+                raise ValueError(f"batch {b} exceeds the artifact's pinned "
+                                 f"batch {target}")
+            if target > b:
+                feats = np.concatenate(
+                    [feats, np.zeros((target - b,) + feats.shape[1:],
+                                     feats.dtype)])
+            logits = np.asarray(predict(feats), np.float32)[:b]
+            return decode_logits(logits, criterion, num_classes)
+
+        batcher = RequestBatcher(predict_clips,
+                                 max_batch=pinned or args.batch,
+                                 window_ms=args.batch_window)
+        srv = make_http_server(args.http,
+                               lambda path: batcher.submit(
+                                   prep(decode_opencv(path))),
                                {"mode": "exported", **meta})
         print(json.dumps({"serving": f"http://0.0.0.0:"
                           f"{srv.server_address[1]}"}), flush=True)
@@ -241,6 +333,10 @@ def main(argv=None):
     p.add_argument("--data-parallel", type=int, default=1, metavar="N",
                    help="shard each inference batch over N devices "
                         "(shard_map over the 'data' mesh axis)")
+    p.add_argument("--batch-window", type=float, default=10.0, metavar="MS",
+                   help="--http cross-request batching: wait up to MS ms "
+                        "after the first request to coalesce up to --batch "
+                        "clips into one predictor call (0 = no batching)")
     args = p.parse_args(argv)
 
     if args.exported is not None:
@@ -351,14 +447,24 @@ def main(argv=None):
         return np.array([r["pred"] for r in recs])
 
     if args.http is not None:
-        def classify_path(path):
-            feats, _ = pad_collate([decode_opencv(path)], [0],
+        def predict_clips(clips):
+            feats, _ = pad_collate(clips, [0] * len(clips),
                                    config.t_bucket, config.max_frames)
-            logits = np.asarray(predict(variables, feats), np.float32)
+            b = feats.shape[0]
+            target = pad_batch_pow2(b, args.batch)
+            if target > b:
+                feats = np.concatenate(
+                    [feats, np.zeros((target - b,) + feats.shape[1:],
+                                     feats.dtype)])
+            logits = np.asarray(predict(variables, feats), np.float32)[:b]
             return decode_logits(logits, config.criterion,
-                                 config.num_classes)[0]
+                                 config.num_classes)
 
-        srv = make_http_server(args.http, classify_path,
+        batcher = RequestBatcher(predict_clips, max_batch=args.batch,
+                                 window_ms=args.batch_window)
+        srv = make_http_server(args.http,
+                               lambda path: batcher.submit(
+                                   decode_opencv(path)),
                                {"mode": "checkpoint",
                                 "model_name": config.model_name,
                                 "num_classes": config.num_classes,

@@ -279,3 +279,123 @@ def test_serve_data_parallel_matches_single(tmp_path, monkeypatch, capsys):
     sharded = run(["--data-parallel", "8"])   # 6 clips pad to 8, trim
     assert len(plain) == len(sharded) == 6
     assert [p["pred"] for p in plain] == [s["pred"] for s in sharded]
+
+
+def test_request_batcher_coalesces_and_pads():
+    """Concurrent submits within the window coalesce into ONE predictor
+    call; the batch dim buckets to powers of two."""
+    import threading
+
+    calls = []
+
+    def predict_clips(clips):
+        calls.append(len(clips))
+        return [{"pred": int(c[0]), "label": "x", "confidence": 1.0}
+                for c in clips]
+
+    b = serve.RequestBatcher(predict_clips, max_batch=8, window_ms=200.0)
+    results = [None] * 5
+    def worker(i):
+        results[i] = b.submit(np.array([i]))
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(5)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    assert [r["pred"] for r in results] == [0, 1, 2, 3, 4]
+    # all five landed in one call (or two if the scheduler split them) —
+    # never five separate predictor dispatches
+    assert len(calls) <= 2 and sum(calls) == 5
+
+    assert serve.pad_batch_pow2(1, 8) == 1
+    assert serve.pad_batch_pow2(3, 8) == 4
+    assert serve.pad_batch_pow2(5, 8) == 8
+    assert serve.pad_batch_pow2(8, 8) == 8
+
+
+def test_request_batcher_propagates_errors():
+    def predict_clips(clips):
+        raise RuntimeError("boom")
+
+    b = serve.RequestBatcher(predict_clips, max_batch=4, window_ms=1.0)
+    with pytest.raises(RuntimeError, match="boom"):
+        b.submit(np.zeros(1))
+    # the worker thread survives a failed batch
+    def ok_after(clips):
+        return [{"pred": 0}]
+    b2 = serve.RequestBatcher(ok_after, max_batch=4, window_ms=1.0)
+    assert b2.submit(np.zeros(1)) == {"pred": 0}
+
+
+@pytest.mark.slow
+def test_serve_http_concurrent_batched(tmp_path, monkeypatch, rng):
+    """8 concurrent POSTs against --http coalesce through the batcher and
+    every client gets its own correct prediction."""
+    cv2 = pytest.importorskip("cv2")
+    import http.client
+    import threading
+    import time
+
+    from picklebot_tpu import export as pexp
+    from picklebot_tpu.core.module import DtypePolicy
+    from picklebot_tpu.models.registry import initialize_model
+    from picklebot_tpu.utils.config import Config
+
+    model = initialize_model(Config(model_name="MobileNetSmall3D",
+                                    num_classes=13))
+    v = model.init(0)
+    exp = pexp.export_predictor(model, v, DtypePolicy.f32(), frames=4,
+                                size=48, model_name="MobileNetSmall3D",
+                                platforms=("cpu",))
+    art = tmp_path / "m.pbz"
+    pexp.save_artifact(art, exp, {"model_name": "MobileNetSmall3D",
+                                  "num_classes": 13, "criterion": "CE",
+                                  "frames": 4, "size": 48, "batch": -1})
+
+    vid = tmp_path / "c.mp4"
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                        (48, 48))
+    for _ in range(4):
+        w.write(rng.randint(0, 255, (48, 48, 3)).astype(np.uint8))
+    w.release()
+    body = vid.read_bytes()
+
+    created = {}
+    orig = serve.make_http_server
+
+    def capture(port, classify, info):
+        created["srv"] = orig(port, classify, info)
+        return created["srv"]
+
+    monkeypatch.setattr(serve, "make_http_server", capture)
+    th = threading.Thread(
+        target=serve.main,
+        args=(["--exported", str(art), "--http", "0",
+               "--batch", "8", "--batch-window", "300"],), daemon=True)
+    th.start()
+    for _ in range(500):
+        if "srv" in created:
+            break
+        time.sleep(0.02)
+    port = created["srv"].server_address[1]
+    recs = [None] * 8
+
+    def post(i):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/predict", body=body)
+        resp = conn.getresponse()
+        recs[i] = (resp.status, json.loads(resp.read()))
+
+    try:
+        ts = [threading.Thread(target=post, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert all(r is not None and r[0] == 200 for r in recs), recs
+        preds = {r[1]["pred"] for r in recs}
+        assert len(preds) == 1          # same clip -> same prediction
+        assert all(0 < r[1]["confidence"] <= 1 for r in recs)
+    finally:
+        created["srv"].shutdown()
+    th.join(timeout=30)
