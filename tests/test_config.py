@@ -87,3 +87,22 @@ def test_folded_conv_map_rejects_bad_geometry():
     with pytest.raises(ValueError, match="fold"):
         folded_conv_map((1, 2, 2), (1, 1, 1), (1, 1, 1),
                         (1, 1, 8), (1, 1, 8), 3, 16)
+
+
+def test_all_shipped_configs_construct():
+    """Every configs/*.json parses, validates and builds its model — a
+    user switching from the reference finds a working config per family
+    (the reference ships 6; see configs/)."""
+    import glob
+    import os
+    import warnings
+    cfg_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs")
+    from picklebot_tpu.utils.config import load_config
+    paths = sorted(glob.glob(os.path.join(cfg_dir, "*.json")))
+    assert len(paths) >= 10
+    for path in paths:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            cfg = load_config(path)
+        assert initialize_model(cfg) is not None, path
