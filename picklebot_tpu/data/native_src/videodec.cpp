@@ -68,6 +68,7 @@ int pb_decode_video(const char *path, int64_t max_frames, uint8_t **out,
     if (!c.dec) return -1002;
     ret = avcodec_parameters_to_context(c.dec, c.fmt->streams[stream]->codecpar);
     if (ret < 0) return ret;
+    c.dec->thread_count = 0;  // auto frame/slice threading (0 = ncpu)
     ret = avcodec_open2(c.dec, codec, nullptr);
     if (ret < 0) return ret;
 
