@@ -96,10 +96,62 @@ def movinet_prefixes(model, per_layer: bool):
     return steps
 
 
+def mobilevit_prefixes(model):
+    """Prefix builders for MobileViT (trunk fold span — the bench
+    default): folded stem chain, then per-trunk-stage bottleneck and ViT
+    block, then the head. Fold/unfold transitions mirror forward()."""
+    from picklebot_tpu.ops.folded import BoundaryFold, fold_nd, unfold_nd
+    import jax.numpy as jnp
+
+    ch = model._ch
+    plans = model._early_plans
+
+    def stem(cx, h):
+        z = fold_nd(h, plans["fold_in"])
+        z = cx(model.conv1, z, folded=plans["conv1"])
+        for i, key in enumerate(("s0", "s1", "s2", "s3")):
+            z = cx(model.stem[i], z, folded=plans[key])
+        return z
+
+    def t0_bneck(cx, z):
+        z = cx(model.trunk[0].layers[0], z,
+               folded=BoundaryFold(4, 2, ch[3], ch[4]))
+        return unfold_nd(z, (1, 1, 2), ch[4])
+
+    def t0_vit(cx, x):
+        return cx(model.trunk[0].layers[1], x)
+
+    def t1_bneck(cx, x):
+        z = fold_nd(x, (1, 1, 2))
+        return cx(model.trunk[1].layers[0], z,
+                  folded=BoundaryFold(2, 1, ch[5], ch[6]))
+
+    def t1_vit(cx, x):
+        return cx(model.trunk[1].layers[1], x)
+
+    def t2_bneck(cx, x):
+        z = fold_nd(x, (1, 1, 2))
+        return cx(model.trunk[2].layers[0], z,
+                  folded=BoundaryFold(2, 1, ch[7], ch[8]))
+
+    def t2_vit(cx, x):
+        return cx(model.trunk[2].layers[1], x)
+
+    def head(cx, x):
+        x = cx(model.to_logits_conv, x)
+        x = jnp.mean(x.astype(jnp.float32),
+                     axis=(1, 2, 3)).astype(x.dtype)
+        return cx(model.head, x)
+
+    return [("stem", stem), ("t0_bneck", t0_bneck), ("t0_vit", t0_vit),
+            ("t1_bneck", t1_bneck), ("t1_vit", t1_vit),
+            ("t2_bneck", t2_bneck), ("t2_vit", t2_vit), ("head", head)]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="MobileNetLarge3D",
-                   choices=["MobileNetLarge3D", "MoViNetA2"])
+                   choices=["MobileNetLarge3D", "MoViNetA2", "MobileViT"])
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--frames", type=int, default=32)
     p.add_argument("--size", type=int, default=224)
@@ -125,6 +177,52 @@ def main():
 
         print(f"# MoViNetA2 bs={args.batch} T={args.frames} {args.size}^2 "
               f"bf16 early_fold={args.early_fold} "
+              f"(ms, deltas vs previous prefix)")
+        prev_f, prev_b = 0.0, 0.0
+        for n in range(1, len(steps) + 1):
+            def f(variables, x, n=n):
+                cx = Ctx(model, variables["params"], variables["state"],
+                         train=False, rng=None, policy=policy)
+                h = x
+                for _, fn in steps[:n]:
+                    h = fn(cx, h)
+                return h
+            fwd = jax.jit(f)
+            t_f = timeit(fwd, params, x, steps=args.steps)
+            if args.fwd_only:
+                print(f"{steps[n-1][0]:10s} fwd {t_f:7.2f} "
+                      f"(+{t_f - prev_f:6.2f})", flush=True)
+                prev_f = t_f
+                continue
+
+            def loss(variables, x, f=f):
+                return jnp.sum(f(variables, x).astype(jnp.float32))
+            bwd = jax.jit(jax.grad(loss))
+            t_b = timeit(lambda v, xx: jax.tree_util.tree_leaves(
+                bwd(v, xx))[0], params, x, steps=args.steps)
+            print(f"{steps[n-1][0]:10s} fwd {t_f:7.2f} "
+                  f"(+{t_f - prev_f:6.2f})   "
+                  f"fwd+bwd {t_b:7.2f} (+{t_b - prev_b:6.2f})", flush=True)
+            prev_f, prev_b = t_f, t_b
+        return
+
+    if args.model == "MobileViT":
+        from picklebot_tpu.models.mobilevit import (MOBILEVIT_CONFIGS,
+                                                    MobileViT)
+        cfgv = MOBILEVIT_CONFIGS["xxs"]
+        model = MobileViT(dims=cfgv["dims"], channels=cfgv["channels"],
+                          num_classes=13, early_fold=True,
+                          fold_span="trunk")
+        params = jax.device_put(model.init(0))
+        policy = DtypePolicy.bf16()
+        rng = np.random.RandomState(0)
+        x = jax.device_put(rng.rand(
+            args.batch, args.frames, args.size, args.size,
+            3).astype(np.float32))
+        steps = mobilevit_prefixes(model)
+
+        print(f"# MobileViT-xxs bs={args.batch} T={args.frames} "
+              f"{args.size}^2 bf16 trunk span "
               f"(ms, deltas vs previous prefix)")
         prev_f, prev_b = 0.0, 0.0
         for n in range(1, len(steps) + 1):
