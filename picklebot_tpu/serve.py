@@ -80,51 +80,77 @@ class RequestBatcher:
     TPU serving wants wide batches (bs=16 inference is ~5x sixteen bs=1
     calls, docs/BENCH.md); per-request dispatch would leave the MXU idle.
     The batch dim pads to the next power of two (zeros, trimmed after) so
-    XLA compiles at most log2(max_batch)+1 batch shapes.
+    XLA compiles at most log2(max_batch)+1 batch shapes per clip shape.
+
+    Only requests with the same ``key`` share a batch (the checkpoint
+    path keys on (T-bucket, H, W)): co-batching different resolutions
+    would corrupt the stacked tensor, and sharing a T bucket with a
+    longer clip would change a clip's padding — and therefore its
+    unmasked temporal pooling — making predictions depend on concurrent
+    traffic. Mismatched-key requests simply wait for the next batch.
     """
 
     def __init__(self, predict_batch, max_batch=8, window_ms=10.0):
-        import queue
         import threading
         self._predict_batch = predict_batch   # list[clip] -> list[dict]
         self.max_batch = max(1, max_batch)
         self.window_s = window_ms / 1e3
-        self._q = queue.Queue()
-        self._queue_mod = queue
+        self._pending = []                    # [(key, clip, ev, slot)]
+        self._cv = threading.Condition()
+        self._threading = threading
         t = threading.Thread(target=self._loop, daemon=True)
         t.start()
 
-    def submit(self, clip):
+    def submit(self, clip, key=None):
         """Block until the clip's prediction dict is ready."""
-        import threading
-        ev = threading.Event()
+        ev = self._threading.Event()
         slot = {}
-        self._q.put((clip, ev, slot))
+        with self._cv:
+            self._pending.append((key, clip, ev, slot))
+            self._cv.notify()
         ev.wait()
         if "error" in slot:
             raise slot["error"]
         return slot["result"]
 
+    def _take_matching(self, key, limit):
+        """(cv held) pop up to ``limit`` pending entries with this key."""
+        taken, rest = [], []
+        for e in self._pending:
+            if e[0] == key and len(taken) < limit:
+                taken.append(e)
+            else:
+                rest.append(e)
+        self._pending = rest
+        return taken
+
     def _loop(self):
         import time
         while True:
-            entries = [self._q.get()]
+            with self._cv:
+                while not self._pending:
+                    self._cv.wait()
+                first = self._pending.pop(0)
+            key = first[0]
+            entries = [first]
             deadline = time.monotonic() + self.window_s
             while len(entries) < self.max_batch:
-                left = deadline - time.monotonic()
-                if left <= 0:
-                    break
-                try:
-                    entries.append(self._q.get(timeout=left))
-                except self._queue_mod.Empty:
-                    break
+                with self._cv:
+                    entries += self._take_matching(
+                        key, self.max_batch - len(entries))
+                    if len(entries) >= self.max_batch:
+                        break
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    self._cv.wait(timeout=left)
             try:
-                results = self._predict_batch([e[0] for e in entries])
-                for (clip, ev, slot), rec in zip(entries, results):
+                results = self._predict_batch([e[1] for e in entries])
+                for (_, clip, ev, slot), rec in zip(entries, results):
                     slot["result"] = rec
                     ev.set()
             except Exception as e:  # noqa: BLE001 — deliver to every waiter
-                for clip, ev, slot in entries:
+                for _, clip, ev, slot in entries:
                     slot["error"] = e
                     ev.set()
 
@@ -135,6 +161,17 @@ def pad_batch_pow2(n, max_batch):
     while b < n:
         b *= 2
     return min(b, max(max_batch, n))
+
+
+def pad_batch_to(feats, target):
+    """Zero-pad the leading (batch) dim to ``target``; returns (padded,
+    original_b) so callers can trim predictions back."""
+    import numpy as np
+    b = feats.shape[0]
+    if target > b:
+        feats = np.concatenate(
+            [feats, np.zeros((target - b,) + feats.shape[1:], feats.dtype)])
+    return feats, b
 
 
 def make_http_server(port, classify_path, info):
@@ -272,15 +309,11 @@ def _serve_exported(args):
 
         def predict_clips(clips):
             feats = np.stack(clips)
-            b = feats.shape[0]
-            target = pinned or pad_batch_pow2(b, args.batch)
-            if b > target:
-                raise ValueError(f"batch {b} exceeds the artifact's pinned "
-                                 f"batch {target}")
-            if target > b:
-                feats = np.concatenate(
-                    [feats, np.zeros((target - b,) + feats.shape[1:],
-                                     feats.dtype)])
+            target = pinned or pad_batch_pow2(feats.shape[0], args.batch)
+            if feats.shape[0] > target:
+                raise ValueError(f"batch {feats.shape[0]} exceeds the "
+                                 f"artifact's pinned batch {target}")
+            feats, b = pad_batch_to(feats, target)
             logits = np.asarray(predict(feats), np.float32)[:b]
             return decode_logits(logits, criterion, num_classes)
 
@@ -428,43 +461,47 @@ def main(argv=None):
                                           mean=mean, std=std)
 
         def predict(variables, feats):
-            b, dp = feats.shape[0], args.data_parallel
-            pad = (-b) % dp
-            if pad:
-                feats = np.concatenate(
-                    [feats, np.zeros((pad,) + feats.shape[1:], feats.dtype)])
+            dp = args.data_parallel
+            feats, b = pad_batch_to(feats, feats.shape[0]
+                                    + (-feats.shape[0]) % dp)
             return sharded(variables, feats)[:b]
     else:
         predict = make_predict_fn(model, policy, mean=mean, std=std)
 
-    def classify(batch_clips, names):
+    def predict_records(batch_clips):
+        """clips -> per-clip prediction dicts; the one pipeline every
+        checkpoint-mode consumer (CLI, CSV, HTTP) shares. The batch dim
+        buckets to powers of two so XLA compiles O(log) shapes."""
         feats, _ = pad_collate(batch_clips, [0] * len(batch_clips),
                                config.t_bucket, config.max_frames)
-        logits = np.asarray(predict(variables, feats), np.float32)
-        recs = decode_logits(logits, config.criterion, config.num_classes)
+        feats, b = pad_batch_to(
+            feats, pad_batch_pow2(feats.shape[0], args.batch))
+        logits = np.asarray(predict(variables, feats), np.float32)[:b]
+        return decode_logits(logits, config.criterion, config.num_classes)
+
+    def classify(batch_clips, names):
+        recs = predict_records(batch_clips)
         for name, rec in zip(names, recs):
             print(json.dumps({"clip": name, **rec}))
         return np.array([r["pred"] for r in recs])
 
     if args.http is not None:
-        def predict_clips(clips):
-            feats, _ = pad_collate(clips, [0] * len(clips),
-                                   config.t_bucket, config.max_frames)
-            b = feats.shape[0]
-            target = pad_batch_pow2(b, args.batch)
-            if target > b:
-                feats = np.concatenate(
-                    [feats, np.zeros((target - b,) + feats.shape[1:],
-                                     feats.dtype)])
-            logits = np.asarray(predict(variables, feats), np.float32)[:b]
-            return decode_logits(logits, config.criterion,
-                                 config.num_classes)
+        from picklebot_tpu.data.dataset import bucket_frames
 
-        batcher = RequestBatcher(predict_clips, max_batch=args.batch,
+        batcher = RequestBatcher(predict_records, max_batch=args.batch,
                                  window_ms=args.batch_window)
-        srv = make_http_server(args.http,
-                               lambda path: batcher.submit(
-                                   decode_opencv(path)),
+
+        def classify_path(path):
+            clip = decode_opencv(path)
+            # batch only with same-shape peers: mixed resolutions can't
+            # stack, and sharing a T bucket with a longer clip would
+            # change this clip's unmasked padding (see RequestBatcher)
+            key = (bucket_frames(clip.shape[0], config.t_bucket,
+                                 config.max_frames),
+                   clip.shape[1], clip.shape[2])
+            return batcher.submit(clip, key=key)
+
+        srv = make_http_server(args.http, classify_path,
                                {"mode": "checkpoint",
                                 "model_name": config.model_name,
                                 "num_classes": config.num_classes,

@@ -49,26 +49,36 @@ def param_table(model, variables=None):
         [("total", total, 1.0)]
 
 
-def cost_summary(model, input_shape, policy=None, train=False):
+def cost_summary(model, input_shape, policy=None, train=False,
+                 variables=None, model_name=""):
     """Compiled-forward cost analysis: {'flops', 'bytes accessed', ...}.
 
-    AOT lowering on abstract shapes — no input data, params as shape
-    specs; works on CPU and TPU alike.
+    AOT lowering on abstract shapes — no input data, no device traffic
+    (params become ShapeDtypeStructs via their host-numpy dtypes; a
+    jnp.asarray here would commit every leaf through the remote-TPU
+    tunnel, see CLAUDE.md); works on CPU and TPU alike.
     """
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from picklebot_tpu.core.module import DtypePolicy
     policy = policy or DtypePolicy.f32()
-    variables = model.init(0)
+    variables = variables or model.init(0)
 
     def fwd(variables, x):
+        if model_name == "MoViNetA2Stream":
+            carry = model.init_stream(x.shape[0], x.shape[2], x.shape[3],
+                                      dtype=policy.compute_dtype)
+            (logits, _), _ = model.apply(variables, x, carry, train=False,
+                                         policy=policy)
+            return logits
         out = model.apply(variables, x, train=train, policy=policy,
                           rng=jax.random.key(0) if train else None)
         return out[0]
 
     specs = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
         variables)
     x_spec = jax.ShapeDtypeStruct(tuple(input_shape), jnp.float32)
     compiled = jax.jit(fwd).lower(specs, x_spec).compile()
@@ -77,12 +87,15 @@ def cost_summary(model, input_shape, policy=None, train=False):
             if k in ca}
 
 
-def format_summary(model, input_shape, policy=None, train=False):
-    rows = param_table(model)
+def format_summary(model, input_shape, policy=None, train=False,
+                   model_name=""):
+    variables = model.init(0)
+    rows = param_table(model, variables)
     lines = [f"{'module':<14} {'params':>12}  share"]
     for name, n, frac in rows:
         lines.append(f"{name:<14} {n:>12,}  {frac:6.1%}")
-    cost = cost_summary(model, input_shape, policy=policy, train=train)
+    cost = cost_summary(model, input_shape, policy=policy, train=train,
+                        variables=variables, model_name=model_name)
     if "flops" in cost:
         per = cost["flops"] / max(input_shape[0], 1)
         lines.append(f"forward flops  {cost['flops'] / 1e9:,.2f} GFLOP "
@@ -112,7 +125,8 @@ def main(argv=None):
     else:
         shape = (args.batch, args.frames, args.size, args.size, 3)
     print(f"# {config.model_name} input {shape}")
-    print(format_summary(model, shape, train=args.train))
+    print(format_summary(model, shape, train=args.train,
+                         model_name=config.model_name))
     return 0
 
 

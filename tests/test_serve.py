@@ -399,3 +399,34 @@ def test_serve_http_concurrent_batched(tmp_path, monkeypatch, rng):
     finally:
         created["srv"].shutdown()
     th.join(timeout=30)
+
+
+def test_request_batcher_keys_separate_batches():
+    """Entries with different keys never share a predictor call — mixed
+    resolutions / T buckets must not co-batch (stacking would corrupt,
+    shared T padding would change predictions)."""
+    import threading
+
+    calls = []
+
+    def predict_clips(clips):
+        shapes = {c.shape for c in clips}
+        assert len(shapes) == 1, shapes   # a mixed batch is the bug
+        calls.append(len(clips))
+        return [{"pred": int(c.shape[0])} for c in clips]
+
+    b = serve.RequestBatcher(predict_clips, max_batch=8, window_ms=150.0)
+    results = {}
+
+    def worker(i, t):
+        results[i] = b.submit(np.zeros((t, 4)), key=(t, 4))
+
+    ts = [threading.Thread(target=worker, args=(i, 8 if i % 2 else 16))
+          for i in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    assert all(results[i]["pred"] == (8 if i % 2 else 16)
+               for i in range(6))
+    assert len(calls) >= 2 and sum(calls) == 6

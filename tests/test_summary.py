@@ -41,3 +41,12 @@ def test_summary_cli(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "total" in out and "1,684,091" in out and "GFLOP" in out
+
+
+def test_cost_summary_streaming_model():
+    """MoViNetA2Stream needs its carry threaded through apply()."""
+    model = initialize_model(Config(model_name="MoViNetA2Stream",
+                                    num_classes=13))
+    cost = S.cost_summary(model, (1, 4, 32, 32, 3),
+                          model_name="MoViNetA2Stream")
+    assert cost.get("flops", 0) > 1e6
