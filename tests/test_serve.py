@@ -430,3 +430,95 @@ def test_request_batcher_keys_separate_batches():
     assert all(results[i]["pred"] == (8 if i % 2 else 16)
                for i in range(6))
     assert len(calls) >= 2 and sum(calls) == 6
+
+
+@pytest.mark.slow
+def test_serve_http_checkpoint_mixed_lengths(tmp_path, monkeypatch, rng):
+    """Checkpoint-mode --http: concurrent clips of different lengths get
+    keyed into separate T-bucket batches and each returns its own
+    deterministic prediction (equal to serving it alone)."""
+    cv2 = pytest.importorskip("cv2")
+    import http.client
+    import threading
+    import time
+
+    from picklebot_tpu.models.registry import initialize_model
+    from picklebot_tpu.train import checkpoint as ckpt
+    from picklebot_tpu.utils.config import Config
+
+    model = initialize_model(Config(model_name="MobileNetSmall3D",
+                                    num_classes=13))
+    v = model.init(0)
+    ck = ckpt.save_checkpoint(str(tmp_path / "ck"), 0,
+                              {"params": v["params"],
+                               "model_state": v["state"]})
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "model_name": "MobileNetSmall3D", "num_classes": 13,
+        "criterion": "CE", "use_autocast": False,
+        "batch_size": 4, "effective_batch_size": 4,
+        "train_annotations_file": "", "val_annotations_file": "",
+        "video_paths": "", "data_backend": "synthetic",
+        "t_bucket": 4, "max_frames": 16}))
+
+    def write_vid(name, frames):
+        vid = tmp_path / name
+        w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                            (32, 32))
+        r = np.random.RandomState(0)   # same content, different length
+        for _ in range(frames):
+            w.write(r.randint(0, 255, (32, 32, 3)).astype(np.uint8))
+        w.release()
+        return vid.read_bytes()
+
+    short, long_ = write_vid("s.mp4", 4), write_vid("l.mp4", 12)
+
+    created = {}
+    orig = serve.make_http_server
+
+    def capture(port, classify, info):
+        created["srv"] = orig(port, classify, info)
+        return created["srv"]
+
+    monkeypatch.setattr(serve, "make_http_server", capture)
+    th = threading.Thread(
+        target=serve.main,
+        args=([str(cfg_path), "--checkpoint", ck, "--http", "0",
+               "--batch", "4", "--batch-window", "300"],), daemon=True)
+    th.start()
+    for _ in range(500):
+        if "srv" in created:
+            break
+        time.sleep(0.02)
+    port = created["srv"].server_address[1]
+
+    def post(body):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/predict", body=body)
+        resp = conn.getresponse()
+        return resp.status, json.loads(resp.read())
+
+    try:
+        # alone first: the deterministic per-length references
+        ref_short, ref_long = post(short)[1], post(long_)[1]
+
+        results = {}
+
+        def worker(name, body):
+            results[name] = post(body)
+
+        ts = [threading.Thread(target=worker, args=(n, b))
+              for n, b in (("s1", short), ("l1", long_),
+                           ("s2", short), ("l2", long_))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert all(r[0] == 200 for r in results.values()), results
+        # same clip co-batched with a longer one must predict identically
+        # to serving it alone (T-bucket keying)
+        assert results["s1"][1] == results["s2"][1] == ref_short
+        assert results["l1"][1] == results["l2"][1] == ref_long
+    finally:
+        created["srv"].shutdown()
+    th.join(timeout=30)
