@@ -49,49 +49,17 @@ def main():
     p.add_argument("--fold-span", default=None,
                    help="fold depth (Large3D: block2|block4|boundary)")
     args = p.parse_args()
+    # measured per-(model, batch, mode) plan defaults live in ONE place —
+    # utils/autotune.py default_plan (the static table backing the
+    # cudnn.benchmark-analog autotuner); the evidence is in docs/BENCH.md.
+    # Every plan is an exact rewrite (tests/test_early_fold*.py), so the
+    # flags only move throughput.
+    from picklebot_tpu.utils.autotune import default_plan
+    plan_early, plan_span = default_plan(args.model, args.batch, args.mode)
     if args.fold_span is None:
-        if args.model == "MobileNetLarge3D":
-            # 'boundary' (block3/block4[0] boundary-folded, zero inflation)
-            # wins at bs<=32 (train 496.8 vs 487.0, infer 1318 vs 1285) and
-            # loses at bs128 infer (2799 vs 2960) — the relayouts around
-            # the canonical expanded tensors stop paying once batch
-            # parallelism amortizes the narrow tensors' padding
-            args.fold_span = "boundary" if args.batch <= 32 else "block2"
-        elif args.model == "MobileViT":
-            # trunk bottlenecks boundary-folded: train 231.1 vs 220.6,
-            # infer 583.0 vs 576.7 at bs=8
-            args.fold_span = "trunk"
-        elif args.model in ("MobileNetSmall3D", "MobileNetSmall2D"):
-            # Small3D: block3[0] boundary-folded instead of the k5 collapse:
-            # train 958.7 vs 881.8 clips/s bs=16; Small2D mirrors the
-            # channel table (its fold measured OFF overall — see below)
-            args.fold_span = "boundary"
-        elif args.model == "MobileNetLarge2D":
-            args.fold_span = "block2"
-        else:
-            # MoViNetA2: the boundary span measured SLOWER (110.9/327.7 vs
-            # 117.1/342.4 train/infer bs=8) — its blocks' full temporal
-            # depthwise makes the canonical expanded tensors pricier than
-            # the narrow-boundary savings
-            args.fold_span = "block2"
+        args.fold_span = plan_span
     if args.early_fold is None:
-        # default ON where measured to win on v5e (exact rewrite; logits
-        # match within float tolerance, tests/test_early_fold.py). Since
-        # the W-only fold
-        # (pure-reshape in-fold) it wins at every measured point:
-        # Large3D train 487/651 clips/s bs16/64 (plain 195.7/376), infer
-        # 1285/2033/2960 bs16/64/128 (plain 721/1859/2779); Small3D train
-        # 882 (plain 401); MobileViT bs8 train 220.6 / infer 576.7
-        # (plain 179.0/520.7); MoViNetA2 block2-span train +15% / infer
-        # +9% at bs=8 (117.1/342.4 vs 102/314.8)
-        # NOT the 2D+LSTM models: their trunks batch frames (B*T 4-D image
-        # convs, a regime XLA already serves well) and the fold measured a
-        # loss at every point — Large2D train 418.9/417.8 vs plain 507.7,
-        # infer 1003.7 vs 1693.4 bs=8 T=16; Small2D train 894.0 vs 934.9
-        # (docs/BENCH.md "2D+LSTM models")
-        args.early_fold = args.model in (
-            "MobileNetLarge3D", "MobileNetSmall3D", "MobileViT",
-            "MoViNetA2")
+        args.early_fold = plan_early
 
     from picklebot_tpu.core.module import DtypePolicy
     from picklebot_tpu.models.registry import initialize_model

@@ -85,6 +85,14 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                              f"across {n_procs} processes")
     policy = DtypePolicy.bf16() if config.use_autocast else DtypePolicy.f32()
 
+    if config.autotune:
+        # measurement-driven plan selection (the cudnn.benchmark analog,
+        # utils/autotune.py): one compile per candidate the first time,
+        # cache hits afterwards. varying_input_size skips it (reference
+        # semantics, train.py:193-194).
+        from picklebot_tpu.utils.autotune import autotune_config
+        config = autotune_config(config, mode="train")
+
     model = initialize_model(config)
     optimizer = OPTIMIZERS[config.optimizer](
         weight_decay=config.weight_decay)

@@ -1,0 +1,289 @@
+"""Measurement-driven execution-plan autotuner.
+
+The TPU-native analog of the cuDNN benchmark autotuner the reference
+enables whenever input sizes are static (reference train.py:193-194:
+``cudnn.benchmark = True`` unless ``varying_input_size``). cuDNN picks
+conv algorithms by timing them on the live device; here the tunable
+surface is the folded-execution plan lattice (``early_fold`` on/off x
+the model's ``fold_span`` vocabulary) — every candidate is an *exact*
+rewrite (same logits/grads, tests/test_early_fold*.py), so the choice is
+purely a performance decision, and which plan wins is a measured
+constant of (model, batch, clip shape, train-vs-infer, device
+generation) that cannot be derived offline (docs/BENCH.md records the
+sign flipping between 3-D and 2-D trunks, between batch 16 and 128, and
+between train and inference for the same span).
+
+Three layers:
+
+  * ``default_plan(model, batch, mode)`` — the v5e-measured static table
+    (docs/BENCH.md); zero-cost, used by bench.py and anything that does
+    not opt into measurement.
+  * ``autotune(config, mode)`` — measure every candidate plan on the
+    live device at the configured shape and return the winner. One XLA
+    compile per candidate (minutes each on TPU), so verdicts persist in
+    a JSON cache keyed by device kind + model + shape + mode; the search
+    runs once per (device, workload).
+  * ``autotune_config(config, mode)`` — the ``train()``/CLI entry:
+    honors the reference's semantics (``varying_input_size`` disables
+    autotuning exactly as it disables cudnn.benchmark), consults the
+    cache, and returns a Config with ``early_fold``/``fold_span`` set to
+    the winning plan.
+
+CLI: ``python -m picklebot_tpu.utils.autotune <config.json> [--mode
+infer] [--batch N --frames T --size S]`` prints the per-candidate
+measurements and writes the cache other entry points will hit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import List, Optional, Tuple
+
+Plan = Tuple[bool, Optional[str]]  # (early_fold, fold_span)
+
+
+def default_plan(model_name: str, batch: int = 16,
+                 mode: str = "train") -> Plan:
+    """The v5e-measured static defaults (docs/BENCH.md). ``mode`` is part
+    of the signature because train/infer winners can differ; at the
+    measured points the batch rule below already captures the one known
+    divergence (Large3D boundary-span loses only at bs>=128 inference)."""
+    if model_name == "MobileNetLarge3D":
+        # boundary span wins bs<=32 (train 496.8 vs 487.0, infer 1318 vs
+        # 1285); at large batch the canonical expanded tensors' relayouts
+        # stop paying (infer bs128: 2799 vs 2960) — block2 there
+        return True, ("boundary" if batch <= 32 else "block2")
+    if model_name == "MobileNetSmall3D":
+        # block3[0] boundary fold beats the k5 dense collapse: 958.7 vs
+        # 881.8 clips/s train bs=16
+        return True, "boundary"
+    if model_name == "MoViNetA2":
+        # block2 span: train 117.1 / infer 342.4 vs plain 102/314.8;
+        # boundary measured slower (110.9/327.7), stem-only ties train
+        # and loses infer (118.3/302.6)
+        return True, "block2"
+    if model_name == "MobileViT":
+        # trunk-boundary fold: train 231.1 vs 220.6 (stem span) at bs=8
+        return True, "trunk"
+    if model_name in ("MobileNetLarge2D", "MobileNetSmall2D"):
+        # the 2-D trunks batch frames into large 4-D image convs — a
+        # regime XLA serves well; the fold LOSES at every measured point
+        # (Large2D train 418.9 vs plain 507.7, docs/BENCH.md). The span
+        # is only the best-measured point should a user force the fold on.
+        return False, ("block2" if model_name == "MobileNetLarge2D"
+                       else "boundary")
+    # MobileViTV2, MoViNetA2Stream: no folded path
+    return False, None
+
+
+def plan_candidates(model_name: str) -> List[Plan]:
+    """The exact-plan lattice: plain + every fold_span the model defines."""
+    from picklebot_tpu.models.registry import fold_spans_for
+    spans = fold_spans_for(model_name)
+    plans: List[Plan] = [(False, None)]
+    if spans:
+        plans += [(True, s) for s in spans]
+    return plans
+
+
+def _cache_path() -> str:
+    return os.environ.get(
+        "PICKLEBOT_AUTOTUNE_CACHE",
+        os.path.expanduser("~/.cache/picklebot_tpu/autotune.json"))
+
+
+def _load_cache(path: str) -> dict:
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_cache(path: str, cache: dict) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(cache, fh, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _tune_shape(config, mode: str) -> Tuple[int, ...]:
+    """The representative device-input shape the search compiles at.
+
+    batch from the config; clip geometry from ``autotune_shape`` (T, H, W)
+    when given, else ``synthetic_shape`` (which defaults to the reference's
+    224^2 and is the actual shape for the synthetic backends). For video
+    backends with other clip geometry, set ``autotune_shape`` — a
+    mismatched tune shape only risks a suboptimal (never incorrect) plan.
+    """
+    b = config.batch_size
+    t, h, w = config.autotune_shape or config.synthetic_shape
+    if config.model_name == "MobileViTV2":      # image model: (B, H, W, C)
+        return (b, h, w, 3)
+    return (b, t, h, w, 3)
+
+
+def _cache_key(config, mode: str, shape: Tuple[int, ...]) -> str:
+    import jax
+    dev = jax.devices()[0]
+    dtype = "bf16" if config.use_autocast else "f32"
+    return "|".join([
+        f"{dev.platform}:{dev.device_kind}", config.model_name, mode,
+        "x".join(map(str, shape)), dtype, f"nc{config.num_classes}",
+        config.optimizer if mode == "train" else "-",
+    ])
+
+
+def measure_plan(config, plan: Plan, mode: str, shape: Tuple[int, ...],
+                 steps: int = 5, warmup: int = 2) -> float:
+    """Clips(images)/s of one candidate plan at ``shape`` on the default
+    device. Same harness as bench.py: device-resident uint8 input, jitted
+    whole step, value-readback sync (the remote-TPU tunnel returns from
+    block_until_ready early — CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from picklebot_tpu.core.module import DtypePolicy
+    from picklebot_tpu.models.registry import initialize_model
+    from picklebot_tpu.train.optim import OPTIMIZERS, cosine_annealing_lr
+    from picklebot_tpu.train.step import (create_train_state,
+                                          make_predict_fn, make_train_step)
+
+    early_fold, fold_span = plan
+    cfg = dataclasses.replace(config, early_fold=early_fold,
+                              fold_span=fold_span, autotune=False)
+    model = initialize_model(cfg)
+    policy = DtypePolicy.bf16() if cfg.use_autocast else DtypePolicy.f32()
+    rng = np.random.RandomState(0)
+    feats_np = rng.randint(0, 255, shape).astype(np.uint8)
+    batch = shape[0]
+
+    if mode == "train":
+        opt = OPTIMIZERS[cfg.optimizer](weight_decay=cfg.weight_decay)
+        sched = cosine_annealing_lr(cfg.learning_rate, max(cfg.max_iters, 1))
+        step = make_train_step(model, opt, cfg.criterion, sched,
+                               policy=policy)
+        state = create_train_state(model, opt, jax.random.key(0))
+        feats = jax.device_put(feats_np[None])              # accum = 1
+        hi = 2 if cfg.criterion == "BCE" else cfg.num_classes
+        labels = jax.device_put(
+            rng.randint(0, hi, (1, batch)).astype(np.int32))
+
+        def run(i):
+            nonlocal state
+            state, metrics = step(state, feats, labels, jax.random.key(i))
+            return metrics["loss"]
+    else:
+        predict = make_predict_fn(model, policy)
+        variables = jax.device_put(model.init(0))
+        feats = jax.device_put(feats_np)
+
+        def run(i):
+            return predict(variables, feats)
+
+    def sync(out):
+        return float(jnp.sum(jnp.asarray(out, jnp.float32)))
+
+    for i in range(warmup):
+        sync(run(i))
+    t0 = time.perf_counter()
+    out = None
+    for i in range(steps):
+        out = run(warmup + i)
+    sync(out)
+    return batch * steps / (time.perf_counter() - t0)
+
+
+def autotune(config, mode: str = "train", steps: int = 5, warmup: int = 2,
+             cache_path: Optional[str] = None,
+             verbose: bool = False) -> Plan:
+    """Winning (early_fold, fold_span) for the config's workload, measured
+    on the live device (cached). Single-candidate models short-circuit."""
+    plans = plan_candidates(config.model_name)
+    if len(plans) == 1:
+        return plans[0]
+    shape = _tune_shape(config, mode)
+    path = cache_path or _cache_path()
+    key = _cache_key(config, mode, shape)
+    cache = _load_cache(path)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit["early_fold"], hit["fold_span"]
+
+    measured = {}
+    best, best_rate = None, -1.0
+    for plan in plans:
+        rate = measure_plan(config, plan, mode, shape, steps, warmup)
+        name = f"fold:{plan[1]}" if plan[0] else "plain"
+        measured[name] = round(rate, 2)
+        if verbose:
+            print(f"  {name:>16}: {rate:8.1f} samples/s")
+        if rate > best_rate:
+            best, best_rate = plan, rate
+    cache = _load_cache(path)   # re-read: another process may have added
+    cache[key] = {"early_fold": best[0], "fold_span": best[1],
+                  "samples_per_s": round(best_rate, 2),
+                  "measured": measured, "unix_time": int(time.time())}
+    _save_cache(path, cache)
+    return best
+
+
+def autotune_config(config, mode: str = "train", **kw):
+    """``train()``/CLI entry: Config -> Config with the tuned plan applied.
+
+    ``varying_input_size=true`` skips the search and keeps the static
+    measured defaults — the same condition under which the reference
+    leaves cudnn.benchmark off (train.py:193-194), and for the same
+    reason: a plan tuned at one shape is only evidence at that shape.
+    """
+    if config.varying_input_size:
+        early_fold, fold_span = default_plan(config.model_name,
+                                             config.batch_size, mode)
+    else:
+        early_fold, fold_span = autotune(config, mode, **kw)
+    return dataclasses.replace(config, early_fold=early_fold,
+                               fold_span=fold_span, autotune=False)
+
+
+def main(argv=None):
+    import argparse
+
+    from picklebot_tpu.utils.config import load_config
+
+    p = argparse.ArgumentParser(
+        description="Measure every exact execution plan for a config's "
+                    "workload on the live device and cache the winner")
+    p.add_argument("config", help="path to a config .json")
+    p.add_argument("--mode", default="train", choices=["train", "infer"])
+    p.add_argument("--batch", type=int, default=None,
+                   help="override config batch_size")
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--size", type=int, default=None)
+    p.add_argument("--steps", type=int, default=5)
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.config)
+    if args.batch:
+        cfg = dataclasses.replace(cfg, batch_size=args.batch,
+                                  effective_batch_size=args.batch)
+    t, h, w = cfg.autotune_shape or cfg.synthetic_shape
+    shape = (args.frames or t, args.size or h, args.size or w)
+    cfg = dataclasses.replace(cfg, autotune_shape=shape)
+
+    print(f"autotuning {cfg.model_name} {args.mode} at "
+          f"{_tune_shape(cfg, args.mode)} "
+          f"({len(plan_candidates(cfg.model_name))} candidate plans; one "
+          f"XLA compile each — minutes per plan on TPU)")
+    plan = autotune(cfg, args.mode, steps=args.steps, verbose=True)
+    span = f"fold_span={plan[1]!r}" if plan[0] else "plain layout"
+    print(f"winner: early_fold={plan[0]} {span}  (cached in "
+          f"{_cache_path()})")
+
+
+if __name__ == "__main__":
+    main()

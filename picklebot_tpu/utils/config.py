@@ -67,6 +67,16 @@ class Config:
     #                                     MobileNet3D Large/Small, MoViNetA2,
     #                                     MobileViT, MobileNet2D Large/Small;
     #                                     ops/folded.py)
+    autotune: bool = False              # measure every exact execution
+    #                                     plan (early_fold x fold_span) on
+    #                                     the live device and run the
+    #                                     winner; verdicts cached. The
+    #                                     cudnn.benchmark analog — skipped
+    #                                     when varying_input_size, like the
+    #                                     reference (train.py:193-194).
+    autotune_shape: Optional[Tuple[int, int, int]] = None  # (T, H, W) the
+    #                                     autotuner measures at; None =
+    #                                     synthetic_shape
     fold_span: Optional[str] = None     # how deep the fold runs; None =
     #                                     model default. Vocabulary is
     #                                     per-model (each model's FOLD_SPANS):
@@ -144,4 +154,6 @@ def load_config(path: str) -> Config:
     kwargs = {k: v for k, v in raw.items() if k in known}
     if "synthetic_shape" in kwargs:
         kwargs["synthetic_shape"] = tuple(kwargs["synthetic_shape"])
+    if kwargs.get("autotune_shape") is not None:
+        kwargs["autotune_shape"] = tuple(kwargs["autotune_shape"])
     return Config(**kwargs).validate()

@@ -1,0 +1,154 @@
+"""Tests for the measurement-driven execution-plan autotuner.
+
+utils/autotune.py is the TPU-native analog of the reference's
+``cudnn.benchmark = True`` (reference train.py:193-194): where cuDNN
+times conv algorithms on the live device, the tunable surface here is
+the exact folded-execution plan lattice. The search itself is device
+measurement (covered by one tiny real run below); everything else —
+the plan lattice, the static table's consistency with the models'
+declared FOLD_SPANS, the cache, and the varying_input_size semantics —
+is deterministic and tested hermetically with a stubbed measurer.
+"""
+
+import dataclasses
+import json
+
+import pytest
+
+from picklebot_tpu.models.registry import MODELS, fold_spans_for
+from picklebot_tpu.utils import autotune as at
+from picklebot_tpu.utils.config import Config
+
+
+def _cfg(**kw):
+    kw.setdefault("model_name", "MobileNetSmall3D")
+    kw.setdefault("batch_size", 2)
+    kw.setdefault("effective_batch_size", 2)
+    kw.setdefault("synthetic_shape", (2, 32, 32))
+    kw.setdefault("data_backend", "synthetic")
+    return Config(**kw).validate()
+
+
+def test_default_plan_spans_are_declared():
+    # the static table may only name spans the model class declares —
+    # the same no-drift rule fold_spans_for enforces for Config.validate
+    for name in MODELS:
+        for batch in (8, 16, 128):
+            for mode in ("train", "infer"):
+                early, span = at.default_plan(name, batch, mode)
+                spans = fold_spans_for(name)
+                if early:
+                    assert spans and span in spans, (name, span)
+                elif span is not None:
+                    # fold-off models may still carry a best-known span
+                    assert spans and span in spans, (name, span)
+
+
+def test_plan_candidates_lattice():
+    plans = at.plan_candidates("MobileNetLarge3D")
+    assert plans[0] == (False, None)
+    spans = fold_spans_for("MobileNetLarge3D")
+    assert plans[1:] == [(True, s) for s in spans]
+    # no folded path -> single plain candidate
+    assert at.plan_candidates("MobileViTV2") == [(False, None)]
+
+
+def test_autotune_measures_once_then_caches(tmp_path, monkeypatch):
+    cache = str(tmp_path / "autotune.json")
+    calls = []
+
+    def fake_measure(config, plan, mode, shape, steps=5, warmup=2):
+        calls.append(plan)
+        # make the last span the winner
+        spans = fold_spans_for(config.model_name)
+        return 100.0 + (spans.index(plan[1]) if plan[0] else -1)
+
+    monkeypatch.setattr(at, "measure_plan", fake_measure)
+    cfg = _cfg()
+    plan = at.autotune(cfg, "train", cache_path=cache)
+    spans = fold_spans_for(cfg.model_name)
+    assert plan == (True, spans[-1])
+    assert calls == at.plan_candidates(cfg.model_name)
+
+    # second call: pure cache hit, no measurement
+    calls.clear()
+    assert at.autotune(cfg, "train", cache_path=cache) == plan
+    assert calls == []
+
+    # the cache records every candidate's number (debuggability)
+    rec = json.load(open(cache))
+    (entry,) = rec.values()
+    assert entry["fold_span"] == spans[-1]
+    assert len(entry["measured"]) == len(at.plan_candidates(cfg.model_name))
+
+
+def test_cache_key_separates_modes_and_shapes(tmp_path, monkeypatch):
+    cache = str(tmp_path / "autotune.json")
+    monkeypatch.setattr(
+        at, "measure_plan",
+        lambda config, plan, mode, shape, steps=5, warmup=2:
+            2.0 if plan == (False, None) else 1.0)
+    cfg = _cfg()
+    assert at.autotune(cfg, "train", cache_path=cache) == (False, None)
+    # different mode and different shape each get their own entry
+    at.autotune(cfg, "infer", cache_path=cache)
+    cfg2 = dataclasses.replace(cfg, autotune_shape=(2, 64, 64))
+    at.autotune(cfg2, "train", cache_path=cache)
+    assert len(json.load(open(cache))) == 3
+
+
+def test_varying_input_size_skips_measurement(monkeypatch):
+    # reference semantics: cudnn.benchmark stays off when input sizes vary
+    # (train.py:193-194); here the search is skipped and the static
+    # v5e-measured table is used instead
+    def boom(*a, **kw):
+        raise AssertionError("measured despite varying_input_size")
+
+    monkeypatch.setattr(at, "measure_plan", boom)
+    cfg = _cfg(varying_input_size=True, autotune=True)
+    tuned = at.autotune_config(cfg, mode="train")
+    assert (tuned.early_fold, tuned.fold_span) == at.default_plan(
+        cfg.model_name, cfg.batch_size, "train")
+    assert tuned.autotune is False
+
+
+def test_autotune_config_applies_winner(tmp_path, monkeypatch):
+    monkeypatch.setattr(
+        at, "measure_plan",
+        lambda config, plan, mode, shape, steps=5, warmup=2:
+            3.0 if plan == (True, "boundary") else 1.0)
+    cfg = _cfg(autotune=True)
+    tuned = at.autotune_config(
+        cfg, mode="train", cache_path=str(tmp_path / "c.json"))
+    assert (tuned.early_fold, tuned.fold_span) == (True, "boundary")
+    assert tuned.autotune is False  # no re-entry in train()
+
+
+def test_single_candidate_short_circuits(monkeypatch):
+    def boom(*a, **kw):
+        raise AssertionError("no-fold model should not measure")
+
+    monkeypatch.setattr(at, "measure_plan", boom)
+    cfg = _cfg(model_name="MobileViTV2")
+    assert at.autotune(cfg, "infer") == (False, None)
+
+
+def test_config_parses_autotune_keys(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({
+        "model_name": "MobileNetSmall3D", "autotune": True,
+        "autotune_shape": [4, 64, 64]}))
+    from picklebot_tpu.utils.config import load_config
+    cfg = load_config(str(p))
+    assert cfg.autotune is True
+    assert cfg.autotune_shape == (4, 64, 64)
+
+
+@pytest.mark.slow
+def test_measure_plan_real_tiny():
+    # one real end-to-end measurement (CPU, tiny shape): the harness the
+    # search runs per candidate actually compiles and returns a rate
+    cfg = _cfg()
+    rate = at.measure_plan(cfg, (False, None), "infer", (2, 2, 32, 32, 3),
+                           steps=1, warmup=1)
+    assert rate > 0
