@@ -21,11 +21,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 BASELINE_CLIPS_PER_SEC = 2.1  # reference steady-state train step (BASELINE.md)
 
@@ -61,11 +56,7 @@ def main():
     if args.early_fold is None:
         args.early_fold = plan_early
 
-    from picklebot_tpu.core.module import DtypePolicy
-    from picklebot_tpu.models.registry import initialize_model
-    from picklebot_tpu.train.optim import AdamW8bit, cosine_annealing_lr
-    from picklebot_tpu.train.step import (create_train_state, make_predict_fn,
-                                          make_train_step)
+    from picklebot_tpu.utils.autotune import measure_plan
     from picklebot_tpu.utils.config import Config
 
     cfg = Config(model_name=args.model, num_classes=13,
@@ -73,52 +64,17 @@ def main():
                  channels=[16, 16, 24, 24, 48, 48, 64, 64, 80, 80, 320],
                  space_to_depth=args.s2d, early_fold=args.early_fold,
                  fold_span=args.fold_span)
-    model = initialize_model(cfg)
-    policy = DtypePolicy.bf16()
-    rng = np.random.RandomState(0)
     # MobileViTV2 is the zoo's 2D image classifier (reference
     # mobilevitv2.py:266-305, (B, H, W, C) input, no clip dim)
     is_image = args.model == "MobileViTV2"
     shape = ((args.batch, args.size, args.size, 3) if is_image
              else (args.batch, args.frames, args.size, args.size, 3))
-    feats_np = rng.randint(0, 255, shape).astype(np.uint8)
-
-    if args.mode == "train":
-        opt = AdamW8bit(weight_decay=5e-4)
-        sched = cosine_annealing_lr(3e-4, 100)
-        step = make_train_step(model, opt, "CE", sched, policy=policy)
-        state = create_train_state(model, opt, jax.random.key(0))
-        feats = jax.device_put(feats_np[None])          # accum=1
-        labels = jax.device_put(
-            rng.randint(0, 13, (1, args.batch)).astype(np.int32))
-
-        def run(i):
-            nonlocal state
-            state, metrics = step(state, feats, labels, jax.random.key(i))
-            return metrics["loss"]
-    else:
-        predict = make_predict_fn(model, policy)
-        # device_put once — host-numpy params would re-transfer every call
-        variables = jax.device_put(model.init(0))
-        feats = jax.device_put(feats_np)
-
-        def run(i):
-            return predict(variables, feats)
-
-    def sync(out):
-        # a value readback is the only reliable barrier here: the
-        # environment's remote-TPU tunnel returns from block_until_ready
-        # before execution completes
-        return float(jnp.sum(jnp.asarray(out, jnp.float32)))
-
-    for i in range(args.warmup):
-        sync(run(i))
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        out = run(args.warmup + i)
-    sync(out)
-    dt = (time.perf_counter() - t0) / args.steps
-    clips_per_sec = args.batch / dt
+    # the measurement harness is the autotuner's (ONE harness: device-
+    # resident uint8 input, jitted whole step, value-readback sync,
+    # auto-ranged timed window — see measure_plan)
+    clips_per_sec = measure_plan(
+        cfg, (args.early_fold, args.fold_span), args.mode, shape,
+        steps=args.steps, warmup=args.warmup)
 
     name = ("train step fwd+bwd+adamw8bit" if args.mode == "train"
             else "batched inference")

@@ -131,19 +131,37 @@ def _cache_key(config, mode: str, shape: Tuple[int, ...]) -> str:
     import jax
     dev = jax.devices()[0]
     dtype = "bf16" if config.use_autocast else "f32"
+    # every architecture- or execution-affecting knob must be in the key:
+    # MobileViT variants (xxs/xs/s) share model_name and differ only in
+    # dims/channels, and space_to_depth / attention_backend change the
+    # compiled program a plan is measured against
+    arch = []
+    if config.dims:
+        arch.append("d" + ".".join(map(str, config.dims)))
+    if config.channels:
+        arch.append("c" + ".".join(map(str, config.channels)))
+    if config.space_to_depth:
+        arch.append("s2d")
+    if config.attention_backend != "auto":
+        arch.append(f"attn={config.attention_backend}")
     return "|".join([
         f"{dev.platform}:{dev.device_kind}", config.model_name, mode,
         "x".join(map(str, shape)), dtype, f"nc{config.num_classes}",
         config.optimizer if mode == "train" else "-",
-    ])
+    ] + arch)
 
 
 def measure_plan(config, plan: Plan, mode: str, shape: Tuple[int, ...],
-                 steps: int = 5, warmup: int = 2) -> float:
+                 steps: int = 10, warmup: int = 3, min_window: float = 0.3,
+                 repeats: int = 2) -> float:
     """Clips(images)/s of one candidate plan at ``shape`` on the default
-    device. Same harness as bench.py: device-resident uint8 input, jitted
-    whole step, value-readback sync (the remote-TPU tunnel returns from
-    block_until_ready early — CLAUDE.md)."""
+    device. This IS bench.py's harness (bench.py calls it): device-resident
+    uint8 input, jitted whole step, value-readback sync (the remote-TPU
+    tunnel returns from block_until_ready early — CLAUDE.md). The timed
+    window auto-ranges up to ``min_window`` seconds (sub-30 ms wall-clock
+    windows through the tunnel are latency noise, and plan margins are a
+    few percent) and the best of ``repeats`` windows is returned (timing
+    noise is one-sided: stray latency only ever slows a window down)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -189,21 +207,41 @@ def measure_plan(config, plan: Plan, mode: str, shape: Tuple[int, ...],
     def sync(out):
         return float(jnp.sum(jnp.asarray(out, jnp.float32)))
 
-    for i in range(warmup):
-        sync(run(i))
-    t0 = time.perf_counter()
-    out = None
-    for i in range(steps):
-        out = run(warmup + i)
-    sync(out)
-    return batch * steps / (time.perf_counter() - t0)
+    it = 0
+    for _ in range(warmup):
+        sync(run(it))
+        it += 1
+
+    def window(n):
+        nonlocal it
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = run(it)
+            it += 1
+        sync(out)
+        return time.perf_counter() - t0
+
+    n, dt = steps, window(steps)
+    while dt < min_window:           # auto-range: grow until resolvable
+        n *= 2
+        dt = window(n)
+    best = batch * n / dt
+    for _ in range(repeats - 1):
+        best = max(best, batch * n / window(n))
+    return best
 
 
-def autotune(config, mode: str = "train", steps: int = 5, warmup: int = 2,
+def autotune(config, mode: str = "train", steps: int = 10, warmup: int = 3,
              cache_path: Optional[str] = None,
              verbose: bool = False) -> Plan:
     """Winning (early_fold, fold_span) for the config's workload, measured
-    on the live device (cached). Single-candidate models short-circuit."""
+    on the live device (cached). Single-candidate models short-circuit.
+
+    cuDNN-benchmark failure semantics: a candidate that fails to compile
+    or run (e.g. a remote-Mosaic rejection or an OOM at the tuned shape)
+    is recorded and skipped, and the best *surviving* plan wins; only if
+    every candidate fails does the search raise."""
     plans = plan_candidates(config.model_name)
     if len(plans) == 1:
         return plans[0]
@@ -215,20 +253,30 @@ def autotune(config, mode: str = "train", steps: int = 5, warmup: int = 2,
     if hit is not None:
         return hit["early_fold"], hit["fold_span"]
 
-    measured = {}
+    measured, failed = {}, {}
     best, best_rate = None, -1.0
     for plan in plans:
-        rate = measure_plan(config, plan, mode, shape, steps, warmup)
         name = f"fold:{plan[1]}" if plan[0] else "plain"
+        try:
+            rate = measure_plan(config, plan, mode, shape, steps, warmup)
+        except Exception as e:  # noqa: BLE001 — any device/compile failure
+            failed[name] = f"{type(e).__name__}: {e}"[:300]
+            if verbose:
+                print(f"  {name:>16}: FAILED ({type(e).__name__})")
+            continue
         measured[name] = round(rate, 2)
         if verbose:
             print(f"  {name:>16}: {rate:8.1f} samples/s")
         if rate > best_rate:
             best, best_rate = plan, rate
+    if best is None:
+        raise RuntimeError(
+            f"autotune: every candidate plan failed for {key}: {failed}")
     cache = _load_cache(path)   # re-read: another process may have added
     cache[key] = {"early_fold": best[0], "fold_span": best[1],
                   "samples_per_s": round(best_rate, 2),
-                  "measured": measured, "unix_time": int(time.time())}
+                  "measured": measured, "unix_time": int(time.time()),
+                  **({"failed": failed} if failed else {})}
     _save_cache(path, cache)
     return best
 
@@ -236,14 +284,32 @@ def autotune(config, mode: str = "train", steps: int = 5, warmup: int = 2,
 def autotune_config(config, mode: str = "train", **kw):
     """``train()``/CLI entry: Config -> Config with the tuned plan applied.
 
-    ``varying_input_size=true`` skips the search and keeps the static
-    measured defaults — the same condition under which the reference
-    leaves cudnn.benchmark off (train.py:193-194), and for the same
-    reason: a plan tuned at one shape is only evidence at that shape.
+    ``varying_input_size=true`` skips the search and leaves the configured
+    ``early_fold``/``fold_span`` untouched — the same condition under
+    which the reference leaves cudnn.benchmark off (train.py:193-194),
+    and with the same meaning: don't tune, keep configured behavior (a
+    plan tuned at one shape is only evidence at that shape).
+
+    Multi-process: only process 0 measures; the winner is broadcast so
+    every host compiles the identical train-step program (independent
+    noisy searches could pick different plans and desync the collectives).
+    Non-zero processes wait inside the broadcast while process 0 compiles
+    candidates — on a real pod, pre-warm the cache with the standalone
+    CLI if the controller enforces collective timeouts shorter than a few
+    compiles (~minutes each on TPU).
     """
     if config.varying_input_size:
-        early_fold, fold_span = default_plan(config.model_name,
-                                             config.batch_size, mode)
+        return dataclasses.replace(config, autotune=False)
+    import jax
+    if jax.process_count() > 1:
+        plans = plan_candidates(config.model_name)
+        idx = 0
+        if jax.process_index() == 0:
+            idx = plans.index(autotune(config, mode, **kw))
+        import numpy as np
+        from jax.experimental import multihost_utils
+        idx = int(multihost_utils.broadcast_one_to_all(np.int32(idx)))
+        early_fold, fold_span = plans[idx]
     else:
         early_fold, fold_span = autotune(config, mode, **kw)
     return dataclasses.replace(config, early_fold=early_fold,

@@ -99,17 +99,69 @@ def test_cache_key_separates_modes_and_shapes(tmp_path, monkeypatch):
 
 def test_varying_input_size_skips_measurement(monkeypatch):
     # reference semantics: cudnn.benchmark stays off when input sizes vary
-    # (train.py:193-194); here the search is skipped and the static
-    # v5e-measured table is used instead
+    # (train.py:193-194); the search is skipped and the *configured*
+    # execution plan is left untouched (don't tune != retune-to-default)
     def boom(*a, **kw):
         raise AssertionError("measured despite varying_input_size")
 
     monkeypatch.setattr(at, "measure_plan", boom)
-    cfg = _cfg(varying_input_size=True, autotune=True)
+    cfg = _cfg(varying_input_size=True, autotune=True,
+               early_fold=True, fold_span="boundary")
     tuned = at.autotune_config(cfg, mode="train")
-    assert (tuned.early_fold, tuned.fold_span) == at.default_plan(
-        cfg.model_name, cfg.batch_size, "train")
+    assert (tuned.early_fold, tuned.fold_span) == (True, "boundary")
     assert tuned.autotune is False
+
+
+def test_failed_candidate_skipped_and_recorded(tmp_path, monkeypatch):
+    # cuDNN-benchmark failure semantics: a plan that fails to compile/run
+    # is recorded and skipped; the best surviving plan wins
+    cache = str(tmp_path / "autotune.json")
+
+    def fragile(config, plan, mode, shape, steps=5, warmup=2):
+        if plan == (False, None):
+            raise RuntimeError("simulated Mosaic rejection")
+        spans = fold_spans_for(config.model_name)
+        return 10.0 + spans.index(plan[1])
+
+    monkeypatch.setattr(at, "measure_plan", fragile)
+    cfg = _cfg()
+    spans = fold_spans_for(cfg.model_name)
+    assert at.autotune(cfg, "train", cache_path=cache) == (True, spans[-1])
+    (entry,) = json.load(open(cache)).values()
+    assert "plain" in entry["failed"]
+    assert "RuntimeError" in entry["failed"]["plain"]
+    assert len(entry["measured"]) == len(spans)
+
+
+def test_all_candidates_failing_raises(tmp_path, monkeypatch):
+    def boom(*a, **kw):
+        raise RuntimeError("device gone")
+
+    monkeypatch.setattr(at, "measure_plan", boom)
+    with pytest.raises(RuntimeError, match="every candidate plan failed"):
+        at.autotune(_cfg(), "train",
+                    cache_path=str(tmp_path / "autotune.json"))
+    # nothing cached on total failure
+    assert not (tmp_path / "autotune.json").exists()
+
+
+def test_cache_key_separates_architectures(tmp_path, monkeypatch):
+    # MobileViT xxs/xs/s share model_name and differ only in dims/channels;
+    # space_to_depth changes the compiled program — each must key separately
+    cache = str(tmp_path / "autotune.json")
+    monkeypatch.setattr(
+        at, "measure_plan",
+        lambda config, plan, mode, shape, steps=5, warmup=2: 1.0)
+    base = _cfg(model_name="MobileViT", batch_size=2, effective_batch_size=2,
+                dims=[64, 80, 96],
+                channels=[16, 16, 24, 24, 48, 48, 64, 64, 80, 80, 320])
+    at.autotune(base, "train", cache_path=cache)
+    xs = dataclasses.replace(base, dims=(96, 120, 144))
+    at.autotune(xs, "train", cache_path=cache)
+    s2d = _cfg(space_to_depth=True)
+    at.autotune(s2d, "train", cache_path=cache)
+    at.autotune(_cfg(), "train", cache_path=cache)
+    assert len(json.load(open(cache))) == 4
 
 
 def test_autotune_config_applies_winner(tmp_path, monkeypatch):
@@ -150,5 +202,5 @@ def test_measure_plan_real_tiny():
     # search runs per candidate actually compiles and returns a rate
     cfg = _cfg()
     rate = at.measure_plan(cfg, (False, None), "infer", (2, 2, 32, 32, 3),
-                           steps=1, warmup=1)
+                           steps=1, warmup=1, min_window=0.0, repeats=1)
     assert rate > 0

@@ -147,6 +147,41 @@ print(f"HOST{proc_id} TPTRAIN OK val_loss={summary['final_val_loss']:.4f}")
 """
 
 
+_AUTOTUNE_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+proc_id = int(sys.argv[1])
+jax.distributed.initialize(coordinator_address="localhost:%PORT%",
+                           num_processes=2, process_id=proc_id)
+assert jax.process_count() == 2
+
+from picklebot_tpu.utils import autotune as at
+from picklebot_tpu.utils.config import Config
+
+calls = []
+def fake_measure(config, plan, mode, shape, steps=5, warmup=2):
+    calls.append(plan)
+    spans = at.plan_candidates(config.model_name)
+    return 100.0 + spans.index(plan)      # last candidate wins
+at.measure_plan = fake_measure
+os.environ["PICKLEBOT_AUTOTUNE_CACHE"] = os.path.join(
+    sys.argv[2], f"cache{proc_id}.json")
+
+cfg = Config(model_name="MobileNetSmall3D", autotune=True, batch_size=2,
+             effective_batch_size=2, data_backend="synthetic",
+             synthetic_shape=(2, 32, 32)).validate()
+tuned = at.autotune_config(cfg, mode="train")
+# only process 0 measures; the winner reaches both via broadcast
+assert (len(calls) > 0) == (proc_id == 0), (proc_id, calls)
+expect = at.plan_candidates(cfg.model_name)[-1]
+assert (tuned.early_fold, tuned.fold_span) == expect, (
+    proc_id, tuned.early_fold, tuned.fold_span)
+assert tuned.autotune is False
+print(f"HOST{proc_id} AUTOTUNE OK plan={tuned.fold_span}")
+"""
+
+
 def _run_two_process(tmp_path, worker_src, ok_marker, extra_args=()):
     import socket
     with socket.socket() as s:
@@ -188,6 +223,15 @@ def test_two_process_train_loop_tp(tmp_path):
     (data=4, model=2), MobileViT FFN shards spanning host-local TP groups,
     per-host data assembly, full-val-set eval (round-3 VERDICT item 8)."""
     _run_two_process(tmp_path, _TP_TRAIN_WORKER, "TPTRAIN OK",
+                     extra_args=(tmp_path,))
+
+
+@pytest.mark.slow
+def test_two_process_autotune_broadcast(tmp_path):
+    """autotune_config across 2 processes: process 0 measures (stubbed),
+    process 1 never does, and both end with the identical broadcast plan —
+    independent noisy searches could desync the compiled collectives."""
+    _run_two_process(tmp_path, _AUTOTUNE_WORKER, "AUTOTUNE OK",
                      extra_args=(tmp_path,))
 
 
