@@ -144,9 +144,10 @@ def main(argv=None):
     from picklebot_tpu.utils.config import load_config
 
     config = load_config(args.config)
-    if config.model_parallel > 1:
+    if config.model_parallel > 1 or config.sequence_parallel > 1:
         import dataclasses
-        config = dataclasses.replace(config, model_parallel=1)
+        config = dataclasses.replace(config, model_parallel=1,
+                                     sequence_parallel=1)
     model = initialize_model(config)
     variables = model.init(config.seed)
     if args.checkpoint.endswith(".pth"):

@@ -161,13 +161,14 @@ class MobileViTBlock(Module):
 
     def __init__(self, embed_dim, depth, channel, kernel_size=3,
                  patch_size=(2, 2, 2), ffw_dim=None, dropout=0.0,
-                 backend="auto", model_axis=None):
+                 backend="auto", model_axis=None, sequence_axis=None):
         super().__init__()
         self.pt, self.ph, self.pw = patch_size
         self.conv1 = conv_nxn_bn(channel, channel, kernel_size)
         self.conv2 = conv_1x1_bn(channel, embed_dim)
         self.transformer = TransformerStack(embed_dim, depth, 8, 16, ffw_dim,
-                                            dropout, backend, model_axis)
+                                            dropout, backend, model_axis,
+                                            sequence_axis)
         self.conv3 = conv_1x1_bn(embed_dim, channel)
         self.conv4 = conv_nxn_bn(2 * channel, channel, kernel_size)
 
@@ -197,22 +198,62 @@ class MobileViTBlock(Module):
 
 
 class TransformerStack(Module):
-    """Depth × (pre-LN attention + residual, FF + residual)."""
+    """Depth × (pre-LN attention + residual, FF + residual).
+
+    Sequence parallelism (``sequence_axis``): the stack's token axis is
+    scattered over the mesh axis at entry and gathered at exit
+    (parallel/sequence.py boundary operators — exact forward and backward);
+    attention becomes ring attention over the shard; LayerNorm, FFN,
+    residuals and dropout are per-token, so they run unchanged on the
+    local block. Every parameter consumed inside the region is wrapped
+    with sp_sync_param (psum-backward) so replicated (and TP-sharded)
+    weights see the full-token gradient. Composes with tensor parallelism
+    on a *different* axis (the FFN psum then mixes same-token partials
+    within a 'seq' group). Engages only when the token count divides the
+    axis size; otherwise the stack runs replicated — still correct, just
+    not sharded (the wrap is skipped too, keeping gradients exact)."""
 
     def __init__(self, embed_dim, depth, heads, dim_head, ffw_dim,
-                 dropout=0.0, backend="auto", model_axis=None):
+                 dropout=0.0, backend="auto", model_axis=None,
+                 sequence_axis=None):
         super().__init__()
+        if sequence_axis is not None and sequence_axis == model_axis:
+            raise ValueError(
+                "sequence_axis and model_axis must be distinct mesh axes: "
+                "token-sharded FFN inputs with hidden-sharded weights would "
+                "psum partials of different token blocks together")
+        self.sequence_axis = sequence_axis
         self.attns = ModuleList([
             MultiHeadAttention(embed_dim, heads, dim_head, dropout,
-                               backend=backend) for _ in range(depth)])
+                               backend=backend, sequence_axis=sequence_axis)
+            for _ in range(depth)])
         self.ffs = ModuleList([
             FeedForward(embed_dim, ffw_dim, dropout, model_axis=model_axis)
             for _ in range(depth)])
 
     def forward(self, cx: Ctx, x):
+        axis = self.sequence_axis
+        sp = False
+        if axis is not None:
+            size = jax.lax.axis_size(axis)
+            sp = size > 1 and x.shape[-2] % size == 0
+        if sp:
+            from picklebot_tpu.parallel.sequence import (sp_gather_tokens,
+                                                         sp_scatter_tokens,
+                                                         sp_wrap_params)
+            cx.params = sp_wrap_params(cx.params, axis)
+            if cx.rng is not None:
+                # per-rank dropout masks over the local token block
+                # (divergence from the unsharded rng stream, like DP's
+                # per-replica fold_in — masks stay independent per token)
+                cx.rng = jax.random.fold_in(cx.rng,
+                                            jax.lax.axis_index(axis))
+            x = sp_scatter_tokens(x, axis)
         for i in range(len(self.attns)):
-            x = cx(self.attns[i], x) + x
+            x = cx(self.attns[i], x, sp_active=sp) + x
             x = cx(self.ffs[i], x) + x
+        if sp:
+            x = sp_gather_tokens(x, axis)
         return x
 
 
@@ -252,7 +293,8 @@ class MobileViT(Module):
                  patch_size: Tuple[int, int, int] = (2, 2, 2),
                  depths: Tuple[int, int, int] = (2, 4, 3),
                  attention_backend: str = "auto",
-                 model_axis=None, space_to_depth: bool = False,
+                 model_axis=None, sequence_axis=None,
+                 space_to_depth: bool = False,
                  early_fold: bool = False, fold_span: str = "stem"):
         super().__init__()
         assert len(dims) == 3 and len(depths) == 3
@@ -266,6 +308,7 @@ class MobileViT(Module):
         init_dim, last_dim = ch[0], ch[-1]
         be = attention_backend
         ma = model_axis
+        sa = sequence_axis
         self._early_plans = (_early_fold_plans_vit(ch, kernel_size)
                              if early_fold else None)
 
@@ -285,18 +328,18 @@ class MobileViT(Module):
                   stride=2),
                 MobileViTBlock(dims[0], depths[0], ch[5], kernel_size,
                                patch_size, int(dims[0] * 2), backend=be,
-                               model_axis=ma)),
+                               model_axis=ma, sequence_axis=sa)),
             Sequential(
                 B(ch[5], ch[6], expanded_channels=ch[7] * expansion,
                   stride=2),
                 MobileViTBlock(dims[1], depths[1], ch[7], kernel_size,
                                patch_size, int(dims[1] * 4), backend=be,
-                               model_axis=ma)),
+                               model_axis=ma, sequence_axis=sa)),
             Sequential(
                 B(ch[7], ch[8], expanded_channels=ch[7] * 4, stride=2),
                 MobileViTBlock(dims[2], depths[2], ch[9], kernel_size,
                                patch_size, int(dims[2] * 4), backend=be,
-                               model_axis=ma)),
+                               model_axis=ma, sequence_axis=sa)),
         ])
         self.to_logits_conv = conv_1x1_bn(ch[-2], last_dim)
         self.head = Dense(last_dim, num_classes, bias=False, w_init=_W_INIT)

@@ -53,6 +53,8 @@ def _mobilevit(cfg):
                                                "auto"),
                      model_axis="model"
                      if getattr(cfg, "model_parallel", 1) > 1 else None,
+                     sequence_axis="seq"
+                     if getattr(cfg, "sequence_parallel", 1) > 1 else None,
                      space_to_depth=getattr(cfg, "space_to_depth", False),
                      early_fold=getattr(cfg, "early_fold", False),
                      fold_span=getattr(cfg, "fold_span", None) or "stem")

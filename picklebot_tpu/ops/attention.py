@@ -18,6 +18,11 @@ Backends:
                (ops/pallas/flash_attention.py); kept for head dims that
                don't pack into 128 lanes and for comparison benches.
 
+Sequence parallelism: with ``sequence_axis`` set and ``sp_active=True``
+(TransformerStack token-scattered the input), attention runs over the
+sharded sequence — ring attention (ops/ring_attention.py) normally, or
+gathered-K/V SDPA when attention dropout is active.
+
 LinearSelfAttention is MobileViT V2's O(n) separable attention
 (mobilevitv2.py:9-55), reformulated channels-last: scores softmax over the
 patch axis from a 1-dim query projection, context = sum(k * scores),
@@ -64,7 +69,8 @@ class MultiHeadAttention(Module):
     """
 
     def __init__(self, embed_dim: int, heads: int = 8, dim_head: int = 16,
-                 dropout: float = 0.0, backend: str = "auto"):
+                 dropout: float = 0.0, backend: str = "auto",
+                 sequence_axis: Optional[str] = None):
         super().__init__()
         self.embed_dim = embed_dim
         self.heads = heads
@@ -73,6 +79,7 @@ class MultiHeadAttention(Module):
         self.scale = dim_head ** -0.5
         self.dropout_p = dropout
         self.backend = backend
+        self.sequence_axis = sequence_axis
         self.norm = LayerNorm(embed_dim, affine=False)
         self.to_qkv = Dense(embed_dim, self.inner_dim * 3, bias=False)
         self.to_out = Dense(self.inner_dim, embed_dim, bias=False)
@@ -114,7 +121,37 @@ class MultiHeadAttention(Module):
             return False
         return self.inner_dim <= 128 and n >= _PACKED_MIN_SEQ
 
-    def forward(self, cx: Ctx, x):
+    def _split_heads(self, t):  # (..., N, H*D) -> (..., H, N, D)
+        t = t.reshape(t.shape[:-1] + (self.heads, self.dim_head))
+        return jnp.swapaxes(t, -2, -3)
+
+    def _forward_sp(self, cx: Ctx, x):
+        """Sequence-parallel attention: x is the LOCAL token block of a
+        sequence sharded over ``self.sequence_axis`` (TransformerStack
+        scattered it). Exact: ring attention (ops/ring_attention.py) when
+        dropout is inactive; with attention dropout, K/V are all-gathered
+        and the local queries attend with a per-rank-independent mask (the
+        stack folds the rank into the rng)."""
+        x = cx(self.norm, x)
+        qkv = cx(self.to_qkv, x)
+        q, k, v = map(self._split_heads, jnp.split(qkv, 3, axis=-1))
+        if cx.train and self.dropout_p > 0:
+            # probs-dropout needs the full score row; gather K/V (plain
+            # all_gather: k/v are genuinely sharded, its psum-scatter
+            # transpose is the correct cotangent here)
+            k = jax.lax.all_gather(k, self.sequence_axis, axis=-2, tiled=True)
+            v = jax.lax.all_gather(v, self.sequence_axis, axis=-2, tiled=True)
+            out = sdpa_xla(q, k, v, self.scale, self.dropout_p, cx.next_rng())
+        else:
+            from picklebot_tpu.ops.ring_attention import ring_attention
+            out = ring_attention(q, k, v, self.sequence_axis, self.scale)
+        out = jnp.swapaxes(out, -2, -3)
+        out = out.reshape(out.shape[:-2] + (self.inner_dim,))
+        return cx(self.out_dropout, cx(self.to_out, out))
+
+    def forward(self, cx: Ctx, x, sp_active: bool = False):
+        if sp_active:
+            return self._forward_sp(cx, x)
         x = cx(self.norm, x)
         qkv = cx(self.to_qkv, x)                       # (..., N, 3*inner)
 
@@ -141,13 +178,8 @@ class MultiHeadAttention(Module):
             out = out.reshape(out.shape[:-2] + (self.inner_dim,))
             return cx(self.out_dropout, cx(self.to_out, out))
 
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def split_heads(t):  # (..., N, H*D) -> (..., H, N, D)
-            t = t.reshape(t.shape[:-1] + (self.heads, self.dim_head))
-            return jnp.swapaxes(t, -2, -3)
-
-        out = self._attend(cx, split_heads(q), split_heads(k), split_heads(v))
+        q, k, v = map(self._split_heads, jnp.split(qkv, 3, axis=-1))
+        out = self._attend(cx, q, k, v)
         out = jnp.swapaxes(out, -2, -3)                # (..., N, H, D)
         out = out.reshape(out.shape[:-2] + (self.inner_dim,))  # head merge
         out = cx(self.to_out, out)

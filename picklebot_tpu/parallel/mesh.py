@@ -25,14 +25,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(data: Optional[int] = None, model: int = 1,
+def make_mesh(data: Optional[int] = None, model: int = 1, seq: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh over ('data', 'seq', 'model'): batch parallelism, sequence
+    parallelism (MobileViT ring attention, parallel/sequence.py), tensor
+    parallelism. 'seq' is innermost-adjacent to 'model' so both the SP
+    ring permutes and the TP psums stay within one data replica's devices."""
     devices = list(devices if devices is not None else jax.devices())
     if data is None:
-        data = len(devices) // model
-    assert data * model <= len(devices), (data, model, len(devices))
-    devs = np.array(devices[:data * model]).reshape(data, model)
-    return Mesh(devs, ("data", "model"))
+        data = len(devices) // (model * seq)
+    assert data * model * seq <= len(devices), (data, seq, model,
+                                                len(devices))
+    devs = np.array(devices[:data * seq * model]).reshape(data, seq, model)
+    return Mesh(devs, ("data", "seq", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -406,11 +406,12 @@ def main(argv=None):
     from picklebot_tpu.utils.config import load_config
 
     config = load_config(args.config)
-    if config.model_parallel > 1:
-        # serving runs under plain jit (no mesh); TP only changes execution
-        # layout, not weights, so serve the replicated equivalent
+    if config.model_parallel > 1 or config.sequence_parallel > 1:
+        # serving runs under plain jit (no mesh); TP/SP only change
+        # execution layout, not weights, so serve the replicated equivalent
         import dataclasses
-        config = dataclasses.replace(config, model_parallel=1)
+        config = dataclasses.replace(config, model_parallel=1,
+                                     sequence_parallel=1)
     model = initialize_model(config)
     variables = model.init(config.seed)
     if args.checkpoint.endswith(".pth"):

@@ -64,10 +64,12 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     n_dev = jax.device_count()
     n_procs = jax.process_count()
     mp = max(1, config.model_parallel)
-    n_data = config.data_parallel or max(1, n_dev // mp)
-    n_data = max(1, min(n_data, n_dev // mp if mp > 1 else n_dev))
-    mesh = make_mesh(data=n_data, model=mp) \
-        if (n_data > 1 or mp > 1) else None
+    sp = max(1, config.sequence_parallel)
+    n_data = config.data_parallel or max(1, n_dev // (mp * sp))
+    n_data = max(1, min(n_data,
+                        n_dev // (mp * sp) if mp * sp > 1 else n_dev))
+    mesh = make_mesh(data=n_data, model=mp, seq=sp) \
+        if (n_data > 1 or mp > 1 or sp > 1) else None
     if n_procs > 1:
         if mesh is None:
             raise ValueError("multi-process training requires a device mesh")
@@ -76,10 +78,11 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         # by mp — each host then owns an integral slice of the data axis and
         # per-host batch assembly (make_array_from_process_local_data) works
         # unchanged. state placement honors state_specs in place() below.
-        if mp > 1 and (jax.local_device_count() % mp != 0):
+        if mp * sp > 1 and (jax.local_device_count() % (mp * sp) != 0):
             raise ValueError(
-                f"model_parallel={mp} must divide the per-host device count "
-                f"({jax.local_device_count()}) so TP groups stay host-local")
+                f"model_parallel={mp} x sequence_parallel={sp} must divide "
+                f"the per-host device count ({jax.local_device_count()}) so "
+                f"TP/SP groups stay host-local")
         if n_data % n_procs != 0:
             raise ValueError(f"data_parallel={n_data} must divide evenly "
                              f"across {n_procs} processes")

@@ -55,6 +55,9 @@ class Config:
     apply_mean_std: bool = False        # actually use mean/std keys
     data_parallel: Optional[int] = None  # None -> all local devices
     model_parallel: int = 1             # TP degree (MobileViT FFNs)
+    sequence_parallel: int = 1          # SP degree (MobileViT transformer
+    #                                     tokens sharded over the 'seq' mesh
+    #                                     axis; ring attention)
     seed: int = 1234                    # reference torch.manual_seed(1234)
     checkpoint_dir: str = "checkpoints"
     log_dir: str = "runs"
@@ -118,6 +121,10 @@ class Config:
                 raise ValueError(
                     "model_parallel is currently supported for MobileViT "
                     "(transformer FFN sharding)")
+        if self.sequence_parallel > 1 and self.model_name != "MobileViT":
+            raise ValueError(
+                "sequence_parallel is currently supported for MobileViT "
+                "(transformer token sharding + ring attention)")
         if self.fold_span is not None:
             # per-model vocabularies; a typo or another model's span name
             # must fail here, not silently run the shortest fold
