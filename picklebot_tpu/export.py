@@ -147,7 +147,8 @@ def main(argv=None):
     if config.model_parallel > 1 or config.sequence_parallel > 1:
         import dataclasses
         config = dataclasses.replace(config, model_parallel=1,
-                                     sequence_parallel=1)
+                                     sequence_parallel=1,
+                                     pipeline_parallel=1)
     model = initialize_model(config)
     variables = model.init(config.seed)
     if args.checkpoint.endswith(".pth"):

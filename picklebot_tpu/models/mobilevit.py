@@ -161,14 +161,16 @@ class MobileViTBlock(Module):
 
     def __init__(self, embed_dim, depth, channel, kernel_size=3,
                  patch_size=(2, 2, 2), ffw_dim=None, dropout=0.0,
-                 backend="auto", model_axis=None, sequence_axis=None):
+                 backend="auto", model_axis=None, sequence_axis=None,
+                 pipeline_axis=None, pipeline_microbatches=None):
         super().__init__()
         self.pt, self.ph, self.pw = patch_size
         self.conv1 = conv_nxn_bn(channel, channel, kernel_size)
         self.conv2 = conv_1x1_bn(channel, embed_dim)
         self.transformer = TransformerStack(embed_dim, depth, 8, 16, ffw_dim,
                                             dropout, backend, model_axis,
-                                            sequence_axis)
+                                            sequence_axis, pipeline_axis,
+                                            pipeline_microbatches)
         self.conv3 = conv_1x1_bn(embed_dim, channel)
         self.conv4 = conv_nxn_bn(2 * channel, channel, kernel_size)
 
@@ -211,18 +213,37 @@ class TransformerStack(Module):
     on a *different* axis (the FFN psum then mixes same-token partials
     within a 'seq' group). Engages only when the token count divides the
     axis size; otherwise the stack runs replicated — still correct, just
-    not sharded (the wrap is skipped too, keeping gradients exact)."""
+    not sharded (the wrap is skipped too, keeping gradients exact).
+
+    Pipeline parallelism (``pipeline_axis``): the depth dimension splits
+    into axis-size consecutive stages run as a GPipe microbatch pipeline
+    (parallel/pipeline.py) — one lax.scan of ticks with ppermute stage
+    hops. Engages when the axis size divides the depth AND the per-device
+    batch divides ``pipeline_microbatches``; otherwise the plain layer
+    loop runs (correct, just not pipelined). Composes with SP (tokens
+    scatter first; ring attention runs inside each tick) and TP — all
+    three axes must be distinct."""
 
     def __init__(self, embed_dim, depth, heads, dim_head, ffw_dim,
                  dropout=0.0, backend="auto", model_axis=None,
-                 sequence_axis=None):
+                 sequence_axis=None, pipeline_axis=None,
+                 pipeline_microbatches=None):
         super().__init__()
         if sequence_axis is not None and sequence_axis == model_axis:
             raise ValueError(
                 "sequence_axis and model_axis must be distinct mesh axes: "
                 "token-sharded FFN inputs with hidden-sharded weights would "
                 "psum partials of different token blocks together")
+        if pipeline_axis is not None and pipeline_axis in (model_axis,
+                                                           sequence_axis):
+            raise ValueError(
+                "pipeline_axis must be distinct from model_axis and "
+                "sequence_axis: a stage hop over a TP/SP axis would rotate "
+                "activations between ranks holding different weight/token "
+                "shards")
         self.sequence_axis = sequence_axis
+        self.pipeline_axis = pipeline_axis
+        self.pipeline_microbatches = pipeline_microbatches
         self.attns = ModuleList([
             MultiHeadAttention(embed_dim, heads, dim_head, dropout,
                                backend=backend, sequence_axis=sequence_axis)
@@ -237,6 +258,13 @@ class TransformerStack(Module):
         if axis is not None:
             size = jax.lax.axis_size(axis)
             sp = size > 1 and x.shape[-2] % size == 0
+        pp_axis = self.pipeline_axis
+        pp, n_micro = False, 0
+        if pp_axis is not None:
+            n_stages = jax.lax.axis_size(pp_axis)
+            n_micro = self.pipeline_microbatches or n_stages
+            pp = (n_stages > 1 and len(self.attns) % n_stages == 0
+                  and x.shape[0] % n_micro == 0)
         if sp:
             from picklebot_tpu.parallel.sequence import (sp_gather_tokens,
                                                          sp_scatter_tokens,
@@ -249,12 +277,49 @@ class TransformerStack(Module):
                 cx.rng = jax.random.fold_in(cx.rng,
                                             jax.lax.axis_index(axis))
             x = sp_scatter_tokens(x, axis)
-        for i in range(len(self.attns)):
-            x = cx(self.attns[i], x, sp_active=sp) + x
-            x = cx(self.ffs[i], x) + x
+        if pp:
+            x = self._pipelined(cx, x, pp_axis, n_micro, sp)
+        else:
+            for i in range(len(self.attns)):
+                x = cx(self.attns[i], x, sp_active=sp) + x
+                x = cx(self.ffs[i], x) + x
         if sp:
             x = sp_gather_tokens(x, axis)
         return x
+
+    def _pipelined(self, cx: Ctx, x, pp_axis, n_micro, sp):
+        """GPipe schedule over the depth (parallel/pipeline.py): stack the
+        homogeneous per-layer param trees, slice this rank's stage, scan
+        ticks. Every leaf gets the identity-fwd/psum-bwd wrap so each
+        stage's layer gradients (nonzero only on the rank that ran them)
+        sum to the full gradient on every 'pipe' rank."""
+        from picklebot_tpu.parallel.pipeline import (gpipe_apply,
+                                                     pp_wrap_params)
+        cx.params = pp_wrap_params(cx.params, pp_axis)
+        depth = len(self.attns)
+        layers = [(cx.params["attns"][str(i)], cx.params["ffs"][str(i)])
+                  for i in range(depth)]
+        stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *layers)
+        attn_mod, ff_mod = self.attns[0], self.ffs[0]
+        base_rng, train, policy = cx.rng, cx.train, cx.policy
+
+        def layer_fn(params_i, layer_idx, mb_idx, h):
+            attn_p, ff_p = params_i
+            ka = kf = None
+            if base_rng is not None:
+                # (layer, microbatch)-keyed dropout stream — documented
+                # divergence from the unsharded layer-ordered stream, same
+                # class as DP's per-replica / SP's per-rank fold_in
+                lk = jax.random.fold_in(base_rng, layer_idx)
+                ka = jax.random.fold_in(lk, 2 * mb_idx)
+                kf = jax.random.fold_in(lk, 2 * mb_idx + 1)
+            sub = Ctx(attn_mod, attn_p, {}, train, ka, policy)
+            h = attn_mod.forward(sub, h, sp_active=sp) + h
+            sub = Ctx(ff_mod, ff_p, {}, train, kf, policy)
+            h = ff_mod.forward(sub, h) + h
+            return h
+
+        return gpipe_apply(layer_fn, stacked, x, pp_axis, n_micro)
 
 
 def _early_fold_plans_vit(ch, kernel_size):
@@ -294,6 +359,7 @@ class MobileViT(Module):
                  depths: Tuple[int, int, int] = (2, 4, 3),
                  attention_backend: str = "auto",
                  model_axis=None, sequence_axis=None,
+                 pipeline_axis=None, pipeline_microbatches=None,
                  space_to_depth: bool = False,
                  early_fold: bool = False, fold_span: str = "stem"):
         super().__init__()
@@ -309,6 +375,7 @@ class MobileViT(Module):
         be = attention_backend
         ma = model_axis
         sa = sequence_axis
+        pa, pm = pipeline_axis, pipeline_microbatches
         self._early_plans = (_early_fold_plans_vit(ch, kernel_size)
                              if early_fold else None)
 
@@ -328,18 +395,24 @@ class MobileViT(Module):
                   stride=2),
                 MobileViTBlock(dims[0], depths[0], ch[5], kernel_size,
                                patch_size, int(dims[0] * 2), backend=be,
-                               model_axis=ma, sequence_axis=sa)),
+                               model_axis=ma, sequence_axis=sa,
+                               pipeline_axis=pa,
+                               pipeline_microbatches=pm)),
             Sequential(
                 B(ch[5], ch[6], expanded_channels=ch[7] * expansion,
                   stride=2),
                 MobileViTBlock(dims[1], depths[1], ch[7], kernel_size,
                                patch_size, int(dims[1] * 4), backend=be,
-                               model_axis=ma, sequence_axis=sa)),
+                               model_axis=ma, sequence_axis=sa,
+                               pipeline_axis=pa,
+                               pipeline_microbatches=pm)),
             Sequential(
                 B(ch[7], ch[8], expanded_channels=ch[7] * 4, stride=2),
                 MobileViTBlock(dims[2], depths[2], ch[9], kernel_size,
                                patch_size, int(dims[2] * 4), backend=be,
-                               model_axis=ma, sequence_axis=sa)),
+                               model_axis=ma, sequence_axis=sa,
+                               pipeline_axis=pa,
+                               pipeline_microbatches=pm)),
         ])
         self.to_logits_conv = conv_1x1_bn(ch[-2], last_dim)
         self.head = Dense(last_dim, num_classes, bias=False, w_init=_W_INIT)

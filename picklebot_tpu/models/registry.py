@@ -55,6 +55,10 @@ def _mobilevit(cfg):
                      if getattr(cfg, "model_parallel", 1) > 1 else None,
                      sequence_axis="seq"
                      if getattr(cfg, "sequence_parallel", 1) > 1 else None,
+                     pipeline_axis="pipe"
+                     if getattr(cfg, "pipeline_parallel", 1) > 1 else None,
+                     pipeline_microbatches=getattr(
+                         cfg, "pipeline_microbatches", None),
                      space_to_depth=getattr(cfg, "space_to_depth", False),
                      early_fold=getattr(cfg, "early_fold", False),
                      fold_span=getattr(cfg, "fold_span", None) or "stem")

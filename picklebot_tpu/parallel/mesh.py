@@ -26,18 +26,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data: Optional[int] = None, model: int = 1, seq: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
-    """Mesh over ('data', 'seq', 'model'): batch parallelism, sequence
-    parallelism (MobileViT ring attention, parallel/sequence.py), tensor
-    parallelism. 'seq' is innermost-adjacent to 'model' so both the SP
-    ring permutes and the TP psums stay within one data replica's devices."""
+              pipe: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh over ('data', 'pipe', 'seq', 'model'): batch parallelism,
+    pipeline parallelism (GPipe ticks over the MobileViT transformer
+    stacks, parallel/pipeline.py), sequence parallelism (ring attention,
+    parallel/sequence.py), tensor parallelism. 'seq' is innermost-adjacent
+    to 'model' so both the SP ring permutes and the TP psums stay within
+    one data replica's devices; 'pipe' sits outside them so a pipeline
+    stage hop moves whole TP/SP groups, keeping every per-tick collective
+    on neighboring ICI links."""
     devices = list(devices if devices is not None else jax.devices())
     if data is None:
-        data = len(devices) // (model * seq)
-    assert data * model * seq <= len(devices), (data, seq, model,
-                                                len(devices))
-    devs = np.array(devices[:data * seq * model]).reshape(data, seq, model)
-    return Mesh(devs, ("data", "seq", "model"))
+        data = len(devices) // (model * seq * pipe)
+    assert data * model * seq * pipe <= len(devices), (data, pipe, seq,
+                                                       model, len(devices))
+    devs = np.array(devices[:data * pipe * seq * model]).reshape(
+        data, pipe, seq, model)
+    return Mesh(devs, ("data", "pipe", "seq", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -411,7 +411,8 @@ def main(argv=None):
         # execution layout, not weights, so serve the replicated equivalent
         import dataclasses
         config = dataclasses.replace(config, model_parallel=1,
-                                     sequence_parallel=1)
+                                     sequence_parallel=1,
+                                     pipeline_parallel=1)
     model = initialize_model(config)
     variables = model.init(config.seed)
     if args.checkpoint.endswith(".pth"):

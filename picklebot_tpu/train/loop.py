@@ -65,11 +65,12 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     n_procs = jax.process_count()
     mp = max(1, config.model_parallel)
     sp = max(1, config.sequence_parallel)
-    n_data = config.data_parallel or max(1, n_dev // (mp * sp))
-    n_data = max(1, min(n_data,
-                        n_dev // (mp * sp) if mp * sp > 1 else n_dev))
-    mesh = make_mesh(data=n_data, model=mp, seq=sp) \
-        if (n_data > 1 or mp > 1 or sp > 1) else None
+    pp = max(1, config.pipeline_parallel)
+    mps = mp * sp * pp
+    n_data = config.data_parallel or max(1, n_dev // mps)
+    n_data = max(1, min(n_data, n_dev // mps if mps > 1 else n_dev))
+    mesh = make_mesh(data=n_data, model=mp, seq=sp, pipe=pp) \
+        if (n_data > 1 or mps > 1) else None
     if n_procs > 1:
         if mesh is None:
             raise ValueError("multi-process training requires a device mesh")
@@ -78,11 +79,12 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         # by mp — each host then owns an integral slice of the data axis and
         # per-host batch assembly (make_array_from_process_local_data) works
         # unchanged. state placement honors state_specs in place() below.
-        if mp * sp > 1 and (jax.local_device_count() % (mp * sp) != 0):
+        if mps > 1 and (jax.local_device_count() % mps != 0):
             raise ValueError(
-                f"model_parallel={mp} x sequence_parallel={sp} must divide "
-                f"the per-host device count ({jax.local_device_count()}) so "
-                f"TP/SP groups stay host-local")
+                f"model_parallel={mp} x sequence_parallel={sp} x "
+                f"pipeline_parallel={pp} must divide the per-host device "
+                f"count ({jax.local_device_count()}) so TP/SP/PP groups "
+                f"stay host-local")
         if n_data % n_procs != 0:
             raise ValueError(f"data_parallel={n_data} must divide evenly "
                              f"across {n_procs} processes")

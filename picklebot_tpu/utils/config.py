@@ -58,6 +58,10 @@ class Config:
     sequence_parallel: int = 1          # SP degree (MobileViT transformer
     #                                     tokens sharded over the 'seq' mesh
     #                                     axis; ring attention)
+    pipeline_parallel: int = 1          # PP degree (MobileViT transformer
+    #                                     depth split into GPipe stages over
+    #                                     the 'pipe' mesh axis)
+    pipeline_microbatches: Optional[int] = None  # default: PP degree
     seed: int = 1234                    # reference torch.manual_seed(1234)
     checkpoint_dir: str = "checkpoints"
     log_dir: str = "runs"
@@ -125,6 +129,18 @@ class Config:
             raise ValueError(
                 "sequence_parallel is currently supported for MobileViT "
                 "(transformer token sharding + ring attention)")
+        if self.pipeline_parallel > 1 and self.model_name != "MobileViT":
+            raise ValueError(
+                "pipeline_parallel is currently supported for MobileViT "
+                "(transformer depth split into GPipe stages)")
+        if self.pipeline_microbatches is not None:
+            if self.pipeline_microbatches < 1:
+                raise ValueError("pipeline_microbatches must be >= 1")
+            if self.batch_size % self.pipeline_microbatches != 0:
+                raise ValueError(
+                    f"pipeline_microbatches={self.pipeline_microbatches} "
+                    f"must divide batch_size={self.batch_size} (microbatches "
+                    f"split the per-device batch)")
         if self.fold_span is not None:
             # per-model vocabularies; a typo or another model's span name
             # must fail here, not silently run the shortest fold
