@@ -36,11 +36,6 @@ import jax
 import jax.numpy as jnp
 
 
-def sp_axis_size(axis_name: str) -> int:
-    """Static size of the mesh axis (must run inside shard_map)."""
-    return jax.lax.axis_size(axis_name)
-
-
 def _local_block(x, axis_name: str, token_axis: int):
     n = x.shape[token_axis]
     size = jax.lax.axis_size(axis_name)

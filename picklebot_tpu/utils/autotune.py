@@ -120,6 +120,10 @@ def _tune_shape(config, mode: str) -> Tuple[int, ...]:
     backends with other clip geometry, set ``autotune_shape`` — a
     mismatched tune shape only risks a suboptimal (never incorrect) plan.
     """
+    # batch_size is PER-DEVICE in this framework (train/loop.py computes
+    # global_batch = batch_size * n_data), so the single-device measurement
+    # below is exactly each device's workload at any parallelism degree —
+    # no division by the mesh shape is needed here.
     b = config.batch_size
     t, h, w = config.autotune_shape or config.synthetic_shape
     if config.model_name == "MobileViTV2":      # image model: (B, H, W, C)
@@ -173,8 +177,15 @@ def measure_plan(config, plan: Plan, mode: str, shape: Tuple[int, ...],
                                           make_predict_fn, make_train_step)
 
     early_fold, fold_span = plan
+    # Measure the replicated-equivalent program on ONE device: every plan
+    # is an exact rewrite, and TP/SP only change collectives (which need a
+    # mesh this harness deliberately doesn't build — a model_parallel>1
+    # config would trace psum('model') under plain jit and crash). The
+    # serve/export paths establish the same strip-to-replicated pattern.
     cfg = dataclasses.replace(config, early_fold=early_fold,
-                              fold_span=fold_span, autotune=False)
+                              fold_span=fold_span, autotune=False,
+                              data_parallel=1, model_parallel=1,
+                              sequence_parallel=1, pipeline_parallel=1)
     model = initialize_model(cfg)
     policy = DtypePolicy.bf16() if cfg.use_autocast else DtypePolicy.f32()
     rng = np.random.RandomState(0)
@@ -250,13 +261,28 @@ def autotune(config, mode: str = "train", steps: int = 10, warmup: int = 3,
     key = _cache_key(config, mode, shape)
     cache = _load_cache(path)
     hit = cache.get(key)
-    if hit is not None:
+    if hit is not None and not hit.get("failed"):
         return hit["early_fold"], hit["fold_span"]
 
-    measured, failed = {}, {}
+    # An entry with failed candidates is NOT a permanent verdict: the
+    # failures may have been transient (the remote tunnel drops, the Mosaic
+    # service 500s — CLAUDE.md), and a losing survivor must not be crowned
+    # forever. Keep the successful measurements, retry only the failed
+    # candidates, and re-decide.
+    measured = dict(hit["measured"]) if hit else {}
+    retry_only = set(hit["failed"]) if hit else None
+    failed = {}
     best, best_rate = None, -1.0
     for plan in plans:
         name = f"fold:{plan[1]}" if plan[0] else "plain"
+        if retry_only is not None and name not in retry_only:
+            rate = measured.get(name)
+            if rate is None:        # neither measured nor failed: re-run
+                retry_only.add(name)
+            else:
+                if rate > best_rate:
+                    best, best_rate = plan, rate
+                continue
         try:
             rate = measure_plan(config, plan, mode, shape, steps, warmup)
         except Exception as e:  # noqa: BLE001 — any device/compile failure

@@ -204,3 +204,67 @@ def test_measure_plan_real_tiny():
     rate = at.measure_plan(cfg, (False, None), "infer", (2, 2, 32, 32, 3),
                            steps=1, warmup=1, min_window=0.0, repeats=1)
     assert rate > 0
+
+
+def test_failed_entry_is_retried_not_permanent(tmp_path, monkeypatch):
+    # a transiently-failed candidate must not crown a losing survivor
+    # forever: a cache entry carrying failures re-measures ONLY the failed
+    # candidates on the next search and promotes a retried winner
+    cache = str(tmp_path / "autotune.json")
+    calls = []
+
+    def fragile(config, plan, mode, shape, steps=5, warmup=2):
+        calls.append(plan)
+        if plan == (False, None):
+            raise RuntimeError("tunnel dropped mid-measure")
+        return 10.0
+
+    monkeypatch.setattr(at, "measure_plan", fragile)
+    cfg = _cfg()
+    first = at.autotune(cfg, "train", cache_path=cache)
+    assert first[0] is True  # a fold span survived and won
+
+    # the tunnel is back: plain now measures fast and must win; the
+    # successful measurements are reused (only plain is re-measured)
+    calls.clear()
+
+    def healed(config, plan, mode, shape, steps=5, warmup=2):
+        calls.append(plan)
+        return 99.0
+
+    monkeypatch.setattr(at, "measure_plan", healed)
+    assert at.autotune(cfg, "train", cache_path=cache) == (False, None)
+    assert calls == [(False, None)]
+
+    # entry now has no failures -> permanent cache hit, zero measurement
+    calls.clear()
+    assert at.autotune(cfg, "train", cache_path=cache) == (False, None)
+    assert calls == []
+    (entry,) = json.load(open(cache)).values()
+    assert "failed" not in entry
+
+
+def test_measure_plan_strips_parallelism(monkeypatch):
+    # a TP/SP config's psum('model')/axis_size('seq') would trace under
+    # plain jit and crash; measure_plan must measure the replicated
+    # equivalent (exact rewrite -> same plan verdict)
+    from picklebot_tpu.models import registry
+
+    class _Stop(Exception):
+        pass
+
+    seen = {}
+
+    def spy(cfg):
+        seen["cfg"] = cfg
+        raise _Stop
+
+    monkeypatch.setattr(registry, "initialize_model", spy)
+    cfg = _cfg(model_name="MobileViT", model_parallel=2,
+               sequence_parallel=2, data_parallel=4)
+    with pytest.raises(_Stop):
+        at.measure_plan(cfg, (False, None), "infer", (2, 2, 32, 32, 3))
+    got = seen["cfg"]
+    assert got.model_parallel == 1
+    assert got.sequence_parallel == 1
+    assert got.data_parallel == 1
