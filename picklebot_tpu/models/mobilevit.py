@@ -84,48 +84,12 @@ def conv_nxn_bn(cin, cout, kernel_size=3, stride=1, space_to_depth=False):
                        space_to_depth=space_to_depth)
 
 
-import functools
-
 import jax
 
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _tp_copy_in(x, axis):
-    """Megatron's 'f' operator: identity forward, all-reduce backward.
-    The replicated residual stream enters the sharded FFN; its cotangent
-    is the sum of each shard's contribution."""
-    return x
-
-
-def _tp_copy_in_fwd(x, axis):
-    return x, None
-
-
-def _tp_copy_in_bwd(axis, _, g):
-    return (jax.lax.psum(g, axis),)
-
-
-_tp_copy_in.defvjp(_tp_copy_in_fwd, _tp_copy_in_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _tp_reduce_out(x, axis):
-    """Megatron's 'g' operator: all-reduce forward, identity backward.
-    Partial FFN outputs sum across shards; the output cotangent is already
-    replicated, so a naive psum transpose would overscale grads by the TP
-    degree (a bug this construction exists to prevent)."""
-    return jax.lax.psum(x, axis)
-
-
-def _tp_reduce_out_fwd(x, axis):
-    return jax.lax.psum(x, axis), None
-
-
-def _tp_reduce_out_bwd(axis, _, g):
-    return (g,)
-
-
-_tp_reduce_out.defvjp(_tp_reduce_out_fwd, _tp_reduce_out_bwd)
+# Megatron f/g boundary operators (hoisted to parallel/megatron.py in round
+# 3 so the MoE expert bank, ops/moe.py, shares them over the 'expert' axis)
+from picklebot_tpu.parallel.megatron import (tp_copy_in as _tp_copy_in,
+                                             tp_reduce_out as _tp_reduce_out)
 
 
 class FeedForward(Module):
@@ -162,7 +126,9 @@ class MobileViTBlock(Module):
     def __init__(self, embed_dim, depth, channel, kernel_size=3,
                  patch_size=(2, 2, 2), ffw_dim=None, dropout=0.0,
                  backend="auto", model_axis=None, sequence_axis=None,
-                 pipeline_axis=None, pipeline_microbatches=None):
+                 pipeline_axis=None, pipeline_microbatches=None,
+                 moe_experts=0, moe_top_k=2, moe_capacity_factor=1.25,
+                 expert_axis=None):
         super().__init__()
         self.pt, self.ph, self.pw = patch_size
         self.conv1 = conv_nxn_bn(channel, channel, kernel_size)
@@ -170,7 +136,9 @@ class MobileViTBlock(Module):
         self.transformer = TransformerStack(embed_dim, depth, 8, 16, ffw_dim,
                                             dropout, backend, model_axis,
                                             sequence_axis, pipeline_axis,
-                                            pipeline_microbatches)
+                                            pipeline_microbatches,
+                                            moe_experts, moe_top_k,
+                                            moe_capacity_factor, expert_axis)
         self.conv3 = conv_1x1_bn(embed_dim, channel)
         self.conv4 = conv_nxn_bn(2 * channel, channel, kernel_size)
 
@@ -227,7 +195,8 @@ class TransformerStack(Module):
     def __init__(self, embed_dim, depth, heads, dim_head, ffw_dim,
                  dropout=0.0, backend="auto", model_axis=None,
                  sequence_axis=None, pipeline_axis=None,
-                 pipeline_microbatches=None):
+                 pipeline_microbatches=None, moe_experts=0, moe_top_k=2,
+                 moe_capacity_factor=1.25, expert_axis=None):
         super().__init__()
         if sequence_axis is not None and sequence_axis == model_axis:
             raise ValueError(
@@ -241,6 +210,12 @@ class TransformerStack(Module):
                 "sequence_axis: a stage hop over a TP/SP axis would rotate "
                 "activations between ranks holding different weight/token "
                 "shards")
+        if moe_experts and (model_axis or sequence_axis or pipeline_axis):
+            raise ValueError(
+                "moe_experts composes with DP and expert parallelism only: "
+                "TP shards the dense FFN the MoE replaces, SP would change "
+                "routing/capacity semantics per token shard, and PP's "
+                "stacked-stage params drop the aux-loss state channel")
         self.sequence_axis = sequence_axis
         self.pipeline_axis = pipeline_axis
         self.pipeline_microbatches = pipeline_microbatches
@@ -248,9 +223,18 @@ class TransformerStack(Module):
             MultiHeadAttention(embed_dim, heads, dim_head, dropout,
                                backend=backend, sequence_axis=sequence_axis)
             for _ in range(depth)])
-        self.ffs = ModuleList([
-            FeedForward(embed_dim, ffw_dim, dropout, model_axis=model_axis)
-            for _ in range(depth)])
+        if moe_experts:
+            from picklebot_tpu.ops.moe import MoEFeedForward
+            self.ffs = ModuleList([
+                MoEFeedForward(embed_dim, ffw_dim, moe_experts, moe_top_k,
+                               moe_capacity_factor, dropout,
+                               expert_axis=expert_axis)
+                for _ in range(depth)])
+        else:
+            self.ffs = ModuleList([
+                FeedForward(embed_dim, ffw_dim, dropout,
+                            model_axis=model_axis)
+                for _ in range(depth)])
 
     def forward(self, cx: Ctx, x):
         axis = self.sequence_axis
@@ -360,6 +344,8 @@ class MobileViT(Module):
                  attention_backend: str = "auto",
                  model_axis=None, sequence_axis=None,
                  pipeline_axis=None, pipeline_microbatches=None,
+                 moe_experts: int = 0, moe_top_k: int = 2,
+                 moe_capacity_factor: float = 1.25, expert_axis=None,
                  space_to_depth: bool = False,
                  early_fold: bool = False, fold_span: str = "stem"):
         super().__init__()
@@ -376,6 +362,9 @@ class MobileViT(Module):
         ma = model_axis
         sa = sequence_axis
         pa, pm = pipeline_axis, pipeline_microbatches
+        moe = dict(moe_experts=moe_experts, moe_top_k=moe_top_k,
+                   moe_capacity_factor=moe_capacity_factor,
+                   expert_axis=expert_axis)
         self._early_plans = (_early_fold_plans_vit(ch, kernel_size)
                              if early_fold else None)
 
@@ -397,7 +386,7 @@ class MobileViT(Module):
                                patch_size, int(dims[0] * 2), backend=be,
                                model_axis=ma, sequence_axis=sa,
                                pipeline_axis=pa,
-                               pipeline_microbatches=pm)),
+                               pipeline_microbatches=pm, **moe)),
             Sequential(
                 B(ch[5], ch[6], expanded_channels=ch[7] * expansion,
                   stride=2),
@@ -405,14 +394,14 @@ class MobileViT(Module):
                                patch_size, int(dims[1] * 4), backend=be,
                                model_axis=ma, sequence_axis=sa,
                                pipeline_axis=pa,
-                               pipeline_microbatches=pm)),
+                               pipeline_microbatches=pm, **moe)),
             Sequential(
                 B(ch[7], ch[8], expanded_channels=ch[7] * 4, stride=2),
                 MobileViTBlock(dims[2], depths[2], ch[9], kernel_size,
                                patch_size, int(dims[2] * 4), backend=be,
                                model_axis=ma, sequence_axis=sa,
                                pipeline_axis=pa,
-                               pipeline_microbatches=pm)),
+                               pipeline_microbatches=pm, **moe)),
         ])
         self.to_logits_conv = conv_1x1_bn(ch[-2], last_dim)
         self.head = Dense(last_dim, num_classes, bias=False, w_init=_W_INIT)

@@ -59,6 +59,12 @@ def _mobilevit(cfg):
                      if getattr(cfg, "pipeline_parallel", 1) > 1 else None,
                      pipeline_microbatches=getattr(
                          cfg, "pipeline_microbatches", None),
+                     moe_experts=getattr(cfg, "moe_experts", 0),
+                     moe_top_k=getattr(cfg, "moe_top_k", 2),
+                     moe_capacity_factor=getattr(cfg, "moe_capacity_factor",
+                                                 1.25),
+                     expert_axis="expert"
+                     if getattr(cfg, "expert_parallel", 1) > 1 else None,
                      space_to_depth=getattr(cfg, "space_to_depth", False),
                      early_fold=getattr(cfg, "early_fold", False),
                      fold_span=getattr(cfg, "fold_span", None) or "stem")

@@ -26,23 +26,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data: Optional[int] = None, model: int = 1, seq: int = 1,
-              pipe: int = 1, devices: Optional[Sequence] = None) -> Mesh:
-    """Mesh over ('data', 'pipe', 'seq', 'model'): batch parallelism,
-    pipeline parallelism (GPipe ticks over the MobileViT transformer
-    stacks, parallel/pipeline.py), sequence parallelism (ring attention,
-    parallel/sequence.py), tensor parallelism. 'seq' is innermost-adjacent
-    to 'model' so both the SP ring permutes and the TP psums stay within
-    one data replica's devices; 'pipe' sits outside them so a pipeline
-    stage hop moves whole TP/SP groups, keeping every per-tick collective
-    on neighboring ICI links."""
+              pipe: int = 1, expert: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh over ('data', 'pipe', 'seq', 'expert', 'model'): batch
+    parallelism, pipeline parallelism (GPipe ticks over the MobileViT
+    transformer stacks, parallel/pipeline.py), sequence parallelism (ring
+    attention, parallel/sequence.py), expert parallelism (MoE expert bank,
+    ops/moe.py), tensor parallelism. 'seq'/'expert' sit innermost-adjacent
+    to 'model' so the SP ring permutes, the EP output psum, and the TP
+    psums all stay within one data replica's devices; 'pipe' sits outside
+    them so a pipeline stage hop moves whole TP/SP/EP groups, keeping every
+    per-tick collective on neighboring ICI links."""
     devices = list(devices if devices is not None else jax.devices())
     if data is None:
-        data = len(devices) // (model * seq * pipe)
-    assert data * model * seq * pipe <= len(devices), (data, pipe, seq,
-                                                       model, len(devices))
-    devs = np.array(devices[:data * pipe * seq * model]).reshape(
-        data, pipe, seq, model)
-    return Mesh(devs, ("data", "pipe", "seq", "model"))
+        data = len(devices) // (model * seq * pipe * expert)
+    total = data * model * seq * pipe * expert
+    if total > len(devices):
+        raise ValueError(
+            f"mesh data={data} x pipe={pipe} x seq={seq} x expert={expert} "
+            f"x model={model} needs {total} devices but only "
+            f"{len(devices)} are available")
+    devs = np.array(devices[:total]).reshape(data, pipe, seq, expert, model)
+    return Mesh(devs, ("data", "pipe", "seq", "expert", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -82,15 +87,25 @@ MOBILEVIT_TP_RULES = [
     (r".*\.ffs\.\d+\.fc2\.w", P("model", None)),
 ]
 
+# Expert parallelism for the MoE variant (ops/moe.MoEFeedForward,
+# MobileViT(moe_experts=..., expert_axis='expert')): the stacked expert
+# weights shard over 'expert'; the router stays replicated (its psum-bwd
+# gradient sync happens inside the module).
+MOBILEVIT_MOE_EP_RULES = [
+    (r".*\.ffs\.\d+\.w1", P("expert", None, None)),
+    (r".*\.ffs\.\d+\.w2", P("expert", None, None)),
+]
+
 
 def model_shard_counts(params, rules, degree: int):
-    """Pytree of ints: how many 'model' shards each param splits into —
-    feed to ``AdamW8bit.init(params, model_shards=...)`` so its blockwise
-    state is laid out per local shard."""
+    """Pytree of ints: how many shards each param splits into under its
+    matched rule (any mesh axis — 'model' for TP, 'expert' for EP) — feed
+    to ``AdamW8bit.init(params, model_shards=...)`` so its blockwise state
+    is laid out per local shard."""
     def n_shards(spec):
         for axis in spec:
             axes = axis if isinstance(axis, tuple) else (axis,)
-            if "model" in axes:
+            if any(a is not None for a in axes):
                 return degree
         return 1
     return jax.tree_util.tree_map(n_shards, param_specs(params, rules),
@@ -115,9 +130,16 @@ def train_state_specs(state, rules):
     def moment_spec(p_spec, leaf):
         if not is_q8(leaf):
             return p_spec
-        sharded = any("model" in (a if isinstance(a, tuple) else (a,))
-                      for a in p_spec)
-        q8 = P("model", None) if sharded else P()
+        axes = sorted({a for ax in p_spec
+                       for a in (ax if isinstance(ax, tuple) else (ax,))
+                       if a is not None})
+        if len(axes) > 1:
+            raise ValueError(
+                f"8-bit optimizer moments of a param sharded over {axes} "
+                "are not supported — the per-shard quantized layout "
+                "handles one mesh axis; raise min_8bit_size past this "
+                "param's size")
+        q8 = P(axes[0], None) if axes else P()
         return {"q": q8, "s": q8}
 
     def moments(tree):

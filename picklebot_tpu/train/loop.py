@@ -66,10 +66,11 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     mp = max(1, config.model_parallel)
     sp = max(1, config.sequence_parallel)
     pp = max(1, config.pipeline_parallel)
-    mps = mp * sp * pp
+    ep = max(1, config.expert_parallel)
+    mps = mp * sp * pp * ep
     n_data = config.data_parallel or max(1, n_dev // mps)
     n_data = max(1, min(n_data, n_dev // mps if mps > 1 else n_dev))
-    mesh = make_mesh(data=n_data, model=mp, seq=sp, pipe=pp) \
+    mesh = make_mesh(data=n_data, model=mp, seq=sp, pipe=pp, expert=ep) \
         if (n_data > 1 or mps > 1) else None
     if n_procs > 1:
         if mesh is None:
@@ -82,9 +83,9 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         if mps > 1 and (jax.local_device_count() % mps != 0):
             raise ValueError(
                 f"model_parallel={mp} x sequence_parallel={sp} x "
-                f"pipeline_parallel={pp} must divide the per-host device "
-                f"count ({jax.local_device_count()}) so TP/SP/PP groups "
-                f"stay host-local")
+                f"pipeline_parallel={pp} x expert_parallel={ep} must divide "
+                f"the per-host device count ({jax.local_device_count()}) so "
+                f"TP/SP/PP/EP groups stay host-local")
         if n_data % n_procs != 0:
             raise ValueError(f"data_parallel={n_data} must divide evenly "
                              f"across {n_procs} processes")
@@ -110,6 +111,16 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         state = create_train_state(model, optimizer, config.seed,
                                    tp_rules=MOBILEVIT_TP_RULES, tp_degree=mp)
         state_specs = train_state_specs(state, MOBILEVIT_TP_RULES)
+    elif ep > 1:
+        # expert parallelism: the MoE expert banks shard over 'expert';
+        # optimizer moments (8-bit: per-local-shard quantized blocks)
+        # mirror the param sharding
+        from picklebot_tpu.parallel.mesh import (MOBILEVIT_MOE_EP_RULES,
+                                                 train_state_specs)
+        state = create_train_state(model, optimizer, config.seed,
+                                   tp_rules=MOBILEVIT_MOE_EP_RULES,
+                                   tp_degree=ep)
+        state_specs = train_state_specs(state, MOBILEVIT_MOE_EP_RULES)
     else:
         state = create_train_state(model, optimizer, config.seed)
 
@@ -117,7 +128,8 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     std = config.std if config.apply_mean_std else None
     train_step = make_train_step(model, optimizer, config.criterion,
                                  schedule, policy=policy, mesh=mesh,
-                                 mean=mean, std=std, state_specs=state_specs)
+                                 mean=mean, std=std, state_specs=state_specs,
+                                 moe_aux_weight=config.moe_aux_weight)
     eval_step = make_eval_step(model, config.criterion, policy=policy,
                                mesh=mesh, mean=mean, std=std,
                                state_specs=state_specs)

@@ -89,19 +89,37 @@ def preprocess(features: jax.Array, compute_dtype,
     return x
 
 
+def collect_aux_losses(state_tree) -> Optional[jax.Array]:
+    """Sum every ``aux_loss`` leaf a forward pass published through the
+    module-state channel (MoE load-balance losses, ops/moe.py). Returns
+    None when the model has no aux-loss leaves (a static property of the
+    state structure, so the train step specializes at trace time)."""
+    from picklebot_tpu.core.module import flatten_dict
+    leaves = [v for k, v in flatten_dict(state_tree).items()
+              if k.rsplit(".", 1)[-1] == "aux_loss"]
+    if not leaves:
+        return None
+    return sum(jnp.asarray(v, jnp.float32) for v in leaves)
+
+
 def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
                     schedule: Callable[[jax.Array], jax.Array],
                     policy: Optional[DtypePolicy] = None,
                     mesh: Optional[Mesh] = None,
                     donate: bool = True,
                     mean=None, std=None,
-                    state_specs=None):
+                    state_specs=None,
+                    moe_aux_weight: float = 0.01):
     """Build the jitted train step.
 
     Returns step(state, features, labels, rng) ->
       (state, {'loss': (A,), 'correct': (), 'samples': (), 'lr': ()})
     with features (A, B, T, H, W, C) uint8 and labels (A, B) int32;
     under a mesh, B is the *global* batch and arrays are sharded on 'data'.
+
+    ``moe_aux_weight`` scales any MoE load-balance aux losses the forward
+    publishes (collect_aux_losses); the logged 'loss' metric stays the pure
+    task loss, matching the reference's TB scalars.
     """
     policy = policy or DtypePolicy.bf16()
     loss_fn, acc_fn = LOSSES[criterion]
@@ -113,8 +131,10 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
             train=True, rng=rng, policy=policy)
         lbl = prepare_labels(criterion, labels)
         loss = loss_fn(logits, lbl)
+        aux = collect_aux_losses(new_state)
+        total = loss if aux is None else loss + moe_aux_weight * aux
         correct = acc_fn(logits, lbl)
-        return loss, (new_state, correct)
+        return total, (new_state, correct, loss)
 
     grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
 
@@ -128,7 +148,7 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
         def micro(carry, inp):
             grads_acc, model_state, i = carry
             feats, lbls = inp
-            (loss, (model_state, correct)), grads = grad_fn(
+            (_, (model_state, correct, loss)), grads = grad_fn(
                 state.params, model_state, feats, lbls,
                 jax.random.fold_in(rng, i))
             grads_acc = jax.tree_util.tree_map(

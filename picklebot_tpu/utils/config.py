@@ -62,6 +62,14 @@ class Config:
     #                                     depth split into GPipe stages over
     #                                     the 'pipe' mesh axis)
     pipeline_microbatches: Optional[int] = None  # default: PP degree
+    moe_experts: int = 0                # >0 swaps the MobileViT transformer
+    #                                     FFNs for a routed expert bank
+    #                                     (ops/moe.py, top-k dispatch)
+    moe_top_k: int = 2                  # experts per token (1 or 2)
+    moe_capacity_factor: float = 1.25   # per-expert token slots multiplier
+    moe_aux_weight: float = 0.01        # load-balance aux loss weight
+    expert_parallel: int = 1            # EP degree (expert bank sharded
+    #                                     over the 'expert' mesh axis)
     seed: int = 1234                    # reference torch.manual_seed(1234)
     checkpoint_dir: str = "checkpoints"
     log_dir: str = "runs"
@@ -133,6 +141,31 @@ class Config:
             raise ValueError(
                 "pipeline_parallel is currently supported for MobileViT "
                 "(transformer depth split into GPipe stages)")
+        if self.moe_experts:
+            if self.model_name != "MobileViT":
+                raise ValueError(
+                    "moe_experts is currently supported for MobileViT "
+                    "(transformer FFN -> routed expert bank)")
+            if not 1 <= self.moe_top_k <= min(2, self.moe_experts):
+                raise ValueError(
+                    f"moe_top_k={self.moe_top_k} invalid for "
+                    f"moe_experts={self.moe_experts} (top-1/top-2 routing)")
+            if (self.model_parallel > 1 or self.sequence_parallel > 1
+                    or self.pipeline_parallel > 1):
+                raise ValueError(
+                    "moe_experts composes with data and expert parallelism "
+                    "only (TP shards the dense FFN the MoE replaces; SP "
+                    "changes routing semantics per token shard; PP drops "
+                    "the aux-loss channel)")
+        if self.expert_parallel > 1:
+            if not self.moe_experts:
+                raise ValueError(
+                    "expert_parallel requires moe_experts > 0 (there is no "
+                    "expert bank to shard)")
+            if self.moe_experts % self.expert_parallel != 0:
+                raise ValueError(
+                    f"expert_parallel={self.expert_parallel} must divide "
+                    f"moe_experts={self.moe_experts} evenly")
         if self.pipeline_microbatches is not None:
             if self.pipeline_microbatches < 1:
                 raise ValueError("pipeline_microbatches must be >= 1")
