@@ -144,11 +144,10 @@ def main(argv=None):
     from picklebot_tpu.utils.config import load_config
 
     config = load_config(args.config)
-    if config.model_parallel > 1 or config.sequence_parallel > 1:
-        import dataclasses
-        config = dataclasses.replace(config, model_parallel=1,
-                                     sequence_parallel=1,
-                                     pipeline_parallel=1)
+    # export lowers under plain jit (no mesh): strip to the replicated
+    # equivalent (TP/SP/PP/EP change execution layout, not weights)
+    from picklebot_tpu.utils.config import replicated_equivalent
+    config = replicated_equivalent(config)
     model = initialize_model(config)
     variables = model.init(config.seed)
     if args.checkpoint.endswith(".pth"):

@@ -406,13 +406,10 @@ def main(argv=None):
     from picklebot_tpu.utils.config import load_config
 
     config = load_config(args.config)
-    if config.model_parallel > 1 or config.sequence_parallel > 1:
-        # serving runs under plain jit (no mesh); TP/SP only change
-        # execution layout, not weights, so serve the replicated equivalent
-        import dataclasses
-        config = dataclasses.replace(config, model_parallel=1,
-                                     sequence_parallel=1,
-                                     pipeline_parallel=1)
+    # serving runs under plain jit (no mesh); TP/SP/PP/EP only change
+    # execution layout, not weights, so serve the replicated equivalent
+    from picklebot_tpu.utils.config import replicated_equivalent
+    config = replicated_equivalent(config)
     model = initialize_model(config)
     variables = model.init(config.seed)
     if args.checkpoint.endswith(".pth"):

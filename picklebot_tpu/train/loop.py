@@ -105,22 +105,19 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     schedule = cosine_annealing_lr(config.learning_rate, config.max_iters)
 
     state_specs = None
-    if mp > 1:
-        from picklebot_tpu.parallel.mesh import (MOBILEVIT_TP_RULES,
-                                                 train_state_specs)
-        state = create_train_state(model, optimizer, config.seed,
-                                   tp_rules=MOBILEVIT_TP_RULES, tp_degree=mp)
-        state_specs = train_state_specs(state, MOBILEVIT_TP_RULES)
-    elif ep > 1:
-        # expert parallelism: the MoE expert banks shard over 'expert';
-        # optimizer moments (8-bit: per-local-shard quantized blocks)
-        # mirror the param sharding
+    if mp > 1 or ep > 1:
+        # TP shards the dense transformer FFNs over 'model'; EP shards the
+        # MoE expert banks over 'expert' (config forbids combining them).
+        # Optimizer moments (8-bit: per-local-shard quantized blocks)
+        # mirror the param sharding either way.
         from picklebot_tpu.parallel.mesh import (MOBILEVIT_MOE_EP_RULES,
+                                                 MOBILEVIT_TP_RULES,
                                                  train_state_specs)
+        rules, degree = ((MOBILEVIT_TP_RULES, mp) if mp > 1
+                         else (MOBILEVIT_MOE_EP_RULES, ep))
         state = create_train_state(model, optimizer, config.seed,
-                                   tp_rules=MOBILEVIT_MOE_EP_RULES,
-                                   tp_degree=ep)
-        state_specs = train_state_specs(state, MOBILEVIT_MOE_EP_RULES)
+                                   tp_rules=rules, tp_degree=degree)
+        state_specs = train_state_specs(state, rules)
     else:
         state = create_train_state(model, optimizer, config.seed)
 

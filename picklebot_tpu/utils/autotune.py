@@ -182,10 +182,10 @@ def measure_plan(config, plan: Plan, mode: str, shape: Tuple[int, ...],
     # mesh this harness deliberately doesn't build — a model_parallel>1
     # config would trace psum('model') under plain jit and crash). The
     # serve/export paths establish the same strip-to-replicated pattern.
-    cfg = dataclasses.replace(config, early_fold=early_fold,
-                              fold_span=fold_span, autotune=False,
-                              data_parallel=1, model_parallel=1,
-                              sequence_parallel=1, pipeline_parallel=1)
+    from picklebot_tpu.utils.config import replicated_equivalent
+    cfg = replicated_equivalent(dataclasses.replace(
+        config, early_fold=early_fold, fold_span=fold_span,
+        autotune=False, data_parallel=1))
     model = initialize_model(cfg)
     policy = DtypePolicy.bf16() if cfg.use_autocast else DtypePolicy.f32()
     rng = np.random.RandomState(0)

@@ -198,6 +198,21 @@ class Config:
         return f"{self.model_name}_{crit}"
 
 
+def replicated_equivalent(config: Config) -> Config:
+    """The same model with every sharded-execution axis stripped (TP/SP/PP/
+    EP change execution layout, not weights). For surfaces that trace under
+    plain jit with no mesh — serve, export, summary, the autotuner — where
+    a mesh-axis collective (psum/ppermute/axis_size) would raise
+    'unbound axis name'. Data parallelism is left untouched (callers that
+    shard batches build their own mesh)."""
+    if (config.model_parallel > 1 or config.sequence_parallel > 1
+            or config.pipeline_parallel > 1 or config.expert_parallel > 1):
+        return dataclasses.replace(config, model_parallel=1,
+                                   sequence_parallel=1, pipeline_parallel=1,
+                                   expert_parallel=1)
+    return config
+
+
 def load_config(path: str) -> Config:
     """json file -> validated Config (reference load_config train.py:97-100
     plus typing/validation)."""

@@ -119,6 +119,10 @@ def main(argv=None):
     from picklebot_tpu.utils.config import load_config
 
     config = load_config(args.config)
+    # the summary traces the forward under plain jit (no mesh):
+    # summarize the replicated equivalent (same params/FLOPs)
+    from picklebot_tpu.utils.config import replicated_equivalent
+    config = replicated_equivalent(config)
     model = initialize_model(config)
     if config.model_name == "MobileViTV2":
         shape = (args.batch, args.size, args.size, 3)

@@ -252,6 +252,30 @@ def test_config_expert_parallel_validation():
     assert ff.expert_axis == "expert" and ff.n_experts == 4
 
 
+def test_ep_config_serves_replicated(rng):
+    """serve/export/summary/autotune trace under plain jit (no mesh): an
+    EP-trained config must strip to its replicated equivalent there, or
+    the MoE's axis_size('expert') raises 'unbound axis name'."""
+    from picklebot_tpu.models.registry import initialize_model
+    from picklebot_tpu.train.step import make_predict_fn
+    from picklebot_tpu.utils.config import Config, replicated_equivalent
+    cfg = Config(model_name="MobileViT", num_classes=13,
+                 moe_experts=4, expert_parallel=2, attention_backend="xla",
+                 dims=[16, 16, 16],
+                 channels=[8, 8, 8, 8, 16, 16, 16, 16, 16, 16, 32]
+                 ).validate()
+    stripped = replicated_equivalent(cfg)
+    assert stripped.expert_parallel == 1
+    assert stripped.moe_experts == 4       # weights/structure unchanged
+    model = initialize_model(stripped)
+    variables = model.init(0)
+    predict = make_predict_fn(model, DtypePolicy.f32())
+    feats = rng.randint(0, 255, (2, 4, 32, 32, 3)).astype(np.uint8)
+    logits = predict(variables, feats)
+    assert logits.shape == (2, 13)
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
 @pytest.mark.slow
 def test_train_loop_with_expert_parallel(tmp_path, monkeypatch):
     """train(config) end-to-end with expert_parallel=2 x data_parallel=2:
