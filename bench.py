@@ -25,6 +25,34 @@ import json
 BASELINE_CLIPS_PER_SEC = 2.1  # reference steady-state train step (BASELINE.md)
 
 
+def _require_devices(timeout_s: float = 600.0):
+    """Fail fast (with an explicit JSON line) when the remote-TPU tunnel is
+    dead instead of hanging forever: jax.devices() normally returns in
+    seconds even on a cold connect, but a down tunnel blocks it
+    indefinitely (observed >400 s hangs, 2026-08-17/18). Compiles are NOT
+    under this timeout — only the initial device discovery."""
+    import threading
+    got = {}
+
+    def probe():
+        import jax
+        got["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in got:
+        print(json.dumps({
+            "metric": "clips/sec/chip (unmeasured)",
+            "value": 0.0, "unit": "clips/s", "vs_baseline": 0.0,
+            "error": f"device discovery (jax.devices()) hung "
+                     f"{timeout_s:.0f}s — TPU tunnel unreachable, "
+                     f"no measurement taken",
+        }), flush=True)
+        raise SystemExit(1)
+    return got["devices"]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="train", choices=["train", "infer"])
@@ -55,6 +83,8 @@ def main():
         args.fold_span = plan_span
     if args.early_fold is None:
         args.early_fold = plan_early
+
+    _require_devices()
 
     from picklebot_tpu.utils.autotune import measure_plan
     from picklebot_tpu.utils.config import Config

@@ -131,6 +131,11 @@ def test_export_cli_and_serve(tmp_path, monkeypatch, capsys, rng):
      (2, 4, 64, 64, 3)),
     ("MobileNetSmall2D", {}, (2, 4, 224, 224, 3)),   # fixed 7x7 AvgPool
     ("MobileViTV2", {}, (2, 64, 64, 3)),             # image model
+    ("MobileViT",                                    # MoE expert bank:
+     dict(dims=[16, 16, 16],                         # routing (argmax /
+          channels=[8, 8, 8, 8, 16, 16, 16, 16, 16, 16, 32],  # one-hot /
+          moe_experts=4, attention_backend="xla"),   # cumsum) must lower
+     (2, 4, 32, 32, 3)),
 ])
 def test_export_model_families(tmp_path, rng, model_name, kw, shape):
     """The AOT path covers the whole zoo: attention (MobileViT), the

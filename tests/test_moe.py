@@ -252,6 +252,31 @@ def test_config_expert_parallel_validation():
     assert ff.expert_axis == "expert" and ff.n_experts == 4
 
 
+@pytest.mark.slow
+def test_moe_model_learns(rng):
+    """The routed expert path trains: gradients reach the router and the
+    experts through the one-hot dispatch, and a separable synthetic task
+    goes well above chance in a few dozen steps."""
+    n, classes = 32, 4
+    labels_np = rng.randint(0, classes, (1, n)).astype(np.int32)
+    # class k -> brightness band k (recoverable from the token means)
+    base = (labels_np[0, :, None, None, None, None] * 60 + 30)
+    feats_np = np.clip(base + rng.randint(-20, 20, (n, 2, 8, 8, 3)),
+                       0, 255).astype(np.uint8)[None]
+    feats, labels = jnp.asarray(feats_np), jnp.asarray(labels_np)
+
+    model = TinyMoE(num_classes=classes)
+    opt = AdamW(weight_decay=0.0)
+    sched = cosine_annealing_lr(3e-3, 100)
+    state = create_train_state(model, opt, 0)
+    step = make_train_step(model, opt, "CE", sched,
+                           policy=DtypePolicy.f32(), donate=False)
+    for _ in range(60):
+        state, m = step(state, feats, labels, jax.random.key(7))
+    acc = float(np.asarray(m["correct"]).sum()) / n  # (accum,) counts
+    assert acc >= 0.7, f"train accuracy {acc} (chance {1 / classes})"
+
+
 def test_ep_config_serves_replicated(rng):
     """serve/export/summary/autotune trace under plain jit (no mesh): an
     EP-trained config must strip to its replicated equivalent there, or
