@@ -128,7 +128,7 @@ class MobileViTBlock(Module):
                  backend="auto", model_axis=None, sequence_axis=None,
                  pipeline_axis=None, pipeline_microbatches=None,
                  moe_experts=0, moe_top_k=2, moe_capacity_factor=1.25,
-                 expert_axis=None):
+                 expert_axis=None, moe_dispatch="replicated"):
         super().__init__()
         self.pt, self.ph, self.pw = patch_size
         self.conv1 = conv_nxn_bn(channel, channel, kernel_size)
@@ -138,7 +138,8 @@ class MobileViTBlock(Module):
                                             sequence_axis, pipeline_axis,
                                             pipeline_microbatches,
                                             moe_experts, moe_top_k,
-                                            moe_capacity_factor, expert_axis)
+                                            moe_capacity_factor, expert_axis,
+                                            moe_dispatch)
         self.conv3 = conv_1x1_bn(embed_dim, channel)
         self.conv4 = conv_nxn_bn(2 * channel, channel, kernel_size)
 
@@ -196,7 +197,8 @@ class TransformerStack(Module):
                  dropout=0.0, backend="auto", model_axis=None,
                  sequence_axis=None, pipeline_axis=None,
                  pipeline_microbatches=None, moe_experts=0, moe_top_k=2,
-                 moe_capacity_factor=1.25, expert_axis=None):
+                 moe_capacity_factor=1.25, expert_axis=None,
+                 moe_dispatch="replicated"):
         super().__init__()
         if sequence_axis is not None and sequence_axis == model_axis:
             raise ValueError(
@@ -228,7 +230,8 @@ class TransformerStack(Module):
             self.ffs = ModuleList([
                 MoEFeedForward(embed_dim, ffw_dim, moe_experts, moe_top_k,
                                moe_capacity_factor, dropout,
-                               expert_axis=expert_axis)
+                               expert_axis=expert_axis,
+                               dispatch=moe_dispatch)
                 for _ in range(depth)])
         else:
             self.ffs = ModuleList([
@@ -346,6 +349,7 @@ class MobileViT(Module):
                  pipeline_axis=None, pipeline_microbatches=None,
                  moe_experts: int = 0, moe_top_k: int = 2,
                  moe_capacity_factor: float = 1.25, expert_axis=None,
+                 moe_dispatch: str = "replicated",
                  space_to_depth: bool = False,
                  early_fold: bool = False, fold_span: str = "stem"):
         super().__init__()
@@ -364,7 +368,7 @@ class MobileViT(Module):
         pa, pm = pipeline_axis, pipeline_microbatches
         moe = dict(moe_experts=moe_experts, moe_top_k=moe_top_k,
                    moe_capacity_factor=moe_capacity_factor,
-                   expert_axis=expert_axis)
+                   expert_axis=expert_axis, moe_dispatch=moe_dispatch)
         self._early_plans = (_early_fold_plans_vit(ch, kernel_size)
                              if early_fold else None)
 

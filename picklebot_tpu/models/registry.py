@@ -65,6 +65,7 @@ def _mobilevit(cfg):
                                                  1.25),
                      expert_axis="expert"
                      if getattr(cfg, "expert_parallel", 1) > 1 else None,
+                     moe_dispatch=getattr(cfg, "moe_dispatch", "replicated"),
                      space_to_depth=getattr(cfg, "space_to_depth", False),
                      early_fold=getattr(cfg, "early_fold", False),
                      fold_span=getattr(cfg, "fold_span", None) or "stem")

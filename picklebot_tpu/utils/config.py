@@ -68,6 +68,12 @@ class Config:
     moe_top_k: int = 2                  # experts per token (1 or 2)
     moe_capacity_factor: float = 1.25   # per-expert token slots multiplier
     moe_aux_weight: float = 0.01        # load-balance aux loss weight
+    moe_dispatch: str = "replicated"    # replicated (exact == unsharded;
+    #                                     tokens duplicated in the EP group)
+    #                                     | tokens (all_to_all exchange,
+    #                                     device-local routing groups —
+    #                                     activations/routing/FLOPs all
+    #                                     scale 1/EP per rank)
     expert_parallel: int = 1            # EP degree (expert bank sharded
     #                                     over the 'expert' mesh axis)
     seed: int = 1234                    # reference torch.manual_seed(1234)
@@ -157,6 +163,8 @@ class Config:
                     "only (TP shards the dense FFN the MoE replaces; SP "
                     "changes routing semantics per token shard; PP drops "
                     "the aux-loss channel)")
+        if self.moe_dispatch not in ("replicated", "tokens"):
+            raise ValueError(f"Invalid moe_dispatch: {self.moe_dispatch}")
         if self.expert_parallel > 1:
             if not self.moe_experts:
                 raise ValueError(

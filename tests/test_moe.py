@@ -110,6 +110,89 @@ def test_moe_ep_matches_replicated_forward_and_grads(rng):
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_moe_token_sharded_matches_grouped_reference(rng):
+    """dispatch='tokens' (the production EP pattern: tokens AND experts
+    sharded, two all_to_alls) == the same module applied on one device to
+    tokens reshaped into the per-rank routing groups — outputs bit-exact,
+    loss and every gradient (router aux path included) exact."""
+    D, H, E, S = 16, 32, 8, 4
+    B, P_, N = 2, 3, 24
+    x = rng.randn(B, P_, N, D).astype(np.float32)
+
+    ref_mod = MoEFeedForward(D, H, E, top_k=2)
+    variables = ref_mod.init(0)
+    state0 = variables["state"]
+    xg = x.reshape(B, P_, S, N // S, D)   # device-local routing groups
+
+    def ref_loss(params):
+        out, ns = ref_mod.apply({"params": params, "state": state0}, xg,
+                                train=False, policy=DtypePolicy.f32())
+        return jnp.sum(out ** 2) + 0.01 * ns["aux_loss"], out
+
+    (ref_val, ref_out), ref_grads = jax.value_and_grad(
+        ref_loss, has_aux=True)(variables["params"])
+    ref_out = np.asarray(ref_out).reshape(B, P_, N, D)
+
+    ep_mod = MoEFeedForward(D, H, E, top_k=2, expert_axis="expert",
+                            dispatch="tokens")
+    mesh = make_mesh(data=1, expert=S)
+    pspecs = {"router": P(), "w1": P("expert", None, None),
+              "w2": P("expert", None, None)}
+
+    def local_vg(params, xx):
+        def loss(p):
+            out, ns = ep_mod.apply({"params": p, "state": state0}, xx,
+                                   train=False, policy=DtypePolicy.f32())
+            return jnp.sum(out ** 2) + 0.01 * ns["aux_loss"], out
+        return jax.value_and_grad(loss, has_aux=True)(params)
+
+    sharded = shard_map(local_vg, mesh=mesh, in_specs=(pspecs, P()),
+                        out_specs=((P(), P()), pspecs), check_vma=False)
+    params_dev = jax.device_put(
+        variables["params"],
+        {k: NamedSharding(mesh, s) for k, s in pspecs.items()})
+    (val, out), grads = jax.jit(sharded)(params_dev, x)
+    np.testing.assert_allclose(float(ref_val), float(val), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out), ref_out)
+    for k in ref_grads:
+        np.testing.assert_allclose(np.asarray(grads[k]),
+                                   np.asarray(ref_grads[k]),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_moe_token_sharded_falls_back_when_indivisible(rng):
+    """Token count not divisible by the axis -> the replicated dispatch
+    runs (still exact vs the unsharded module on the SAME ungrouped
+    tokens)."""
+    D, H, E = 16, 32, 8
+    x = rng.randn(2, 1, 21, D).astype(np.float32)   # 21 % 4 != 0
+    ref_mod = MoEFeedForward(D, H, E, top_k=2)
+    variables = ref_mod.init(0)
+    state0 = variables["state"]
+    ref_out, _ = ref_mod.apply(variables, x, train=False,
+                               policy=DtypePolicy.f32())
+
+    ep_mod = MoEFeedForward(D, H, E, top_k=2, expert_axis="expert",
+                            dispatch="tokens")
+    mesh = make_mesh(data=1, expert=4)
+    pspecs = {"router": P(), "w1": P("expert", None, None),
+              "w2": P("expert", None, None)}
+
+    def local(params, xx):
+        out, _ = ep_mod.apply({"params": params, "state": state0}, xx,
+                              train=False, policy=DtypePolicy.f32())
+        return out
+
+    sharded = shard_map(local, mesh=mesh, in_specs=(pspecs, P()),
+                        out_specs=P(), check_vma=False)
+    params_dev = jax.device_put(
+        variables["params"],
+        {k: NamedSharding(mesh, s) for k, s in pspecs.items()})
+    out = jax.jit(sharded)(params_dev, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-6)
+
+
 # ------------------------------------------------------------- model level
 
 class TinyMoE(Module):
@@ -117,13 +200,13 @@ class TinyMoE(Module):
     Input (B, 2, 8, 8, 3) flattens to 8 tokens of dim 48."""
 
     def __init__(self, num_classes=13, expert_axis=None, n_experts=4,
-                 dropout=0.0):
+                 dropout=0.0, moe_dispatch="replicated"):
         super().__init__()
         self.embed = Dense(4 * 4 * 3, 32)
         self.transformer = TransformerStack(
             32, depth=2, heads=4, dim_head=8, ffw_dim=64, dropout=dropout,
             backend="xla", moe_experts=n_experts, moe_top_k=2,
-            expert_axis=expert_axis)
+            expert_axis=expert_axis, moe_dispatch=moe_dispatch)
         self.head = Dense(32, num_classes)
 
     def forward(self, cx: Ctx, x):
@@ -187,6 +270,41 @@ def test_ep_train_matches_single_device(rng, opt_name):
                                    rtol=1e-4, atol=3e-3)
     # the aux loss made it into the carried model state
     aux = collect_aux_losses(ep_state.model_state)
+    assert aux is not None and np.isfinite(float(aux))
+
+
+def test_ep_token_sharded_train_step(rng):
+    """Whole train step with dispatch='tokens' over data=2 x expert=4:
+    8 tokens split 2-per-rank, all_to_all exchange inside the jitted step;
+    finite loss, params move, aux carried."""
+    mesh = make_mesh(data=2, expert=4)
+    model = TinyMoE(expert_axis="expert", moe_dispatch="tokens")
+    opt = AdamW(weight_decay=1e-4)
+    sched = cosine_annealing_lr(1e-3, 10)
+    feats, labels = _data(rng)
+    state = create_train_state(model, opt, 0)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    specs = train_state_specs(state, MOBILEVIT_MOE_EP_RULES)
+    state = jax.device_put(
+        state, jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, P)))
+    step = make_train_step(model, opt, "CE", sched, policy=DtypePolicy.f32(),
+                           mesh=mesh, donate=False, state_specs=specs)
+    state, m = step(state,
+                    jax.device_put(feats,
+                                   NamedSharding(mesh, P(None, "data"))),
+                    jax.device_put(labels,
+                                   NamedSharding(mesh, P(None, "data"))),
+                    jax.device_put(jax.random.key(5),
+                                   NamedSharding(mesh, P())))
+    assert np.isfinite(np.asarray(m["loss"])).all()
+    moved = any(
+        not np.allclose(np.asarray(a), b) for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(p0)))
+    assert moved
+    aux = collect_aux_losses(state.model_state)
     assert aux is not None and np.isfinite(float(aux))
 
 
