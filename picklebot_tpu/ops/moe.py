@@ -54,7 +54,9 @@ from picklebot_tpu.core.module import Ctx, Module
 from picklebot_tpu.ops import activations as act
 from picklebot_tpu.ops.linear import Dropout
 from picklebot_tpu.parallel.megatron import tp_copy_in, tp_reduce_out
-from picklebot_tpu.parallel.sequence import sp_sync_param
+from picklebot_tpu.parallel.sequence import (sp_gather_tokens,
+                                             sp_scatter_tokens,
+                                             sp_sync_param)
 
 
 class MoEFeedForward(Module):
@@ -109,9 +111,11 @@ class MoEFeedForward(Module):
             self.top_k * n_tokens * self.capacity_factor / self.n_experts)))
 
     def _routing(self, xt, wr, cap):
-        """(g, n, d) tokens -> (dispatch, combine, aux): the GShard one-hot
-        dispatch/combine tensors (g, n, E, cap) and the scalar Switch
-        load-balance loss. Routing math runs in float32."""
+        """(g, n, d) tokens -> (dispatch, combine, frac, prob): the GShard
+        one-hot dispatch/combine tensors (g, n, E, cap) plus the per-expert
+        Switch statistics (assignment fraction, mean router probability) —
+        callers form the aux loss from them, with mode-specific cross-rank
+        averaging/scaling. Routing math runs in float32."""
         e = self.n_experts
         logits = jnp.einsum("gnd,de->gne", xt.astype(jnp.float32),
                             wr.astype(jnp.float32))
@@ -159,9 +163,15 @@ class MoEFeedForward(Module):
         size = jax.lax.axis_size(axis) if axis is not None else 1
         ep = size > 1
         *lead, n, d = x.shape
-        tokens_mode = (ep and self.dispatch == "tokens" and n % size == 0)
-        if tokens_mode:
-            return self._forward_token_sharded(cx, x, axis, size)
+        if ep and self.dispatch == "tokens":
+            if n % size == 0:
+                return self._forward_token_sharded(cx, x, axis, size)
+            import warnings
+            warnings.warn(
+                f"moe_dispatch='tokens' requested but {n} tokens do not "
+                f"divide the {size}-way '{axis}' axis: falling back to "
+                "replicated dispatch (exact, but per-rank activation/"
+                "routing cost does not scale 1/EP)", stacklevel=2)
 
         if ep:
             x = tp_copy_in(x, axis)
@@ -216,8 +226,6 @@ class MoEFeedForward(Module):
         tokens per group); the single-device equivalent is the same module
         applied to x reshaped to (lead..., size, n/size, d) — parity-tested
         against exactly that in tests/test_moe.py."""
-        from picklebot_tpu.parallel.sequence import (sp_gather_tokens,
-                                                     sp_scatter_tokens)
         w1 = cx.param("w1")
         w2 = cx.param("w2")
         wr = sp_sync_param(jnp.asarray(cx.param("router")), axis)
