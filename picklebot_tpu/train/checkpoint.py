@@ -118,6 +118,13 @@ def _default_key_map(torch_key: str) -> Tuple[str, bool]:
     return k, is_state
 
 
+# Transient per-step telemetry published through the module-state channel
+# (MoE load-balance aux losses, ops/moe.py) — not persistent statistics:
+# never exported to .pth and dropped when found in one (the torch format
+# carries weights + BN stats only).
+TRANSIENT_STATE_LEAVES = ("aux_loss",)
+
+
 def import_torch_state_dict(
         sd: Dict[str, np.ndarray], variables: Variables,
         key_map=None, strict: bool = True) -> Variables:
@@ -133,6 +140,8 @@ def import_torch_state_dict(
     new_state = dict(flat_state)
     unused = []
     for tk, v in sd.items():
+        if tk.rsplit(".", 1)[-1] in TRANSIENT_STATE_LEAVES:
+            continue
         mapped = key_map(tk) if key_map else None
         if mapped is None:
             path, is_state = _default_key_map(tk)
@@ -282,6 +291,8 @@ def export_torch_state_dict(variables: Variables,
         out[tk] = torch.from_numpy(
             to_torch_layout(np.asarray(jax.device_get(v)), tk))
     for path, v in flat_state.items():
+        if path.rsplit(".", 1)[-1] in TRANSIENT_STATE_LEAVES:
+            continue
         tk = default_torch_key(path, True)
         out[tk] = torch.from_numpy(
             np.array(jax.device_get(v), np.float32, copy=True))

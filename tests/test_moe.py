@@ -419,6 +419,38 @@ def test_ep_config_serves_replicated(rng):
     assert np.isfinite(np.asarray(logits, np.float32)).all()
 
 
+def test_moe_pth_roundtrip(tmp_path, rng):
+    """MoE checkpoints survive the .pth conversion cycle: expert weights
+    and router export with pytree names (no torch counterpart exists),
+    transient aux_loss state stays OUT of the file, and the re-import is
+    exact under strict=True."""
+    from picklebot_tpu.models.registry import initialize_model
+    from picklebot_tpu.train import checkpoint as ckpt
+    from picklebot_tpu.train.key_maps import key_map_for
+    from picklebot_tpu.utils.config import Config
+    cfg = Config(model_name="MobileViT", num_classes=13, moe_experts=4,
+                 attention_backend="xla", dims=[16, 16, 16],
+                 channels=[8, 8, 8, 8, 16, 16, 16, 16, 16, 16, 32]
+                 ).validate()
+    model = initialize_model(cfg)
+    variables = model.init(3)
+    sd = ckpt.export_torch_state_dict(variables)
+    assert not any(k.endswith("aux_loss") for k in sd)
+    assert any(k.endswith(".router") for k in sd)
+    import torch
+    path = tmp_path / "moe.pth"
+    torch.save(sd, str(path))
+    v2 = ckpt.load_pth(str(path), model.init(99),
+                       key_map=key_map_for("MobileViT"))
+    from picklebot_tpu.core.module import flatten_dict
+    fa, fb = flatten_dict(variables["params"]), flatten_dict(v2["params"])
+    assert sorted(fa) == sorted(fb)
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k], np.float32),
+                                      np.asarray(fb[k], np.float32),
+                                      err_msg=k)
+
+
 @pytest.mark.slow
 def test_train_loop_with_expert_parallel(tmp_path, monkeypatch):
     """train(config) end-to-end with expert_parallel=2 x data_parallel=2:
