@@ -309,6 +309,65 @@ def test_folded_conv_map_matches_lax_conv():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("kernel,stride,folds_in,folds_out,shape", [
+    # k1 pointwise, W-only fold
+    ((1, 1, 1), (1, 1, 1), (1, 1, 8), (1, 1, 8), (2, 3, 8, 16, 4)),
+    # k3 stride-1, H+W folds
+    ((3, 3, 3), (1, 1, 1), (1, 4, 4), (1, 4, 4), (1, 4, 16, 16, 3)),
+    # k3 stride-2, mixed folds (in = stride * out per dim)
+    ((3, 3, 3), (2, 2, 2), (1, 8, 4), (1, 4, 2), (2, 6, 16, 16, 3)),
+    # k5 stride-2, W-only (the Large3D block3 geometry class)
+    ((1, 5, 5), (1, 2, 2), (1, 1, 8), (1, 1, 4), (1, 4, 12, 16, 6)),
+    # k5 stride-1 deep fold
+    ((1, 5, 5), (1, 1, 1), (1, 1, 16), (1, 1, 16), (1, 3, 12, 16, 2)),
+    # 2D rank (the 2D+LSTM trunks): k3 stride-2 W fold
+    ((3, 3), (2, 2), (1, 8), (1, 4), (5, 12, 16, 3)),
+])
+def test_folded_conv_geometry_sweep(kernel, stride, folds_in, folds_out,
+                                    shape):
+    """The general builder is exact across the geometry space the per-model
+    plans sample from: every valid (kernel, stride, in-fold, out-fold)
+    combination — 'same'-identity padding, rank 2 and 3, deep and mixed
+    folds — must reproduce lax.conv on random weights."""
+    from jax import lax
+    rng = np.random.RandomState(11)
+    cin, cout = shape[-1], 5
+    rank = len(kernel)
+    padding = tuple(k // 2 for k in kernel)
+    x = rng.rand(*shape).astype(np.float32)
+    w = (rng.randn(*kernel, cin, cout) * 0.2).astype(np.float32)
+
+    spec = ("NTHWC", "THWIO", "NTHWC") if rank == 3 else \
+        ("NHWC", "HWIO", "NHWC")
+    dn = lax.conv_dimension_numbers((1,) * (rank + 1) + (cin,), w.shape,
+                                    spec)
+    want = lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), stride,
+        [(p, p) for p in padding], dimension_numbers=dn)
+
+    plan = folded_conv_map(kernel, stride, padding, folds_in, folds_out,
+                           cin, cout)
+    z = fold_nd(jnp.asarray(x), folds_in)
+    wf = gather_weights(plan, jnp.asarray(w))
+    dnf = lax.conv_dimension_numbers((1,) * (rank + 1) + (z.shape[-1],),
+                                     wf.shape, spec)
+    got = lax.conv_general_dilated(z, wf, plan.strides, list(plan.pads),
+                                   dimension_numbers=dnf)
+    got = unfold_nd(got, plan.folds_out, cout)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_folded_conv_map_rejects_bad_geometry():
+    """Geometry violating the out=N/stride identity (k5 s2 p1:
+    2p-k+s = -1 < 0) must fail loudly at build time, not produce wrong
+    shapes (ADVICE round 2)."""
+    with pytest.raises(ValueError, match="fold plan"):
+        folded_conv_map((1, 5, 5), (1, 2, 2), (1, 1, 1),
+                        (1, 8, 8), (1, 4, 4), 3, 5)
+
+
 def test_early_fold_rejects_bad_spatial():
     fold = MobileNetLarge3D(num_classes=3, early_fold=True)
     params = fold.init(0)
