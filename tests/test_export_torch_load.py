@@ -108,3 +108,64 @@ def test_export_loads_into_reference_mobilevitv2(rng):
         want = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
     got, _ = ours.apply(v, jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(got), want, **TOL)
+
+
+@needs_ref
+@pytest.mark.golden
+def test_export_loads_into_reference_mobilevit(rng):
+    """Covers the transformer qkv/out Dense exports and the SE-free conv
+    stacks of MobileViT V1 (mobilevit.py:107-190). The reference attention
+    is patched to its evident intent exactly as the import-direction golden
+    does (tests/test_vit_lstm_golden.py)."""
+    import mobilevit as ref_mv
+    from test_vit_lstm_golden import _patched_attention_forward
+    from picklebot_tpu.models.mobilevit import MOBILEVIT_CONFIGS, MobileViT
+
+    cfg = MOBILEVIT_CONFIGS["xxs"]
+    tmodel = ref_mv.MobileViT(dims=cfg["dims"], channels=cfg["channels"],
+                              num_classes=13)
+    ours = MobileViT(dims=cfg["dims"], channels=cfg["channels"],
+                     num_classes=13, attention_backend="xla")
+    v = _export_into(tmodel, ours, "MobileViT")
+
+    orig = ref_mv.Attention.forward
+    ref_mv.Attention.forward = _patched_attention_forward
+    try:
+        tmodel.eval()
+        x = rng.rand(1, 6, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            want = tmodel(torch.from_numpy(x).permute(0, 4, 1, 2, 3)).numpy()
+    finally:
+        ref_mv.Attention.forward = orig
+    got, _ = ours.apply(v, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, **TOL)
+
+
+@needs_ref
+@pytest.mark.golden
+@pytest.mark.parametrize("which", ["small", "large"])
+def test_export_loads_into_reference_mobilenet2d_lstm(rng, which):
+    """Covers the 2D SE rank map (4D conv weights) and the LSTM key
+    reversal (w_ih_l{k} -> weight_ih_l{k}) for both 2D+LSTM models
+    (mobilenet.py:285-443)."""
+    from mobilenet import MobileNetLarge2D as TLarge2D
+    from mobilenet import MobileNetSmall2D as TSmall2D
+    from picklebot_tpu.models.mobilenet2d_lstm import (MobileNetLarge2D,
+                                                       MobileNetSmall2D)
+
+    if which == "small":
+        tmodel, ours, name = (TSmall2D(num_classes=2), MobileNetSmall2D(2),
+                              "MobileNetSmall2D")
+    else:
+        tmodel = TLarge2D(num_classes=2)
+        tmodel.initialize_weights()  # quirk: Large2D builds layers here
+        ours, name = MobileNetLarge2D(2), "MobileNetLarge2D"
+    v = _export_into(tmodel, ours, name)
+
+    tmodel.eval()
+    # 224x224: the reference hardcodes AvgPool2d(7) for 7x7 maps
+    x = rng.rand(1, 3, 224, 224, 3).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x).permute(0, 1, 4, 2, 3)).numpy()
+    got, _ = ours.apply(v, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
