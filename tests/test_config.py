@@ -106,3 +106,35 @@ def test_all_shipped_configs_construct():
             warnings.simplefilter("ignore")
             cfg = load_config(path)
         assert initialize_model(cfg) is not None, path
+
+
+def test_every_registry_model_has_interop_surfaces():
+    """Zoo-consistency guard: every registered model must have a torch
+    key map (import direction), an export rank map (strict torch export),
+    and — except the serving-only stream variant — a shipped config, so a
+    new model can't silently skip the interop surfaces the goldens cover."""
+    import glob
+    import json
+    import os
+    from picklebot_tpu.models.registry import MODELS, fold_spans_for
+    from picklebot_tpu.train.key_maps import export_rank_for, key_map_for
+
+    for name in MODELS:
+        assert key_map_for(name) is not None, f"{name}: no torch key map"
+        assert export_rank_for(name) is not None, f"{name}: no export ranks"
+
+    cfg_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs")
+    shipped = set()
+    for path in glob.glob(os.path.join(cfg_dir, "*.json")):
+        with open(path) as f:
+            shipped.add(json.load(f).get("model_name"))
+    missing = set(MODELS) - shipped - {"MoViNetA2Stream"}
+    assert not missing, f"registry models without a shipped config: {missing}"
+
+    # foldable families expose their span vocabulary (Config.validate
+    # derives the legal values from the class, so this cannot drift)
+    for name in ("MobileNetLarge3D", "MobileNetSmall3D", "MoViNetA2",
+                 "MobileViT", "MobileNetLarge2D", "MobileNetSmall2D"):
+        spans = fold_spans_for(name)
+        assert spans, f"{name}: empty fold_span vocabulary"
