@@ -58,6 +58,18 @@ def _make_datasets(config: Config):
 
 def train(config: Config, max_steps: Optional[int] = None) -> dict:
     """Returns a summary dict (final losses/accuracies) for tests/CLI."""
+    if config.model_name == "MobileViTV2":
+        # image classifier (reference mobilevitv2.py:266-305, never
+        # registered for training there either, train.py:156-161): the
+        # train/eval STEP supports it with (accum, B, H, W, C) batches
+        # (bench.py measures exactly that), but this loop's data pipeline
+        # assembles video clips — fail actionably instead of with a conv
+        # rank error deep in the forward.
+        raise ValueError(
+            "MobileViTV2 is an image classifier; the clip training loop "
+            "cannot feed it. Use the step API with image batches "
+            "(train.step.make_train_step; see bench.py --model "
+            "MobileViTV2) or the serve/export surfaces.")
     # global device count: in a multi-process run the mesh must span every
     # host's devices (the DDP world, reference train.py:24-36), not just the
     # first host's local ones

@@ -197,3 +197,12 @@ def test_model_actually_learns(tmp_path, monkeypatch):
     # the model needs a couple hundred steps to separate 13 brightness
     # classes (the torch reference behaves the same — same arch/dropout)
     assert summary["final_val_accuracy"] > 0.3, summary
+
+
+def test_train_rejects_mobilevitv2_clip_loop(tmp_path):
+    """MobileViTV2 is an image classifier: the train/eval STEP takes image
+    batches (bench.py measures it), but train()'s clip pipeline can't feed
+    it — the loop must fail actionably, not with a conv rank error."""
+    cfg = _smoke_config(tmp_path, model_name="MobileViTV2")
+    with pytest.raises(ValueError, match="image classifier"):
+        train(cfg)
