@@ -27,33 +27,23 @@ BASELINE_CLIPS_PER_SEC = 2.1  # reference steady-state train step (BASELINE.md)
 
 def _require_devices(timeout_s: float = 600.0):
     """Fail fast (with an explicit JSON line) when the remote-TPU tunnel is
-    dead instead of hanging forever: jax.devices() normally returns in
-    seconds even on a cold connect, but a down tunnel blocks it
-    indefinitely (observed >400 s hangs, 2026-08-17/18). Compiles are NOT
-    under this timeout — only the initial device discovery."""
-    import threading
-    got = {}
-
-    def probe():
-        import jax
-        got["devices"] = jax.devices()
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if "devices" not in got:
+    dead instead of hanging forever (shared watchdog:
+    picklebot_tpu/utils/devices.py). Compiles are NOT under this timeout —
+    only the initial device discovery."""
+    from picklebot_tpu.utils.devices import (DeviceDiscoveryTimeout,
+                                             require_devices)
+    try:
+        return require_devices(timeout_s)
+    except DeviceDiscoveryTimeout as e:
         print(json.dumps({
             "metric": "clips/sec/chip (unmeasured)",
             "value": 0.0, "unit": "clips/s", "vs_baseline": 0.0,
-            "error": f"device discovery (jax.devices()) hung "
-                     f"{timeout_s:.0f}s — TPU tunnel unreachable, "
-                     f"no measurement taken",
+            "error": f"{e} — no measurement taken",
             "last_recorded": "BENCH_r02.json: 503.7 clips/s "
                              "(vs_baseline 239.86) on this same "
                              "workload, captured by the round-2 driver",
         }), flush=True)
         raise SystemExit(1)
-    return got["devices"]
 
 
 def main():

@@ -45,7 +45,10 @@ def main(argv=None):
     from picklebot_tpu.utils.config import load_config
 
     config = load_config(args.config)
-    dev = jax.devices()[0]
+    # bounded device discovery: a dead TPU tunnel hangs jax.devices()
+    # forever (utils/devices.py) — fail with remediation steps instead
+    from picklebot_tpu.utils.devices import require_devices
+    dev = require_devices()[0]
     dtype = "bfloat16" if config.use_autocast else "float32"
     print(f"Using {dtype} on {dev.platform} ({dev.device_kind})")
 

@@ -1,0 +1,43 @@
+"""Device discovery with a watchdog.
+
+Through the remote-TPU tunnel, ``jax.devices()`` *hangs indefinitely* when
+the tunnel is down (observed >400 s, CLAUDE.md) instead of raising — so a
+user launching training against a dead tunnel sees a silent freeze. Every
+user-facing entry point (cli.py, bench.py) funnels device discovery
+through :func:`require_devices`, turning the hang into an actionable error
+after a bounded wait. Compiles and execution are NOT under this timeout —
+only the initial discovery, which normally returns in seconds even on a
+cold connect.
+"""
+
+from __future__ import annotations
+
+
+class DeviceDiscoveryTimeout(RuntimeError):
+    """jax.devices() did not return within the watchdog window."""
+
+
+def require_devices(timeout_s: float = 600.0):
+    """Return ``jax.devices()``, raising :class:`DeviceDiscoveryTimeout`
+    (with remediation steps) if discovery does not complete in time."""
+    import threading
+    got = {}
+
+    def probe():
+        import jax
+        try:
+            got["devices"] = jax.devices()
+        except BaseException as e:  # noqa: BLE001 — surface backend errors
+            got["error"] = e
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "error" in got:
+        raise got["error"]
+    if "devices" not in got:
+        raise DeviceDiscoveryTimeout(
+            f"device discovery (jax.devices()) hung for {timeout_s:.0f}s — "
+            "the TPU tunnel is unreachable. Set PICKLEBOT_PLATFORM=cpu to "
+            "run on the host CPU, or restore the TPU connection and retry.")
+    return got["devices"]
