@@ -269,6 +269,11 @@ def _serve_exported(args):
     baked weights — no config, no checkpoint, no model zoo at load time."""
     import numpy as np
 
+    # fail fast when the TPU tunnel is dead (jax.devices() hangs forever
+    # there; utils/devices.py) — same boot guard as checkpoint serving
+    from picklebot_tpu.utils.devices import require_devices
+    require_devices()
+
     from picklebot_tpu.data.dataset import decode_opencv
     from picklebot_tpu.export import load_artifact
 
@@ -396,6 +401,11 @@ def main(argv=None):
 
     import jax
     import numpy as np
+
+    # fail fast at boot when the TPU tunnel is dead (jax.devices() hangs
+    # forever there; utils/devices.py) — a server must not freeze silently
+    from picklebot_tpu.utils.devices import require_devices
+    require_devices()
 
     from picklebot_tpu.core.module import DtypePolicy
     from picklebot_tpu.data.dataset import ClipDataset, decode_opencv, pad_collate

@@ -19,8 +19,18 @@ class DeviceDiscoveryTimeout(RuntimeError):
 
 def require_devices(timeout_s: float = 600.0):
     """Return ``jax.devices()``, raising :class:`DeviceDiscoveryTimeout`
-    (with remediation steps) if discovery does not complete in time."""
+    (with remediation steps) if discovery does not complete in time.
+
+    Honors ``PICKLEBOT_PLATFORM`` (e.g. ``cpu``) before probing, so the
+    remediation step in the timeout message works for *every* entry point
+    that funnels through here — not just cli.py."""
+    import os
     import threading
+
+    platform = os.environ.get("PICKLEBOT_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
     got = {}
 
     def probe():
