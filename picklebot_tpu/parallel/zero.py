@@ -1,0 +1,258 @@
+"""ZeRO-sharded data parallelism: optimizer state partitioned over 'data'.
+
+The reference's DDP (train.py:203-204) replicates optimizer state on every
+rank — bitsandbytes AdamW8bit (train.py:208-212) exists precisely because
+that replication is expensive. On TPU we can do what DeepSpeed ZeRO does,
+natively in the sharding layer: every data rank owns a 1/N slice of each
+parameter's (flattened) optimizer moments and computes the update for only
+that slice.
+
+Communication pattern per step (inside the existing shard_map train step):
+
+    reduce-scatter(grads)   — each rank receives the summed grads of ITS
+                              slice only (replaces the DP all-reduce; a
+                              reduce-scatter moves the same bytes over ICI)
+    local optimizer update  — on the 1/N slice of params/moments
+    all-gather(new params)  — rebuilds the replicated parameters
+
+reduce-scatter + all-gather is exactly an all-reduce decomposed, so the
+step's ICI traffic is unchanged while optimizer memory drops N-fold:
+fp32 AdamW moments go from 8 bytes/param on every chip to 8/N, and the
+8-bit optimizer's blocks (train/optim.py) quantize per slice, composing
+the two savings (2.25 bytes/param -> 2.25/N).
+
+Numerics: sum-then-scale gradient reduction and an elementwise Adam update
+on a flat slice are the same arithmetic as the replicated path, so ZeRO-DP
+matches plain DP exactly (tests/test_zero.py asserts it).
+
+Layout: each parameter leaf is flattened and zero-padded to
+``n * ceil(size/n)``; rank r owns ``[r*chunk, (r+1)*chunk)``. Optimizer
+moment leaves gain a leading 'data' axis of size n (PartitionSpec
+('data', None, ...)) so shard_map hands every rank exactly its slice.
+Checkpoints therefore record the sharded layout — resuming requires the
+same data-parallel degree (documented in train/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+PyTree = Any
+
+
+def _chunk(size: int, n: int) -> int:
+    return -(-size // n)
+
+
+def zero_opt_state(optimizer, params: PyTree, n: int) -> PyTree:
+    """Host-side (numpy) optimizer state in the ZeRO layout.
+
+    The optimizer inits on per-rank flat prototypes (shape (chunk,)), so
+    structure decisions that depend on local size — AdamW8bit's
+    min_8bit_size fp32 fallback, its blockwise q/s layout — are made for
+    the slice a rank will actually update, exactly like the TP per-shard
+    machinery (train/optim.py AdamW8bit.init model_shards). Every rank's
+    zero-state is identical, so the global array is a broadcast stack."""
+    protos = jax.tree_util.tree_map(
+        lambda p: np.zeros((_chunk(p.size, n),), np.float32), params)
+    shard_state = optimizer.init(protos)
+
+    def stack(x):
+        x = np.asarray(x)
+        return np.broadcast_to(x[None], (n,) + x.shape).copy()
+
+    return {
+        "step": shard_state["step"],
+        "m": jax.tree_util.tree_map(stack, shard_state["m"]),
+        "v": jax.tree_util.tree_map(stack, shard_state["v"]),
+    }
+
+
+def zero_state_specs(state) -> Any:
+    """PartitionSpec pytree for a TrainState in the ZeRO layout: params and
+    model state replicated, optimizer moment leaves sharded on their leading
+    'data' axis (the rank-stack built by zero_opt_state)."""
+    def rep(tree):
+        return jax.tree_util.tree_map(lambda _: P(), tree)
+
+    def leaf_spec(x):
+        return P(*(("data",) + (None,) * (np.ndim(x) - 1)))
+
+    opt_specs = {
+        "step": P(),
+        "m": jax.tree_util.tree_map(leaf_spec, state.opt_state["m"]),
+        "v": jax.tree_util.tree_map(leaf_spec, state.opt_state["v"]),
+    }
+    return type(state)(params=rep(state.params),
+                       model_state=rep(state.model_state),
+                       opt_state=opt_specs, epoch=P())
+
+
+def zero_update(optimizer, params: PyTree, grads: PyTree, opt_state: PyTree,
+                lr, n: int, axis: str = "data", max_grad_norm=None):
+    """The sharded optimizer step. Runs INSIDE shard_map (train/step.py):
+    ``grads`` are this rank's locally-accumulated (un-reduced) gradients,
+    ``params`` are replicated, ``opt_state`` moment leaves arrive as
+    (1, ...) slices of the rank stack.
+
+    ``max_grad_norm``: global-norm clipping on the reduced grads — each
+    rank's slice contributes its square-sum, one psum builds the global
+    norm (pad zeros contribute nothing), so it matches the replicated
+    clipped step exactly.
+
+    Returns (new replicated params, new opt_state slices (1, ...),
+    grad_norm or None)."""
+    idx = jax.lax.axis_index(axis)
+
+    def grad_shard(g):
+        c = _chunk(g.size, n)
+        f = jnp.pad(g.reshape(-1), (0, n * c - g.size))
+        # reduce-scatter with the DDP mean semantics (sum / n == pmean)
+        return jax.lax.psum_scatter(f, axis, scatter_dimension=0,
+                                    tiled=True) / n
+
+    def param_shard(p):
+        c = _chunk(p.size, n)
+        f = jnp.pad(p.reshape(-1), (0, n * c - p.size))
+        return jax.lax.dynamic_slice(f, (idx * c,), (c,))
+
+    g_sh = jax.tree_util.tree_map(grad_shard, grads)
+    grad_norm = None
+    if max_grad_norm is not None:
+        local_sq = sum(jnp.sum(jnp.square(g))
+                       for g in jax.tree_util.tree_leaves(g_sh))
+        grad_norm = jnp.sqrt(jax.lax.psum(local_sq, axis))
+        scale = jnp.minimum(1.0, max_grad_norm / (grad_norm + 1e-6))
+        g_sh = jax.tree_util.tree_map(lambda g: g * scale, g_sh)
+    p_sh = jax.tree_util.tree_map(param_shard, params)
+    opt_sh = {
+        "step": opt_state["step"],
+        "m": jax.tree_util.tree_map(lambda x: x[0], opt_state["m"]),
+        "v": jax.tree_util.tree_map(lambda x: x[0], opt_state["v"]),
+    }
+    new_p_sh, new_opt_sh = optimizer.update(g_sh, opt_sh, p_sh, lr)
+
+    def regather(ps, p):
+        full = jax.lax.all_gather(ps, axis, tiled=True)  # (n*chunk,)
+        return full[: p.size].reshape(p.shape).astype(p.dtype)
+
+    new_params = jax.tree_util.tree_map(regather, new_p_sh, params)
+    new_opt = {
+        "step": new_opt_sh["step"],
+        "m": jax.tree_util.tree_map(lambda x: x[None], new_opt_sh["m"]),
+        "v": jax.tree_util.tree_map(lambda x: x[None], new_opt_sh["v"]),
+    }
+    return new_params, new_opt, grad_norm
+
+
+# --------------------------------------------------------------------------
+# Checkpoint resharding: resume at a different DP degree (or toggle ZeRO)
+# --------------------------------------------------------------------------
+
+def _is_qs(x) -> bool:
+    return isinstance(x, dict) and set(x) == {"q", "s"}
+
+
+def zero_degree_of(params: PyTree, opt_state: PyTree) -> int:
+    """The ZeRO degree of an optimizer-state pytree (0 = replicated).
+
+    Decided from shape-unambiguous leaves: an 8-bit q/s leaf is
+    rank-stacked iff its q is 3-D; an fp32 moment of a non-2-D parameter is
+    stacked iff its rank is 2 (a 2-D parameter's replicated moment and its
+    (n, chunk) stack can coincide in rank, so those leaves are skipped).
+    Every real model here has 1-D biases/BN scales, which decide it."""
+    p_leaves = jax.tree_util.tree_leaves(params)
+    m_leaves = jax.tree_util.tree_leaves(opt_state["m"], is_leaf=_is_qs)
+    for p, x in zip(p_leaves, m_leaves):
+        if _is_qs(x):
+            q = np.asarray(x["q"])
+            return int(q.shape[0]) if q.ndim == 3 else 0
+        x = np.asarray(x)
+        if np.ndim(p) != 2:
+            if x.ndim == np.ndim(p):
+                return 0
+            if x.ndim == 2:
+                return int(x.shape[0])
+    raise ValueError(
+        "could not determine the optimizer-state layout: every moment "
+        "leaf is shape-ambiguous (all parameters 2-D)")
+
+
+def zero_reshard(optimizer, params: PyTree, opt_state: PyTree,
+                 n_new: int, n_old: int = None) -> PyTree:
+    """Host-side (numpy) conversion of a restored optimizer state between
+    layouts: ZeRO(n_old) -> ZeRO(n_new), replicated -> ZeRO, or ZeRO ->
+    replicated — so a run can resume at a different data-parallel degree
+    (DeepSpeed requires offline scripts for this; here it is one pure
+    host-side transform at restore time, train/loop.py).
+
+    fp32 moments are exact (unpad -> concat -> re-chunk). 8-bit moments
+    are decoded and requantized with the numpy codec (train/optim.py,
+    xp=np — device-free: through the TPU tunnel every tiny op is an RPC):
+    block boundaries move, so values round-trip within one codec quantum
+    (<=6.25% relative), and ``min_8bit_size`` is re-decided for the new
+    slice size exactly as a fresh init would.
+
+    ``n_new``/``n_old`` <= 1 mean the replicated layout; ``n_old`` is
+    detected from the state when not given. Pure-DP layouts only (ZeRO
+    never composes with TP/EP here; their per-shard states are handled by
+    parallel/mesh.train_state_specs)."""
+    from picklebot_tpu.train import optim as _optim
+
+    if n_old is None:
+        n_old = zero_degree_of(params, opt_state)
+    n_old = 0 if n_old <= 1 else int(n_old)
+    n_new = 0 if n_new <= 1 else int(n_new)
+    if n_old == n_new:
+        return opt_state
+
+    def to_flat(p, x, signed):
+        deq = (_optim._dequantize_signed if signed
+               else _optim._dequantize_unsigned)
+        if _is_qs(x):
+            q, s = np.asarray(x["q"]), np.asarray(x["s"])
+            if n_old:
+                c = _chunk(p.size, n_old)
+                flat = np.concatenate([
+                    np.asarray(deq(q[r], s[r], (c,), xp=np))
+                    for r in range(n_old)])
+            else:
+                flat = np.asarray(deq(q, s, (q.size,), xp=np))
+            return flat[: p.size].astype(np.float32)
+        return np.asarray(x, np.float32).reshape(-1)[: p.size]
+
+    def encode(p, flat, skel, signed):
+        quant = (_optim._quantize_signed if signed
+                 else _optim._quantize_unsigned)
+        if n_new:
+            c = _chunk(p.size, n_new)
+            padded = np.pad(flat, (0, n_new * c - p.size))
+            if _is_qs(skel):
+                qs = [quant(padded[r * c:(r + 1) * c], xp=np)
+                      for r in range(n_new)]
+                return {"q": np.stack([q for q, _ in qs]),
+                        "s": np.stack([s for _, s in qs])}
+            return padded.reshape(n_new, c)
+        if _is_qs(skel):
+            q, s = quant(flat, xp=np)
+            return {"q": np.asarray(q), "s": np.asarray(s)}
+        return flat.reshape(np.shape(p))
+
+    # the target skeleton decides structure (q/s vs fp32 fallback) exactly
+    # like a fresh init at the target degree would
+    skeleton = (zero_opt_state(optimizer, params, n_new) if n_new
+                else optimizer.init(params))
+
+    def convert(key, signed):
+        return jax.tree_util.tree_map(
+            lambda p, x, sk: encode(p, to_flat(p, x, signed), sk, signed),
+            params, opt_state[key], skeleton[key])
+
+    return {"step": np.asarray(opt_state["step"]).copy(),
+            "m": convert("m", True),
+            "v": convert("v", False)}

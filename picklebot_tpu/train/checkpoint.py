@@ -20,6 +20,13 @@ state_dict keys; only tensor layouts change:
 
 ``state_dict_converter`` parity: torch.compile's ``_orig_mod.`` prefixes are
 stripped like reference train.py:38-44.
+
+ZeRO note: under ``zero_sharding`` (parallel/zero.py) the optimizer moment
+leaves are saved in their rank-stacked layout (n_data, ...). Resuming at a
+different data-parallel degree — or with zero_sharding toggled — works:
+train/loop.py detects the saved layout and converts it host-side via
+``zero.zero_reshard`` (fp32 moments exact; 8-bit blocks requantize within
+one codec quantum). Params are layout-independent either way.
 """
 
 from __future__ import annotations
@@ -314,16 +321,43 @@ def save_pth(path: str, variables: Variables, reverse_map=None,
 # Orbax native checkpoints
 # --------------------------------------------------------------------------
 
-def save_checkpoint(directory: str, step: int, payload: Any) -> str:
-    """Save a full training snapshot (params, opt state, BN state, step)."""
-    import orbax.checkpoint as ocp
+_CKPTR = None  # shared checkpointer so async saves can drain across calls
+
+
+def _checkpointer():
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def save_checkpoint(directory: str, step: int, payload: Any,
+                    block: bool = True) -> str:
+    """Save a full training snapshot (params, opt state, BN state, step).
+
+    ``block=False`` returns once the host-side snapshot is taken and lets
+    orbax write in the background (training overlaps the disk/SSD I/O);
+    the next save — or :func:`wait_for_checkpoints` — drains it. Orbax
+    writes to a temp dir and renames, so an interrupted async write never
+    leaves a directory that restore would mistake for a checkpoint."""
     directory = os.path.abspath(directory)
     path = os.path.join(directory, f"step_{step}")
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    # np.asarray snapshots device_get'd leaves; host numpy passes through
+    # (the caller hands freshly-fetched arrays, nothing aliases the live
+    # training state)
     payload = jax.tree_util.tree_map(np.asarray, payload)
     ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
     return path
+
+
+def wait_for_checkpoints() -> None:
+    """Drain any in-flight async save (no-op when none is pending)."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def restore_checkpoint(path: str, target: Any = None) -> Any:

@@ -21,7 +21,10 @@ TPU-first differences from the reference, all documented:
 
 from __future__ import annotations
 
+import dataclasses
 import os
+import signal
+import threading
 import time
 from typing import Optional
 
@@ -117,6 +120,11 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     schedule = cosine_annealing_lr(config.learning_rate, config.max_iters)
 
     state_specs = None
+    zero_degree = 0
+    if config.zero_sharding and mesh is not None and n_data > 1:
+        # ZeRO-DP (parallel/zero.py): optimizer moments live 1/n_data per
+        # rank; validate() already rejected TP/SP/PP/EP combinations
+        zero_degree = n_data
     if mp > 1 or ep > 1:
         # TP shards the dense transformer FFNs over 'model'; EP shards the
         # MoE expert banks over 'expert' (config forbids combining them).
@@ -130,6 +138,11 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         state = create_train_state(model, optimizer, config.seed,
                                    tp_rules=rules, tp_degree=degree)
         state_specs = train_state_specs(state, rules)
+    elif zero_degree > 1:
+        from picklebot_tpu.parallel.zero import zero_state_specs
+        state = create_train_state(model, optimizer, config.seed,
+                                   zero_degree=zero_degree)
+        state_specs = zero_state_specs(state)
     else:
         state = create_train_state(model, optimizer, config.seed)
 
@@ -138,7 +151,9 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     train_step = make_train_step(model, optimizer, config.criterion,
                                  schedule, policy=policy, mesh=mesh,
                                  mean=mean, std=std, state_specs=state_specs,
-                                 moe_aux_weight=config.moe_aux_weight)
+                                 moe_aux_weight=config.moe_aux_weight,
+                                 zero_degree=zero_degree,
+                                 max_grad_norm=config.max_grad_norm)
     eval_step = make_eval_step(model, config.criterion, policy=policy,
                                mesh=mesh, mean=mean, std=std,
                                state_specs=state_specs)
@@ -173,6 +188,15 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
 
     # ---- checkpoint restore (orbax) / torch warm start (.pth) ----
     start_epoch = 0
+    if not config.checkpoint and config.auto_resume:
+        # preemption recovery: pick up the newest periodic snapshot (the
+        # reference has no resume at all — its start_epoch is assigned the
+        # checkpoint *path*, train.py:234)
+        latest = ckpt.latest_checkpoint(
+            os.path.join(config.checkpoint_dir, config.model_name))
+        if latest:
+            print(f"auto_resume: found {latest}")
+            config = dataclasses.replace(config, checkpoint=latest)
     if config.checkpoint:
         print(f"Loading checkpoint {config.checkpoint}...")
         if config.checkpoint.endswith(".pth"):
@@ -182,8 +206,26 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             state = state._replace(params=variables["params"],
                                    model_state=variables["state"])
         else:
-            payload = ckpt.restore_checkpoint(
-                config.checkpoint, state._asdict())
+            if mp == 1 and ep == 1:
+                # layout-aware restore: a ZeRO checkpoint can resume at a
+                # different DP degree (or with zero_sharding toggled) —
+                # restore raw, detect the saved layout, reshard host-side
+                # (parallel/zero.py; fp32 exact, 8-bit requantizes)
+                from picklebot_tpu.parallel.zero import (zero_degree_of,
+                                                         zero_reshard)
+                payload = ckpt.restore_checkpoint(config.checkpoint)
+                n_want = zero_degree if zero_degree > 1 else 0
+                n_saved = zero_degree_of(payload["params"],
+                                         payload["opt_state"])
+                if n_saved != n_want:
+                    print(f"Resharding optimizer state: ZeRO degree "
+                          f"{n_saved} -> {n_want}")
+                    payload["opt_state"] = zero_reshard(
+                        optimizer, payload["params"], payload["opt_state"],
+                        n_want, n_old=n_saved)
+            else:
+                payload = ckpt.restore_checkpoint(
+                    config.checkpoint, state._asdict())
             state = TrainState(**payload)
             start_epoch = int(state.epoch)
         print(f"Loaded checkpoint at epoch {start_epoch}")
@@ -292,6 +334,19 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     val_losses, val_percent = [], []
     summary = {}
 
+    def host_state(st):
+        """TrainState -> host numpy for checkpointing. Under multi-host
+        ZeRO the optimizer slices span processes (no host can address the
+        full array), so replicate through a jitted identity first — a
+        collective every process enters (save_checkpoint is itself
+        process-collective, so the call order matches)."""
+        if n_procs > 1 and any(
+                isinstance(x, jax.Array) and not x.is_fully_addressable
+                for x in jax.tree_util.tree_leaves(st)):
+            st = jax.jit(lambda s: s,
+                         out_shardings=NamedSharding(mesh, P()))(st)
+        return jax.device_get(st)
+
     def pad_val_batch(feats, labels):
         """Pad a partial tail batch up to local_batch, return a 0/1 mask.
         Static batch shape keeps one compiled eval program per T bucket."""
@@ -345,6 +400,15 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         # means when all batches are full, exact (not shard-biased) on tails
         return tot_loss_sum / tot_n, tot_correct / tot_n, tot_n
 
+    # preemption safety: TPU-VM maintenance events deliver SIGTERM, not
+    # Ctrl-C — route it into the same graceful-finish path (reference
+    # train.py:330-343 only catches KeyboardInterrupt). auto_resume picks
+    # the run back up from the last periodic snapshot.
+    prev_sigterm = None
+    if threading.current_thread() is threading.main_thread():
+        def _on_sigterm(signum, frame):
+            raise KeyboardInterrupt("SIGTERM (preemption)")
+        prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
     try:
         for epoch in range(start_epoch, config.max_iters):
             train_loader.set_epoch(epoch)
@@ -356,6 +420,9 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 nonlocal epoch_correct, epoch_samples, global_step
                 losses = np.asarray(m["loss"])
                 corrects = np.asarray(m["correct"])
+                if writer and "grad_norm" in m:
+                    writer.add_scalar("grad norm", float(m["grad_norm"]),
+                                      step_base)
                 per_micro = losses.shape[0]
                 micro_samples = float(m["samples"]) / per_micro
                 for j in range(per_micro):
@@ -424,7 +491,8 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 ckpt.save_checkpoint(
                     os.path.join(config.checkpoint_dir,
                                  config.model_name),
-                    epoch, jax.device_get(state)._asdict())
+                    epoch, host_state(state)._asdict(),
+                    block=not config.async_checkpoint)
 
             elapsed = time.time() - start_time
             done = epoch - start_epoch + 1
@@ -440,10 +508,13 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             print(f"Keyboard interrupt,\nFinal Train Loss: "
                   f"{train_losses_hist[-1]:.4f}")
     finally:
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
+        ckpt.wait_for_checkpoints()  # drain any in-flight async save
         final_dir = os.path.join(config.checkpoint_dir,
                                  f"{config.run_name()}_finished")
         ckpt.save_checkpoint(final_dir, int(jax.device_get(state.epoch)),
-                             jax.device_get(state)._asdict())
+                             host_state(state)._asdict())
         if is_main:
             stats_dir = "statistics"
             os.makedirs(stats_dir, exist_ok=True)

@@ -72,16 +72,21 @@ _SIGNED_CODE = _make_codebook(signed=True)      # 243 live entries
 _UNSIGNED_CODE = _make_codebook(signed=False)   # 250 live entries
 
 
-def _encode_mag(a: jax.Array, octaves: int) -> Tuple[jax.Array, jax.Array]:
+def _encode_mag(a, octaves: int, xp=jnp) -> Tuple[jax.Array, jax.Array]:
     """Magnitude a in [0, 1] -> (code index 1.., is_zero). Arithmetic
     round-to-nearest minifloat encode — pure elementwise VPU ops (a
     searchsorted over the codebook costs ~300 ms/step on v5e; this fuses
-    into the optimizer's elementwise graph for free)."""
-    mant, expo = jnp.frexp(a)            # a = mant * 2^expo, mant in [.5, 1)
+    into the optimizer's elementwise graph for free).
+
+    ``xp`` selects the array namespace: jnp in the jitted update, numpy for
+    host-side state conversion (parallel/zero.py resharding) where tiny
+    device ops would each be a tunnel RPC. The two are bit-identical
+    (IEEE frexp/round/exp2; tested)."""
+    mant, expo = xp.frexp(a)             # a = mant * 2^expo, mant in [.5, 1)
     # representation (1 + m/8) * 2^E with E = expo - 1, m8 = round-to-nearest
-    m8 = jnp.round(mant * 16.0 - 8.0)    # in [0, 8]
+    m8 = xp.round(mant * 16.0 - 8.0)     # in [0, 8]
     rollover = m8 >= 8
-    m8 = jnp.where(rollover, 0, m8)
+    m8 = xp.where(rollover, 0, m8)
     e = expo - 1 + rollover.astype(expo.dtype)
     # a == 1.0 (the block absmax itself, present in every block) encodes to
     # the dedicated top code k = octaves*8, which _decode_mag returns as
@@ -93,64 +98,64 @@ def _encode_mag(a: jax.Array, octaves: int) -> Tuple[jax.Array, jax.Array]:
     smallest = 2.0 ** emin
     underflow = e < emin
     round_to_zero = a < smallest * 0.5  # midpoint between 0 and 2^emin
-    e = jnp.clip(e, emin, -1)
+    e = xp.clip(e, emin, -1)
     k = (e - emin) * 8 + m8
-    k = jnp.where(overflow, octaves * 8, k)
-    k = jnp.where(underflow, 0, k)
-    code = k.astype(jnp.int32) + 1
-    is_zero = jnp.logical_or(a == 0, jnp.logical_and(underflow,
-                                                     round_to_zero))
+    k = xp.where(overflow, octaves * 8, k)
+    k = xp.where(underflow, 0, k)
+    code = k.astype(xp.int32) + 1
+    is_zero = xp.logical_or(a == 0, xp.logical_and(underflow,
+                                                   round_to_zero))
     return code, is_zero
 
 
-def _decode_mag(k: jax.Array, octaves: int) -> jax.Array:
+def _decode_mag(k, octaves: int, xp=jnp):
     """code-1 (k >= 0) -> magnitude."""
     e = k // 8 - octaves
-    m = (k % 8).astype(jnp.float32)
-    return (1.0 + m / 8.0) * jnp.exp2(e.astype(jnp.float32))
+    m = (k % 8).astype(xp.float32)
+    return (1.0 + m / 8.0) * xp.exp2(e.astype(xp.float32))
 
 
-def _blockify(x: jax.Array) -> jax.Array:
+def _blockify(x, xp=jnp):
     n = x.size
     pad = (-n) % BLOCK
-    return jnp.pad(x.reshape(-1), (0, pad)).reshape(-1, BLOCK)
+    return xp.pad(x.reshape(-1), (0, pad)).reshape(-1, BLOCK)
 
 
-def _quantize_signed(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def _quantize_signed(x, xp=jnp) -> Tuple[jax.Array, jax.Array]:
     """fp32 -> uint8 codes (layout: [0..120]=negatives desc (0 is -1.0),
     121=zero, [122..242]=positives asc (242 is +1.0) — matches
     _SIGNED_CODE) + blockwise absmax."""
-    xb = _blockify(x)
-    absmax = jnp.max(jnp.abs(xb), axis=1, keepdims=True)
-    scale = jnp.where(absmax > 0, absmax, 1.0)
+    xb = _blockify(x, xp)
+    absmax = xp.max(xp.abs(xb), axis=1, keepdims=True)
+    scale = xp.where(absmax > 0, absmax, 1.0)
     a = xb / scale
-    code, is_zero = _encode_mag(jnp.abs(a), octaves=15)
-    idx = jnp.where(a >= 0, 121 + code, 121 - code)
-    idx = jnp.where(is_zero, 121, idx)
-    return idx.astype(jnp.uint8), scale.astype(jnp.float32)
+    code, is_zero = _encode_mag(xp.abs(a), octaves=15, xp=xp)
+    idx = xp.where(a >= 0, 121 + code, 121 - code)
+    idx = xp.where(is_zero, 121, idx)
+    return idx.astype(xp.uint8), scale.astype(xp.float32)
 
 
-def _dequantize_signed(codes: jax.Array, scale: jax.Array, shape):
-    c = codes.astype(jnp.int32) - 121
-    mag = _decode_mag(jnp.abs(c) - 1, octaves=15)
-    val = jnp.where(c == 0, 0.0, jnp.sign(c).astype(jnp.float32) * mag)
+def _dequantize_signed(codes, scale, shape, xp=jnp):
+    c = codes.astype(xp.int32) - 121
+    mag = _decode_mag(xp.abs(c) - 1, octaves=15, xp=xp)
+    val = xp.where(c == 0, 0.0, xp.sign(c).astype(xp.float32) * mag)
     x = (val * scale).reshape(-1)
     n = math.prod(shape) if shape else 1
     return x[:n].reshape(shape)
 
 
-def _quantize_unsigned(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    xb = _blockify(x)
-    vmax = jnp.max(xb, axis=1, keepdims=True)
-    scale = jnp.where(vmax > 0, vmax, 1.0)
-    code, is_zero = _encode_mag(xb / scale, octaves=31)
-    idx = jnp.where(is_zero, 0, code)
-    return idx.astype(jnp.uint8), scale.astype(jnp.float32)
+def _quantize_unsigned(x, xp=jnp) -> Tuple[jax.Array, jax.Array]:
+    xb = _blockify(x, xp)
+    vmax = xp.max(xb, axis=1, keepdims=True)
+    scale = xp.where(vmax > 0, vmax, 1.0)
+    code, is_zero = _encode_mag(xb / scale, octaves=31, xp=xp)
+    idx = xp.where(is_zero, 0, code)
+    return idx.astype(xp.uint8), scale.astype(xp.float32)
 
 
-def _dequantize_unsigned(codes: jax.Array, scale: jax.Array, shape):
-    c = codes.astype(jnp.int32)
-    val = jnp.where(c == 0, 0.0, _decode_mag(c - 1, octaves=31))
+def _dequantize_unsigned(codes, scale, shape, xp=jnp):
+    c = codes.astype(xp.int32)
+    val = xp.where(c == 0, 0.0, _decode_mag(c - 1, octaves=31, xp=xp))
     x = (val * scale).reshape(-1)
     n = math.prod(shape) if shape else 1
     return x[:n].reshape(shape)

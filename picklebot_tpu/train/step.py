@@ -51,24 +51,37 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(model: Module, optimizer: Optimizer,
-                       seed, tp_rules=None, tp_degree: int = 1) -> TrainState:
+                       seed, tp_rules=None, tp_degree: int = 1,
+                       zero_degree: int = 0) -> TrainState:
     """Host-side (numpy) init — instant, no device traffic; place the result
     with one device_put / jit donation afterwards.
 
     ``tp_rules``/``tp_degree`` (tensor parallelism) lay out shard-aware
-    optimizer state (AdamW8bit quantizes moments per local shard)."""
+    optimizer state (AdamW8bit quantizes moments per local shard).
+    ``zero_degree`` > 1 lays optimizer state out in the ZeRO-DP format
+    instead (parallel/zero.py: moments sharded over 'data', 1/N per rank);
+    mutually exclusive with tp_rules."""
     import numpy as np
     variables = model.init(seed)
-    model_shards = None
-    if tp_rules is not None and tp_degree > 1:
-        from picklebot_tpu.parallel.mesh import model_shard_counts
-        model_shards = model_shard_counts(variables["params"], tp_rules,
-                                          tp_degree)
+    if zero_degree > 1:
+        if tp_rules is not None and tp_degree > 1:
+            raise ValueError("ZeRO optimizer sharding composes with pure "
+                             "data parallelism only (not TP/EP rules)")
+        from picklebot_tpu.parallel.zero import zero_opt_state
+        opt_state = zero_opt_state(optimizer, variables["params"],
+                                   zero_degree)
+    else:
+        model_shards = None
+        if tp_rules is not None and tp_degree > 1:
+            from picklebot_tpu.parallel.mesh import model_shard_counts
+            model_shards = model_shard_counts(variables["params"], tp_rules,
+                                              tp_degree)
+        opt_state = optimizer.init(variables["params"],
+                                   model_shards=model_shards)
     return TrainState(
         params=variables["params"],
         model_state=variables["state"],
-        opt_state=optimizer.init(variables["params"],
-                                 model_shards=model_shards),
+        opt_state=opt_state,
         epoch=np.zeros((), np.int32),
     )
 
@@ -109,7 +122,9 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
                     donate: bool = True,
                     mean=None, std=None,
                     state_specs=None,
-                    moe_aux_weight: float = 0.01):
+                    moe_aux_weight: float = 0.01,
+                    zero_degree: int = 0,
+                    max_grad_norm: Optional[float] = None):
     """Build the jitted train step.
 
     Returns step(state, features, labels, rng) ->
@@ -120,9 +135,34 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
     ``moe_aux_weight`` scales any MoE load-balance aux losses the forward
     publishes (collect_aux_losses); the logged 'loss' metric stays the pure
     task loss, matching the reference's TB scalars.
+
+    ``max_grad_norm`` enables global-norm gradient clipping with torch
+    ``clip_grad_norm_`` semantics (scale by max/(norm+1e-6) when the norm
+    exceeds max), applied to the *reduced* grads — with cross-shard psums
+    for TP/EP-sharded leaves — so DP/ZeRO/TP/EP all match single-device;
+    the observed norm is returned in the metrics as 'grad_norm'.
+
+    ``zero_degree`` > 1 enables ZeRO optimizer-state sharding over 'data'
+    (parallel/zero.py): grads are reduce-scattered instead of all-reduced,
+    the optimizer updates a 1/N parameter slice per rank, and new params
+    are all-gathered. Requires the state from
+    ``create_train_state(zero_degree=N)`` and the matching
+    ``zero.zero_state_specs`` as ``state_specs``; zero_degree must equal
+    the mesh's 'data' axis size.
     """
     policy = policy or DtypePolicy.bf16()
     loss_fn, acc_fn = LOSSES[criterion]
+    if zero_degree > 1:
+        if mesh is None:
+            raise ValueError("zero_degree needs a mesh (ZeRO shards over "
+                             "the 'data' axis)")
+        if mesh.shape["data"] != zero_degree:
+            raise ValueError(
+                f"zero_degree={zero_degree} must equal the mesh 'data' "
+                f"axis size ({mesh.shape['data']})")
+        if state_specs is None:
+            raise ValueError("ZeRO needs parallel.zero.zero_state_specs as "
+                             "state_specs (the moment leaves are sharded)")
 
     def micro_loss(params, model_state, feats, labels, rng):
         x = preprocess(feats, policy.compute_dtype, mean, std)
@@ -162,14 +202,52 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
             (features, labels))
 
         if mesh is not None:
-            # DDP-equivalent gradient mean + replicated-state repair
-            grads = jax.lax.pmean(grads, "data")
+            # DDP-equivalent replicated-state repair + metric reduction
             model_state = jax.lax.pmean(model_state, "data")
             losses = jax.lax.pmean(losses, "data")
             corrects = jax.lax.psum(corrects, "data")
+            if zero_degree <= 1:
+                # gradient mean (DDP bucket all-reduce); under ZeRO the
+                # reduction is the reduce-scatter inside zero_update
+                grads = jax.lax.pmean(grads, "data")
 
-        new_params, opt_state = optimizer.update(
-            grads, state.opt_state, state.params, lr)
+        grad_norm = None
+        if mesh is not None and zero_degree > 1:
+            from picklebot_tpu.parallel.zero import zero_update
+            new_params, opt_state, grad_norm = zero_update(
+                optimizer, state.params, grads, state.opt_state, lr,
+                n=zero_degree, axis="data", max_grad_norm=max_grad_norm)
+        else:
+            if max_grad_norm is not None:
+                # torch clip_grad_norm_: ONE global norm over every leaf.
+                # Under TP/EP a leaf whose PartitionSpec names mesh axes is
+                # a distinct shard per rank there, so its squared norm is
+                # psum'd over those axes (replicated leaves — incl. PP/SP
+                # params, whose grads the boundary wraps already psum —
+                # contribute their local square once). The scale is then
+                # identical on every rank.
+                g_leaves = jax.tree_util.tree_leaves(grads)
+                if mesh is not None and state_specs is not None:
+                    s_leaves = jax.tree_util.tree_leaves(
+                        state_specs.params,
+                        is_leaf=lambda x: isinstance(x, P))
+                else:
+                    s_leaves = [P()] * len(g_leaves)
+                sq = jnp.zeros((), jnp.float32)
+                for g, spec in zip(g_leaves, s_leaves):
+                    leaf_sq = jnp.sum(jnp.square(g.astype(jnp.float32)))
+                    axes = sorted({a for dim in spec for a in
+                                   (dim if isinstance(dim, tuple)
+                                    else (dim,)) if a is not None})
+                    for ax in axes:
+                        leaf_sq = jax.lax.psum(leaf_sq, ax)
+                    sq = sq + leaf_sq
+                grad_norm = jnp.sqrt(sq)
+                scale = jnp.minimum(
+                    1.0, max_grad_norm / (grad_norm + 1e-6))
+                grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            new_params, opt_state = optimizer.update(
+                grads, state.opt_state, state.params, lr)
         samples = jnp.asarray(features.shape[0] * features.shape[1],
                               jnp.float32)
         if mesh is not None:
@@ -178,6 +256,8 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
         # reference's per-batch TB scalars (train.py:291-293)
         metrics = {"loss": losses, "correct": corrects,
                    "samples": samples, "lr": lr}
+        if grad_norm is not None:
+            metrics["grad_norm"] = grad_norm
         return TrainState(new_params, model_state, opt_state,
                           state.epoch), metrics
 

@@ -76,6 +76,24 @@ class Config:
     #                                     scale 1/EP per rank)
     expert_parallel: int = 1            # EP degree (expert bank sharded
     #                                     over the 'expert' mesh axis)
+    zero_sharding: bool = False         # ZeRO-DP: optimizer state sharded
+    #                                     1/N over the 'data' axis
+    #                                     (reduce-scatter grads + all-gather
+    #                                     params; parallel/zero.py)
+    max_grad_norm: Optional[float] = None  # global-norm gradient clipping
+    #                                     (torch clip_grad_norm_ semantics);
+    #                                     applied to the reduced grads with
+    #                                     cross-shard psums for TP/EP leaves,
+    #                                     so every parallel layout matches
+    #                                     single-device
+    auto_resume: bool = False           # resume from the newest snapshot in
+    #                                     checkpoint_dir/<model> when
+    #                                     'checkpoint' is unset (preemption
+    #                                     recovery)
+    async_checkpoint: bool = False      # periodic saves return after the
+    #                                     host snapshot; orbax writes in the
+    #                                     background (final save always
+    #                                     blocks)
     seed: int = 1234                    # reference torch.manual_seed(1234)
     checkpoint_dir: str = "checkpoints"
     log_dir: str = "runs"
@@ -174,6 +192,15 @@ class Config:
                 raise ValueError(
                     f"expert_parallel={self.expert_parallel} must divide "
                     f"moe_experts={self.moe_experts} evenly")
+        if self.zero_sharding and (
+                self.model_parallel > 1 or self.sequence_parallel > 1
+                or self.pipeline_parallel > 1 or self.expert_parallel > 1):
+            raise ValueError(
+                "zero_sharding composes with pure data parallelism only "
+                "(TP/EP shard parameters on other axes; their optimizer "
+                "state is already per-shard)")
+        if self.max_grad_norm is not None and self.max_grad_norm <= 0:
+            raise ValueError("max_grad_norm must be positive")
         if self.pipeline_microbatches is not None:
             if self.pipeline_microbatches < 1:
                 raise ValueError("pipeline_microbatches must be >= 1")

@@ -27,8 +27,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped on purpose: a shared session stream makes every
+    # test's data depend on which tests ran before it, so adding a test
+    # file can flip a marginal tolerance elsewhere (observed: the 8-bit
+    # EP parity test failing only in the full suite). Fresh seed per test
+    # = order-independent, reproducible-in-isolation data.
     return np.random.RandomState(1234)
 
 

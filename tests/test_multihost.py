@@ -183,6 +183,39 @@ print(f"HOST{proc_id} EPTRAIN OK val_loss={summary['final_val_loss']:.4f}")
 """
 
 
+_ZERO_TRAIN_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/picklebot_jax_cache")
+proc_id = int(sys.argv[1])
+jax.distributed.initialize(coordinator_address="localhost:%PORT%",
+                           num_processes=2, process_id=proc_id)
+assert jax.device_count() == 8, jax.device_count()
+
+import numpy as np
+from picklebot_tpu.train.loop import train
+from picklebot_tpu.utils.config import Config
+
+os.chdir(sys.argv[2])
+# ZeRO-DP across hosts: mesh (data=8) spanning both processes; each host
+# places its devices' 1/8 optimizer-state slices (parallel/zero.py), the
+# reduce-scatter/all-gather pair crosses the process boundary
+cfg = Config(
+    model_name="MobileNetSmall3D", learning_rate=1e-3, batch_size=1,
+    max_iters=1, eval_interval=1, weight_decay=5e-4, use_autocast=False,
+    criterion="CE", num_classes=13, effective_batch_size=2,
+    data_backend="synthetic", synthetic_len=16, synthetic_shape=(8, 32, 32),
+    t_bucket=8, max_frames=8, num_workers=2, optimizer="adamw8bit",
+    data_parallel=8, zero_sharding=True,
+    checkpoint_dir="ckpt", log_dir="runs").validate()
+summary = train(cfg, max_steps=1)
+assert np.isfinite(summary["final_val_loss"]), summary
+assert summary["val_samples"] == 16.0, summary
+print(f"HOST{proc_id} ZEROTRAIN OK val_loss={summary['final_val_loss']:.4f}")
+"""
+
+
 _AUTOTUNE_WORKER = r"""
 import os, sys
 import jax
@@ -269,6 +302,16 @@ def test_two_process_train_loop_ep(tmp_path):
     token-sharded all_to_all dispatch running inside the multi-process
     step, 8-bit per-shard moments, full-val-set eval."""
     _run_two_process(tmp_path, _EP_TRAIN_WORKER, "EPTRAIN OK",
+                     extra_args=(tmp_path,))
+
+
+@pytest.mark.slow
+def test_two_process_train_loop_zero(tmp_path):
+    """train(config) across 2 processes WITH ZeRO optimizer-state sharding:
+    mesh (data=8) spanning both hosts, each device holding a 1/8 moment
+    slice, the reduce-scatter + all-gather pair crossing the process
+    boundary, 8-bit per-slice quantized blocks."""
+    _run_two_process(tmp_path, _ZERO_TRAIN_WORKER, "ZEROTRAIN OK",
                      extra_args=(tmp_path,))
 
 
