@@ -103,10 +103,11 @@ class Ctx:
     """
 
     __slots__ = ("module", "params", "state", "train", "rng", "policy",
-                 "new_state", "_rng_counter")
+                 "new_state", "_rng_counter", "remat_depth")
 
     def __init__(self, module: "Module", params, state, train: bool,
-                 rng: Optional[jax.Array], policy: DtypePolicy):
+                 rng: Optional[jax.Array], policy: DtypePolicy,
+                 remat_depth: int = 0):
         self.module = module
         self.params = params if params is not None else {}
         self.state = state if state is not None else {}
@@ -115,6 +116,7 @@ class Ctx:
         self.policy = policy
         self.new_state: Dict[str, Any] = {}
         self._rng_counter = 0
+        self.remat_depth = remat_depth
 
     # -- RNG ---------------------------------------------------------------
     def next_rng(self) -> jax.Array:
@@ -137,9 +139,33 @@ class Ctx:
             params = params.get(name) if params else None
             state = state.get(name) if state else None
             rng = None if rng is None else _name_key(rng, name)
-        sub = Ctx(child, params, state, self.train, rng, self.policy)
-        out = child.forward(sub, *args, **kwargs)
-        collected = sub.collected_state()
+
+        if self.remat_depth > 0:
+            # activation rematerialization (apply(..., remat=N)): wrap this
+            # child-module call in jax.checkpoint, so backward recomputes
+            # its activations from the block inputs instead of storing them
+            # — the HBM-for-FLOPs trade that lets long clips fit. N levels
+            # of the child-call tree are wrapped (N=1: each of the root's
+            # blocks; N=2: recursively their children too). Traced kwargs
+            # would be closure-captured (saved, not recomputed) — all
+            # current forwards pass arrays positionally. NOTE: the memory
+            # saving is realized by XLA:TPU's memory-aware scheduler
+            # (recompute placed just before each block's backward);
+            # XLA:CPU hoists the recomputes and shows no saving
+            # (scripts/probe_remat.py) — verify HBM effects on-chip.
+            depth = self.remat_depth - 1
+
+            def run(params, state, rng, *args):
+                sub = Ctx(child, params, state, self.train, rng, self.policy,
+                          remat_depth=depth)
+                out = child.forward(sub, *args, **kwargs)
+                return out, sub.collected_state()
+
+            out, collected = jax.checkpoint(run)(params, state, rng, *args)
+        else:
+            sub = Ctx(child, params, state, self.train, rng, self.policy)
+            out = child.forward(sub, *args, **kwargs)
+            collected = sub.collected_state()
         if collected is not None:
             node = self.new_state
             for name in path[:-1]:
@@ -254,11 +280,17 @@ class Module:
 
     def apply(self, variables: Variables, *args, train: bool = False,
               rng: Optional[jax.Array] = None,
-              policy: Optional[DtypePolicy] = None, **kwargs):
-        """Pure forward pass. Returns ``(out, new_state)``."""
+              policy: Optional[DtypePolicy] = None, remat: int = 0,
+              **kwargs):
+        """Pure forward pass. Returns ``(out, new_state)``.
+
+        ``remat=N`` wraps the first N levels of child-module calls in
+        ``jax.checkpoint``: backward recomputes those blocks' activations
+        instead of storing them (config key ``remat``; the TPU answer to
+        activation memory the reference has no equivalent for)."""
         policy = policy or DtypePolicy.f32()
         cx = Ctx(self, variables.get("params"), variables.get("state"),
-                 train, rng, policy)
+                 train, rng, policy, remat_depth=int(remat))
         with jax.default_matmul_precision(policy.matmul_precision):
             out = self.forward(cx, *args, **kwargs)
         new_state = cx.collected_state()

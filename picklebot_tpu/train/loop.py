@@ -153,7 +153,8 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                                  mean=mean, std=std, state_specs=state_specs,
                                  moe_aux_weight=config.moe_aux_weight,
                                  zero_degree=zero_degree,
-                                 max_grad_norm=config.max_grad_norm)
+                                 max_grad_norm=config.max_grad_norm,
+                                 remat=int(config.remat))
     eval_step = make_eval_step(model, config.criterion, policy=policy,
                                mesh=mesh, mean=mean, std=std,
                                state_specs=state_specs)

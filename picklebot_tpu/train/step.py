@@ -124,7 +124,8 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
                     state_specs=None,
                     moe_aux_weight: float = 0.01,
                     zero_degree: int = 0,
-                    max_grad_norm: Optional[float] = None):
+                    max_grad_norm: Optional[float] = None,
+                    remat: int = 0):
     """Build the jitted train step.
 
     Returns step(state, features, labels, rng) ->
@@ -141,6 +142,12 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
     exceeds max), applied to the *reduced* grads — with cross-shard psums
     for TP/EP-sharded leaves — so DP/ZeRO/TP/EP all match single-device;
     the observed norm is returned in the metrics as 'grad_norm'.
+
+    ``remat`` > 0 wraps that many levels of child-module calls in
+    jax.checkpoint inside the forward (activation rematerialization:
+    backward recomputes block activations instead of storing them — the
+    HBM-for-FLOPs trade for long clips / big batches). Gradients are
+    unchanged; only the autodiff schedule moves.
 
     ``zero_degree`` > 1 enables ZeRO optimizer-state sharding over 'data'
     (parallel/zero.py): grads are reduce-scattered instead of all-reduced,
@@ -168,7 +175,7 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
         x = preprocess(feats, policy.compute_dtype, mean, std)
         logits, new_state = model.apply(
             {"params": params, "state": model_state}, x,
-            train=True, rng=rng, policy=policy)
+            train=True, rng=rng, policy=policy, remat=remat)
         lbl = prepare_labels(criterion, labels)
         loss = loss_fn(logits, lbl)
         aux = collect_aux_losses(new_state)

@@ -86,6 +86,12 @@ class Config:
     #                                     cross-shard psums for TP/EP leaves,
     #                                     so every parallel layout matches
     #                                     single-device
+    remat: int = 0                      # activation rematerialization depth:
+    #                                     wrap the first N levels of child-
+    #                                     module calls in jax.checkpoint so
+    #                                     backward recomputes instead of
+    #                                     storing (true == 1; HBM-for-FLOPs
+    #                                     for long clips / big batches)
     auto_resume: bool = False           # resume from the newest snapshot in
     #                                     checkpoint_dir/<model> when
     #                                     'checkpoint' is unset (preemption
@@ -201,6 +207,9 @@ class Config:
                 "state is already per-shard)")
         if self.max_grad_norm is not None and self.max_grad_norm <= 0:
             raise ValueError("max_grad_norm must be positive")
+        if int(self.remat) < 0:
+            raise ValueError("remat must be >= 0 (a child-call depth; "
+                             "true means 1)")
         if self.pipeline_microbatches is not None:
             if self.pipeline_microbatches < 1:
                 raise ValueError("pipeline_microbatches must be >= 1")
