@@ -38,9 +38,18 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch_batches = prefetch_batches
         self.epoch = 0
+        self._skip_batches = 0
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+
+    def skip(self, n_batches: int):
+        """Fast-forward the NEXT iteration past its first ``n_batches``
+        batches (mid-epoch resume): the skipped indices are sliced out of
+        the epoch permutation before any decode work, so the cost is zero
+        and the remaining batches are exactly what an uninterrupted epoch
+        would have produced from that position. One-shot."""
+        self._skip_batches = max(0, int(n_batches))
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -61,6 +70,10 @@ class DataLoader:
         if self.drop_last:
             # don't decode the dropped tail — decode is the host bottleneck
             order = order[:nb * self.batch_size]
+        skip, self._skip_batches = min(self._skip_batches, nb), 0
+        if skip:
+            order = order[skip * self.batch_size:]
+            nb -= skip
         item_q: "queue.Queue" = queue.Queue(
             maxsize=self.prefetch_batches * self.batch_size)
         stop = threading.Event()

@@ -131,6 +131,9 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--batch", type=int, default=-1,
                    help="-1 (default): symbolic batch dim; N: pinned")
+    p.add_argument("--ema", action="store_true",
+                   help="bake the EMA weights (ema_params) into the "
+                        "artifact instead of the raw params")
     p.add_argument("--platforms", default="tpu,cpu",
                    help="comma-separated lowering targets")
     args = p.parse_args(argv)
@@ -155,7 +158,14 @@ def main(argv=None):
                                   key_map=key_map_for(config.model_name))
     else:
         payload = ckpt.restore_checkpoint(args.checkpoint, None)
-        variables = {"params": payload["params"],
+        params = payload["params"]
+        if args.ema:
+            if payload.get("ema_params") is None:
+                raise SystemExit(
+                    "--ema: this snapshot has no ema_params (train with "
+                    "config ema_decay > 0)")
+            params = payload["ema_params"]
+        variables = {"params": params,
                      "state": payload["model_state"]}
     policy = DtypePolicy.bf16() if config.use_autocast else DtypePolicy.f32()
     mean = config.mean if config.apply_mean_std else None

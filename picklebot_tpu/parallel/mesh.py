@@ -27,7 +27,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(data: Optional[int] = None, model: int = 1, seq: int = 1,
               pipe: int = 1, expert: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
+              devices: Optional[Sequence] = None,
+              dcn_data: int = 1) -> Mesh:
     """Mesh over ('data', 'pipe', 'seq', 'expert', 'model'): batch
     parallelism, pipeline parallelism (GPipe ticks over the MobileViT
     transformer stacks, parallel/pipeline.py), sequence parallelism (ring
@@ -36,18 +37,49 @@ def make_mesh(data: Optional[int] = None, model: int = 1, seq: int = 1,
     to 'model' so the SP ring permutes, the EP output psum, and the TP
     psums all stay within one data replica's devices; 'pipe' sits outside
     them so a pipeline stage hop moves whole TP/SP/EP groups, keeping every
-    per-tick collective on neighboring ICI links."""
+    per-tick collective on neighboring ICI links.
+
+    ``dcn_data`` > 1 declares multi-slice (DCN-connected) topology: the
+    'data' axis (still ONE logical axis of size ``data``; no step/collective
+    code changes) is laid out slice-major so that its outer ``dcn_data``
+    stride is the only thing crossing DCN — every pipe/seq/expert/model
+    group, and the inner data stride, stays inside one slice's ICI. On real
+    multi-slice TPU (devices carry ``slice_index``) the per-slice ordering
+    comes from ``mesh_utils.create_hybrid_device_mesh`` (physical-topology-
+    aware); elsewhere (virtual CPU devices, where enumeration is already
+    process-major) a slice is a contiguous block of ``total/dcn_data``
+    devices — the same ordering hybrid meshes produce there."""
     devices = list(devices if devices is not None else jax.devices())
+    inner = model * seq * pipe * expert
     if data is None:
-        data = len(devices) // (model * seq * pipe * expert)
-    total = data * model * seq * pipe * expert
+        data = len(devices) // inner
+    total = data * inner
     if total > len(devices):
         raise ValueError(
             f"mesh data={data} x pipe={pipe} x seq={seq} x expert={expert} "
             f"x model={model} needs {total} devices but only "
             f"{len(devices)} are available")
+    axes = ("data", "pipe", "seq", "expert", "model")
+    if dcn_data > 1:
+        if data % dcn_data:
+            raise ValueError(
+                f"dcn_data={dcn_data} must divide the data axis ({data}): "
+                "each slice carries an equal share of the batch")
+        per = data // dcn_data
+        chosen = devices[:total]
+        slice_ids = {getattr(d, "slice_index", None) for d in chosen}
+        if None not in slice_ids and len(slice_ids) == dcn_data:
+            from jax.experimental import mesh_utils
+            devs = mesh_utils.create_hybrid_device_mesh(
+                (per, pipe, seq, expert, model),
+                (dcn_data, 1, 1, 1, 1), devices=chosen)
+        else:
+            devs = np.array(chosen).reshape(
+                dcn_data, per, pipe, seq, expert, model).reshape(
+                data, pipe, seq, expert, model)
+        return Mesh(devs, axes)
     devs = np.array(devices[:total]).reshape(data, pipe, seq, expert, model)
-    return Mesh(devs, ("data", "pipe", "seq", "expert", "model"))
+    return Mesh(devs, axes)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -151,8 +183,10 @@ def train_state_specs(state, rules):
                  "v": moments(state.opt_state["v"])}
     model_state_specs = jax.tree_util.tree_map(lambda _: P(),
                                                state.model_state)
+    # EMA params (when enabled) shard exactly like the params they track
+    ema_specs = p_specs if state.ema_params is not None else None
     return type(state)(params=p_specs, model_state=model_state_specs,
-                      opt_state=opt_specs, epoch=P())
+                       opt_state=opt_specs, epoch=P(), ema_params=ema_specs)
 
 
 def init_multihost(coordinator: Optional[str] = None):

@@ -21,9 +21,24 @@ fp32 AdamW moments go from 8 bytes/param on every chip to 8/N, and the
 8-bit optimizer's blocks (train/optim.py) quantize per slice, composing
 the two savings (2.25 bytes/param -> 2.25/N).
 
+Stage 3 (``config zero_sharding: 3`` — parameter sharding, the FSDP/
+DeepSpeed-ZeRO-3 layout) additionally stores the PARAMETERS (and the EMA
+stream, when enabled) as the same per-rank flat chunks: at-rest param
+memory drops N-fold too, and the step's communication merely moves — the
+all-gather runs at the START of the step (rebuilding full params for the
+forward/backward) instead of after the update, so per-step ICI bytes are
+identical to stage 1. The gathered params live for the step's duration
+(the backward needs them), so PEAK memory still holds one full copy;
+what stage 3 buys is everything outside the step — at rest, in donated
+double-buffers, and per-state-copy (EMA). Checkpoints write fully
+GATHERED params/EMA (host-side unshard at save), so every downstream
+surface — serve, export, convert, .pth — reads snapshots identically for
+all stages and degrees; restore re-chunks for the run's layout.
+
 Numerics: sum-then-scale gradient reduction and an elementwise Adam update
 on a flat slice are the same arithmetic as the replicated path, so ZeRO-DP
-matches plain DP exactly (tests/test_zero.py asserts it).
+matches plain DP exactly (tests/test_zero.py asserts it; stage 3 adds only
+exact reshapes on top and matches too, tests/test_zero3.py).
 
 Layout: each parameter leaf is flattened and zero-padded to
 ``n * ceil(size/n)``; rank r owns ``[r*chunk, (r+1)*chunk)``. Optimizer
@@ -88,9 +103,13 @@ def zero_state_specs(state) -> Any:
         "m": jax.tree_util.tree_map(leaf_spec, state.opt_state["m"]),
         "v": jax.tree_util.tree_map(leaf_spec, state.opt_state["v"]),
     }
+    # EMA runs on the post-all-gather full params, so it stays replicated
+    ema_specs = (rep(state.ema_params)
+                 if state.ema_params is not None else None)
     return type(state)(params=rep(state.params),
                        model_state=rep(state.model_state),
-                       opt_state=opt_specs, epoch=P())
+                       opt_state=opt_specs, epoch=P(),
+                       ema_params=ema_specs)
 
 
 def zero_update(optimizer, params: PyTree, grads: PyTree, opt_state: PyTree,
@@ -148,6 +167,125 @@ def zero_update(optimizer, params: PyTree, grads: PyTree, opt_state: PyTree,
         "v": jax.tree_util.tree_map(lambda x: x[None], new_opt_sh["v"]),
     }
     return new_params, new_opt, grad_norm
+
+
+# --------------------------------------------------------------------------
+# Stage 3: parameter sharding (FSDP / DeepSpeed-ZeRO-3 layout)
+# --------------------------------------------------------------------------
+
+def zero3_shard_params(params: PyTree, n: int) -> PyTree:
+    """Host-side (numpy): every leaf -> an (n, chunk) rank stack of its
+    zero-padded flat values (original dtype preserved). Rank r's row is
+    the slice its optimizer update owns — the same partitioning
+    zero_opt_state uses for the moments, so param chunk r and moment
+    chunk r always describe the same elements."""
+    def shard(p):
+        p = np.asarray(p)
+        c = _chunk(p.size, n)
+        flat = np.pad(p.reshape(-1), (0, n * c - p.size))
+        return flat.reshape(n, c)
+
+    return jax.tree_util.tree_map(shard, params)
+
+
+def zero3_unshard_params(stacked: PyTree, templates: PyTree) -> PyTree:
+    """Host-side inverse of zero3_shard_params: (n, chunk) rank stacks ->
+    full leaves shaped/typed like ``templates`` (arrays or
+    ShapeDtypeStructs). Exact — chunking is pure reshape + zero pad."""
+    def unshard(x, t):
+        x = np.asarray(x)
+        flat = x.reshape(-1)[: int(np.prod(t.shape, dtype=np.int64))]
+        return flat.reshape(t.shape).astype(t.dtype)
+
+    return jax.tree_util.tree_map(unshard, stacked, templates)
+
+
+def param_templates(params: PyTree) -> PyTree:
+    """ShapeDtypeStruct skeleton of a full (unsharded) param pytree — the
+    static shape information zero3 steps need to rebuild leaves from rank
+    stacks inside the compiled program."""
+    return jax.tree_util.tree_map(
+        lambda p: jax.ShapeDtypeStruct(np.shape(p), p.dtype), params)
+
+
+def zero3_state_specs(state) -> Any:
+    """PartitionSpec pytree for the stage-3 layout: params (and EMA) rank
+    stacks sharded on their leading 'data' axis like the moments;
+    model_state replicated."""
+    def stacked(tree):
+        return jax.tree_util.tree_map(lambda _: P("data", None), tree)
+
+    opt_specs = {
+        "step": P(),
+        "m": jax.tree_util.tree_map(
+            lambda x: P(*(("data",) + (None,) * (np.ndim(x) - 1))),
+            state.opt_state["m"]),
+        "v": jax.tree_util.tree_map(
+            lambda x: P(*(("data",) + (None,) * (np.ndim(x) - 1))),
+            state.opt_state["v"]),
+    }
+    ema_specs = (stacked(state.ema_params)
+                 if state.ema_params is not None else None)
+    return type(state)(params=stacked(state.params),
+                       model_state=jax.tree_util.tree_map(
+                           lambda _: P(), state.model_state),
+                       opt_state=opt_specs, epoch=P(),
+                       ema_params=ema_specs)
+
+
+def zero3_gather_params(chunks: PyTree, templates: PyTree,
+                        axis: str = "data") -> PyTree:
+    """In-step (inside shard_map) all-gather of the (1, chunk) param slices
+    back to full leaves. This is the stage-1 post-update all-gather moved
+    to the top of the step; same ICI bytes."""
+    def regather(ps, t):
+        full = jax.lax.all_gather(ps[0], axis, tiled=True)  # (n*chunk,)
+        size = int(np.prod(t.shape, dtype=np.int64))
+        return full[:size].reshape(t.shape).astype(t.dtype)
+
+    return jax.tree_util.tree_map(regather, chunks, templates)
+
+
+def zero3_update(optimizer, param_chunks: PyTree, grads: PyTree,
+                 opt_state: PyTree, lr, n: int, axis: str = "data",
+                 max_grad_norm=None):
+    """The stage-3 sharded optimizer step (inside shard_map): ``grads`` are
+    this rank's full locally-accumulated gradients (w.r.t. the gathered
+    params), ``param_chunks`` the (1, chunk) rank slices. Reduce-scatters
+    the grads, updates the local slice, and returns NEW (1, chunk) slices —
+    no trailing all-gather; the next step's zero3_gather_params rebuilds
+    full params. Identical arithmetic to zero_update (stage 1), so stage 3
+    == stage 1 == replicated DP exactly."""
+    def grad_shard(g):
+        c = _chunk(g.size, n)
+        f = jnp.pad(g.reshape(-1), (0, n * c - g.size))
+        return jax.lax.psum_scatter(f, axis, scatter_dimension=0,
+                                    tiled=True) / n
+
+    g_sh = jax.tree_util.tree_map(grad_shard, grads)
+    grad_norm = None
+    if max_grad_norm is not None:
+        local_sq = sum(jnp.sum(jnp.square(g))
+                       for g in jax.tree_util.tree_leaves(g_sh))
+        grad_norm = jnp.sqrt(jax.lax.psum(local_sq, axis))
+        scale = jnp.minimum(1.0, max_grad_norm / (grad_norm + 1e-6))
+        g_sh = jax.tree_util.tree_map(lambda g: g * scale, g_sh)
+    p_sh = jax.tree_util.tree_map(
+        lambda x: x[0].astype(jnp.float32), param_chunks)
+    opt_sh = {
+        "step": opt_state["step"],
+        "m": jax.tree_util.tree_map(lambda x: x[0], opt_state["m"]),
+        "v": jax.tree_util.tree_map(lambda x: x[0], opt_state["v"]),
+    }
+    new_p_sh, new_opt_sh = optimizer.update(g_sh, opt_sh, p_sh, lr)
+    new_chunks = jax.tree_util.tree_map(
+        lambda ps, old: ps.astype(old.dtype)[None], new_p_sh, param_chunks)
+    new_opt = {
+        "step": new_opt_sh["step"],
+        "m": jax.tree_util.tree_map(lambda x: x[None], new_opt_sh["m"]),
+        "v": jax.tree_util.tree_map(lambda x: x[None], new_opt_sh["v"]),
+    }
+    return new_chunks, new_opt, grad_norm
 
 
 # --------------------------------------------------------------------------

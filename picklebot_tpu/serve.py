@@ -375,6 +375,9 @@ def main(argv=None):
                    help="--http cross-request batching: wait up to MS ms "
                         "after the first request to coalesce up to --batch "
                         "clips into one predictor call (0 = no batching)")
+    p.add_argument("--ema", action="store_true",
+                   help="serve the EMA weights from an Orbax snapshot "
+                        "trained with ema_decay > 0 (ema_params)")
     args = p.parse_args(argv)
 
     if args.exported is not None:
@@ -429,7 +432,14 @@ def main(argv=None):
         # restore the raw tree (no target: serving doesn't know the
         # optimizer that produced the snapshot) and take weights + BN state
         payload = ckpt.restore_checkpoint(args.checkpoint, None)
-        variables = {"params": payload["params"],
+        params = payload["params"]
+        if getattr(args, "ema", False):
+            if payload.get("ema_params") is None:
+                raise SystemExit(
+                    "--ema: this snapshot has no ema_params (train with "
+                    "config ema_decay > 0)")
+            params = payload["ema_params"]
+        variables = {"params": params,
                      "state": payload["model_state"]}
 
     variables = jax.device_put(variables)  # resident params, not per-call

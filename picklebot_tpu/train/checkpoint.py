@@ -333,8 +333,13 @@ def _checkpointer():
 
 
 def save_checkpoint(directory: str, step: int, payload: Any,
-                    block: bool = True) -> str:
+                    block: bool = True,
+                    minor: Optional[int] = None) -> str:
     """Save a full training snapshot (params, opt state, BN state, step).
+
+    ``minor`` names a mid-epoch snapshot ``step_<step>_<minor>`` (after
+    ``minor`` optimizer steps of epoch ``step``); see latest_checkpoint
+    for the ordering.
 
     ``block=False`` returns once the host-side snapshot is taken and lets
     orbax write in the background (training overlaps the disk/SSD I/O);
@@ -342,7 +347,8 @@ def save_checkpoint(directory: str, step: int, payload: Any,
     writes to a temp dir and renames, so an interrupted async write never
     leaves a directory that restore would mistake for a checkpoint."""
     directory = os.path.abspath(directory)
-    path = os.path.join(directory, f"step_{step}")
+    name = f"step_{step}" if minor is None else f"step_{step}_{minor}"
+    path = os.path.join(directory, name)
     ckptr = _checkpointer()
     # np.asarray snapshots device_get'd leaves; host numpy passes through
     # (the caller hands freshly-fetched arrays, nothing aliases the live
@@ -370,14 +376,46 @@ def restore_checkpoint(path: str, target: Any = None) -> Any:
     return ckptr.restore(os.path.abspath(path), target=target)
 
 
+def prune_midepoch(directory: str, keep: int = 1) -> None:
+    """Delete all but the newest ``keep`` MID-epoch snapshots
+    (``step_<e>_<n>`` dirs) so checkpoint_every_steps doesn't accumulate
+    one snapshot per interval. End-of-epoch ``step_<e>`` snapshots are
+    never touched. Safe alongside async saves: orbax waits for the prior
+    in-flight save before starting a new one and writes through a tmp-dir
+    rename, so every dir matching the pattern is a complete snapshot and
+    the in-flight one is invisible here."""
+    if not os.path.isdir(directory):
+        return
+    snaps = []
+    for name in os.listdir(directory):
+        m = re.fullmatch(r"step_(\d+)_(\d+)", name)
+        if m:
+            snaps.append(((int(m.group(1)), int(m.group(2))), name))
+    snaps.sort()
+    for _, name in snaps[:max(0, len(snaps) - keep)]:
+        import shutil
+        shutil.rmtree(os.path.join(directory, name), ignore_errors=True)
+
+
 def latest_checkpoint(directory: str) -> Optional[str]:
+    """Newest snapshot in ``directory``, by training progress.
+
+    Two name forms coexist: ``step_<epoch>`` (end-of-epoch saves; the state
+    inside has epoch+1) and ``step_<epoch>_<n>`` (mid-epoch saves after n
+    optimizer steps of that epoch, config checkpoint_every_steps). An
+    end-of-epoch save strictly dominates any mid-epoch save of the same
+    epoch, so it sorts as (epoch, +inf)."""
     if not os.path.isdir(directory):
         return None
-    steps = []
+    best = None  # ((epoch, n), name)
     for name in os.listdir(directory):
-        m = re.fullmatch(r"step_(\d+)", name)
-        if m:
-            steps.append(int(m.group(1)))
-    if not steps:
+        m = re.fullmatch(r"step_(\d+)(?:_(\d+))?", name)
+        if not m:
+            continue
+        key = (int(m.group(1)),
+               int(m.group(2)) if m.group(2) else float("inf"))
+        if best is None or key > best[0]:
+            best = (key, name)
+    if best is None:
         return None
-    return os.path.join(directory, f"step_{max(steps)}")
+    return os.path.join(directory, best[1])

@@ -85,7 +85,8 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     mps = mp * sp * pp * ep
     n_data = config.data_parallel or max(1, n_dev // mps)
     n_data = max(1, min(n_data, n_dev // mps if mps > 1 else n_dev))
-    mesh = make_mesh(data=n_data, model=mp, seq=sp, pipe=pp, expert=ep) \
+    mesh = make_mesh(data=n_data, model=mp, seq=sp, pipe=pp, expert=ep,
+                     dcn_data=config.dcn_data_parallel) \
         if (n_data > 1 or mps > 1) else None
     if n_procs > 1:
         if mesh is None:
@@ -117,14 +118,19 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     model = initialize_model(config)
     optimizer = OPTIMIZERS[config.optimizer](
         weight_decay=config.weight_decay)
-    schedule = cosine_annealing_lr(config.learning_rate, config.max_iters)
+    schedule = cosine_annealing_lr(config.learning_rate, config.max_iters,
+                                   warmup=config.warmup_epochs)
 
     state_specs = None
     zero_degree = 0
+    zero_stage = 1
+    zero3_tmpl = None
     if config.zero_sharding and mesh is not None and n_data > 1:
         # ZeRO-DP (parallel/zero.py): optimizer moments live 1/n_data per
-        # rank; validate() already rejected TP/SP/PP/EP combinations
+        # rank; validate() already rejected TP/SP/PP/EP combinations.
+        # Stage 3 (zero_sharding: 3) also shards the params at rest.
         zero_degree = n_data
+        zero_stage = 3 if int(config.zero_sharding) == 3 else 1
     if mp > 1 or ep > 1:
         # TP shards the dense transformer FFNs over 'model'; EP shards the
         # MoE expert banks over 'expert' (config forbids combining them).
@@ -136,15 +142,28 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         rules, degree = ((MOBILEVIT_TP_RULES, mp) if mp > 1
                          else (MOBILEVIT_MOE_EP_RULES, ep))
         state = create_train_state(model, optimizer, config.seed,
-                                   tp_rules=rules, tp_degree=degree)
+                                   tp_rules=rules, tp_degree=degree,
+                                   ema=config.ema_decay > 0)
         state_specs = train_state_specs(state, rules)
     elif zero_degree > 1:
-        from picklebot_tpu.parallel.zero import zero_state_specs
+        from picklebot_tpu.parallel.zero import (param_templates,
+                                                 zero3_state_specs,
+                                                 zero_state_specs)
         state = create_train_state(model, optimizer, config.seed,
-                                   zero_degree=zero_degree)
-        state_specs = zero_state_specs(state)
+                                   zero_degree=zero_degree,
+                                   ema=config.ema_decay > 0)
+        if zero_stage == 3:
+            # specs are structural (leaf -> leaf), so the full-param state
+            # yields the same pytree as the chunked one; the params stay
+            # FULL through restore/EMA seeding and are chunked just before
+            # placement (zero3_shard_params below)
+            zero3_tmpl = param_templates(state.params)
+            state_specs = zero3_state_specs(state)
+        else:
+            state_specs = zero_state_specs(state)
     else:
-        state = create_train_state(model, optimizer, config.seed)
+        state = create_train_state(model, optimizer, config.seed,
+                                   ema=config.ema_decay > 0)
 
     mean = config.mean if config.apply_mean_std else None
     std = config.std if config.apply_mean_std else None
@@ -153,11 +172,15 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                                  mean=mean, std=std, state_specs=state_specs,
                                  moe_aux_weight=config.moe_aux_weight,
                                  zero_degree=zero_degree,
+                                 zero_stage=zero_stage,
+                                 zero3_templates=zero3_tmpl,
                                  max_grad_norm=config.max_grad_norm,
-                                 remat=int(config.remat))
+                                 remat=int(config.remat),
+                                 ema_decay=config.ema_decay)
     eval_step = make_eval_step(model, config.criterion, policy=policy,
                                mesh=mesh, mean=mean, std=std,
-                               state_specs=state_specs)
+                               state_specs=state_specs,
+                               zero3_templates=zero3_tmpl)
 
     def _multihost_synced(fn, tag):
         """Multi-host compile rendezvous: AOT-compile each new input shape,
@@ -189,6 +212,8 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
 
     # ---- checkpoint restore (orbax) / torch warm start (.pth) ----
     start_epoch = 0
+    resume_skip = 0        # optimizer steps already done in start_epoch
+    resume_global_step = 0  # TB global_step continuity across resumes
     if not config.checkpoint and config.auto_resume:
         # preemption recovery: pick up the newest periodic snapshot (the
         # reference has no resume at all — its start_epoch is assigned the
@@ -204,8 +229,12 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             variables = {"params": state.params, "state": state.model_state}
             variables = ckpt.load_pth(config.checkpoint, variables,
                                       key_map=key_map_for(config.model_name))
-            state = state._replace(params=variables["params"],
-                                   model_state=variables["state"])
+            state = state._replace(
+                params=variables["params"],
+                model_state=variables["state"],
+                ema_params=(jax.tree_util.tree_map(
+                    np.copy, variables["params"])
+                    if state.ema_params is not None else None))
         else:
             if mp == 1 and ep == 1:
                 # layout-aware restore: a ZeRO checkpoint can resume at a
@@ -225,11 +254,62 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                         optimizer, payload["params"], payload["opt_state"],
                         n_want, n_old=n_saved)
             else:
-                payload = ckpt.restore_checkpoint(
-                    config.checkpoint, state._asdict())
+                # target-based restore (TP/EP layouts): older snapshots may
+                # lack the loop_state / ema_params extensions — retry with
+                # progressively reduced targets; what's absent is re-seeded
+                # below (ema) or defaults to position zero (loop_state)
+                target = dict(state._asdict())
+                target["loop_state"] = np.zeros((2,), np.int64)
+                attempts = [target,
+                            {k: v for k, v in target.items()
+                             if k != "loop_state"}]
+                if target.get("ema_params") is not None:
+                    for base_t in list(attempts):
+                        t = dict(base_t)
+                        t["ema_params"] = None
+                        attempts.append(t)
+                payload = None
+                for i, t in enumerate(attempts):
+                    try:
+                        payload = ckpt.restore_checkpoint(config.checkpoint,
+                                                          t)
+                        break
+                    except Exception:
+                        if i == len(attempts) - 1:
+                            raise
+            loop_state = payload.pop("loop_state", None)
+            payload.setdefault("ema_params", None)
             state = TrainState(**payload)
             start_epoch = int(state.epoch)
-        print(f"Loaded checkpoint at epoch {start_epoch}")
+            if loop_state is not None:
+                resume_global_step = int(np.asarray(loop_state)[0])
+                resume_skip = int(np.asarray(loop_state)[1])
+        if resume_skip:
+            print(f"Loaded checkpoint at epoch {start_epoch}, "
+                  f"optimizer step {resume_skip} within the epoch")
+        else:
+            print(f"Loaded checkpoint at epoch {start_epoch}")
+    # EMA stream vs config: seed it from the (possibly restored) params when
+    # newly enabled; drop it when disabled (keeps the state structure exactly
+    # what state_specs/shard_map expect for this run)
+    if config.ema_decay > 0 and state.ema_params is None:
+        state = state._replace(ema_params=jax.tree_util.tree_map(
+            np.copy, jax.device_get(state.params)))
+    elif config.ema_decay == 0 and state.ema_params is not None:
+        state = state._replace(ema_params=None)
+
+    if zero_stage == 3:
+        # ZeRO-3: params (and EMA) become (n, chunk) rank stacks — restore
+        # and EMA seeding above ran on the full leaves, and checkpoints
+        # always store full leaves (host_state unshards), so snapshots are
+        # stage- and degree-independent
+        from picklebot_tpu.parallel.zero import zero3_shard_params
+        state = state._replace(
+            params=zero3_shard_params(jax.device_get(state.params),
+                                      zero_degree),
+            ema_params=(zero3_shard_params(
+                jax.device_get(state.ema_params), zero_degree)
+                if state.ema_params is not None else None))
 
     # ---- placement ----
     if mesh is not None:
@@ -320,6 +400,9 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                     put_global(labels, super_sharding))
         return jax.device_put((feats, labels))
 
+    # per-step rng is POSITION-keyed — fold_in(key(seed), global_step) — on
+    # every path, so a mid-epoch resume (checkpoint_every_steps) replays the
+    # exact dropout stream an uninterrupted run would have used
     if n_procs > 1:
         # a host-local key can't be device_put to a global sharding; build
         # the key on-device from the (identical) seed and fold in the step
@@ -328,8 +411,16 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             np.asarray(config.seed, np.int32), mesh, P())
         base_key = jax.jit(jax.random.key, out_shardings=replicated)(seed_g)
         fold_key = jax.jit(jax.random.fold_in, out_shardings=replicated)
-    rng = jax.random.key(config.seed) if n_procs == 1 else None
-    global_step = 0
+    elif mesh is not None:
+        base_key = jax.device_put(jax.random.key(config.seed), replicated)
+        fold_key = jax.jit(jax.random.fold_in, out_shardings=replicated)
+    else:
+        base_key = jax.random.key(config.seed)
+        fold_key = jax.jit(jax.random.fold_in)
+    global_step = resume_global_step
+    steps_this_run = 0
+    supers_in_epoch = 0  # optimizer steps into the CURRENT epoch (the
+    #                      mid-epoch position every snapshot records)
     train_losses_hist, train_acc_hist = [], []
     all_losses: list = []
     val_losses, val_percent = [], []
@@ -340,13 +431,22 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         ZeRO the optimizer slices span processes (no host can address the
         full array), so replicate through a jitted identity first — a
         collective every process enters (save_checkpoint is itself
-        process-collective, so the call order matches)."""
+        process-collective, so the call order matches). ZeRO-3 rank-stacked
+        params/EMA are unsharded back to full leaves so the snapshot format
+        never depends on the run's stage or degree."""
         if n_procs > 1 and any(
                 isinstance(x, jax.Array) and not x.is_fully_addressable
                 for x in jax.tree_util.tree_leaves(st)):
             st = jax.jit(lambda s: s,
                          out_shardings=NamedSharding(mesh, P()))(st)
-        return jax.device_get(st)
+        st = jax.device_get(st)
+        if zero_stage == 3:
+            from picklebot_tpu.parallel.zero import zero3_unshard_params
+            st = st._replace(
+                params=zero3_unshard_params(st.params, zero3_tmpl),
+                ema_params=(zero3_unshard_params(st.ema_params, zero3_tmpl)
+                            if st.ema_params is not None else None))
+        return st
 
     def pad_val_batch(feats, labels):
         """Pad a partial tail batch up to local_batch, return a 0/1 mask.
@@ -363,6 +463,13 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         return feats, labels, mask
 
     def run_eval():
+        # EMA evaluation (config.ema_decay > 0): score the averaged weights
+        # — the ones serving would use. Swapping params for ema_params keeps
+        # the state's tree structure (and TP shardings: EMA leaves shard
+        # exactly like their params) so the same compiled eval program runs.
+        # BN statistics stay the live running stats (params-only EMA).
+        st = state if state.ema_params is None \
+            else state._replace(params=state.ema_params)
         tot_loss_sum, tot_correct, tot_n = 0.0, 0.0, 0.0
         print("Evaluating...")
         batches = 0
@@ -374,7 +481,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 feats, labels, mask = (
                     put_global(a, eval_sharding)
                     for a in (feats, labels, mask))
-            out = eval_step(state, feats, labels, mask)
+            out = eval_step(st, feats, labels, mask)
             tot_loss_sum += float(out["loss_sum"])
             tot_correct += float(out["correct"])
             tot_n += float(out["samples"])
@@ -390,7 +497,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             mask = np.zeros((local_batch,), np.float32)
             feats, labels, mask = (put_global(a, eval_sharding)
                                    for a in (feats, labels, mask))
-            out = eval_step(state, feats, labels, mask)
+            out = eval_step(st, feats, labels, mask)
             tot_loss_sum += float(out["loss_sum"])
             tot_correct += float(out["correct"])
             tot_n += float(out["samples"])
@@ -440,31 +547,55 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                                                               1),
                                           step_base + j)
 
+            # mid-epoch resume: fast-forward the loader past the optimizer
+            # steps this epoch already consumed (one-shot, first epoch only)
+            if epoch == start_epoch and resume_skip:
+                train_loader.skip(resume_skip * accum)
+                supers_in_epoch = resume_skip
             feed = accumulate_batches(iter(train_loader), accum)
             if nb_train_sync is not None:
                 import itertools
-                feed = itertools.islice(feed, nb_train_sync // accum)
+                feed = itertools.islice(
+                    feed, max(0, nb_train_sync // accum - supers_in_epoch))
             feed = device_prefetch(feed, put_super, depth=2)
             for feats, labels in feed:
-                if n_procs > 1:
-                    sub = fold_key(base_key, np.int64(global_step))
-                else:
-                    rng, sub = jax.random.split(rng)
-                    if mesh is not None:
-                        sub = jax.device_put(sub, replicated)
+                sub = fold_key(base_key, np.int64(global_step))
                 state, metrics = train_step(state, feats, labels, sub)
                 # defer host sync by one step to keep the device busy
                 pending.append((metrics, global_step))
                 global_step += accum
+                steps_this_run += 1
+                supers_in_epoch += 1
                 if len(pending) > 1:
                     drain(*pending.pop(0))
-                if max_steps is not None and \
-                        global_step >= max_steps * accum:
+                if config.checkpoint_every_steps and \
+                        supers_in_epoch % config.checkpoint_every_steps == 0:
+                    # mid-epoch snapshot step_<epoch>_<n>: full state + the
+                    # loop position (global_step for TB continuity, n for
+                    # the loader fast-forward on resume). Keep-1 retention
+                    # before saving: at most two mid-epoch snaps on disk.
+                    if is_main:
+                        ckpt.prune_midepoch(
+                            os.path.join(config.checkpoint_dir,
+                                         config.model_name), keep=1)
+                    ckpt.save_checkpoint(
+                        os.path.join(config.checkpoint_dir,
+                                     config.model_name),
+                        epoch,
+                        {**host_state(state)._asdict(),
+                         "loop_state": np.asarray(
+                             [global_step, supers_in_epoch], np.int64)},
+                        block=not config.async_checkpoint,
+                        minor=supers_in_epoch)
+                if max_steps is not None and steps_this_run >= max_steps:
                     break
             for item in pending:
                 drain(*item)
 
             state = state._replace(epoch=state.epoch + 1)  # scheduler.step()
+            supers_in_epoch = 0  # the epoch completed; snapshots from here
+            #                      (incl. an interrupt's final save) resume
+            #                      at the top of the next epoch
             if batch_losses:
                 train_losses_hist.extend(windowed_average(batch_losses))
                 train_acc_hist.extend(windowed_average(batch_acc))
@@ -492,8 +623,16 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 ckpt.save_checkpoint(
                     os.path.join(config.checkpoint_dir,
                                  config.model_name),
-                    epoch, host_state(state)._asdict(),
+                    epoch,
+                    {**host_state(state)._asdict(),
+                     "loop_state": np.asarray([global_step, 0], np.int64)},
                     block=not config.async_checkpoint)
+                if is_main and config.checkpoint_every_steps:
+                    # the end-of-epoch snapshot dominates this epoch's
+                    # mid-epoch ones; keep the newest as a crash fallback
+                    ckpt.prune_midepoch(
+                        os.path.join(config.checkpoint_dir,
+                                     config.model_name), keep=1)
 
             elapsed = time.time() - start_time
             done = epoch - start_epoch + 1
@@ -515,7 +654,10 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         final_dir = os.path.join(config.checkpoint_dir,
                                  f"{config.run_name()}_finished")
         ckpt.save_checkpoint(final_dir, int(jax.device_get(state.epoch)),
-                             host_state(state)._asdict())
+                             {**host_state(state)._asdict(),
+                              "loop_state": np.asarray(
+                                  [global_step, supers_in_epoch],
+                                  np.int64)})
         if is_main:
             stats_dir = "statistics"
             os.makedirs(stats_dir, exist_ok=True)

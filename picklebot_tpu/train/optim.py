@@ -322,16 +322,27 @@ class AdamW8bit(Optimizer):
 
 
 def cosine_annealing_lr(base_lr: float, t_max: int,
-                        eta_min: Optional[float] = None
+                        eta_min: Optional[float] = None,
+                        warmup: int = 0
                         ) -> Callable[[jax.Array], jax.Array]:
     """torch CosineAnnealingLR; reference uses eta_min = lr/10
-    (train.py:214-215) stepped once per epoch."""
+    (train.py:214-215) stepped once per epoch.
+
+    ``warmup`` > 0 (extension; the reference has none) prepends a linear
+    ramp: lr(e) = base_lr*(e+1)/warmup for e < warmup, then the cosine
+    runs over the remaining t_max - warmup epochs (annealing still lands
+    on eta_min at e = t_max - 1 of the cosine phase's domain end)."""
     eta = base_lr / 10.0 if eta_min is None else eta_min
+    span = max(t_max - warmup, 1)
 
     def schedule(epoch):
         e = jnp.asarray(epoch, jnp.float32)
-        return eta + (base_lr - eta) * 0.5 * (
-            1 + jnp.cos(jnp.pi * e / max(t_max, 1)))
+        cos = eta + (base_lr - eta) * 0.5 * (
+            1 + jnp.cos(jnp.pi * (e - warmup) / span))
+        if warmup <= 0:
+            return cos
+        ramp = base_lr * (e + 1.0) / warmup
+        return jnp.where(e < warmup, ramp, cos)
 
     return schedule
 

@@ -48,11 +48,15 @@ class TrainState(NamedTuple):
     model_state: PyTree      # BatchNorm statistics etc.
     opt_state: PyTree
     epoch: jax.Array         # current epoch (drives the cosine schedule)
+    ema_params: PyTree = None  # EMA of params (config ema_decay > 0);
+    #                            None (an empty pytree node) when disabled,
+    #                            so every tree_map/spec/checkpoint surface
+    #                            is structurally unchanged by default
 
 
 def create_train_state(model: Module, optimizer: Optimizer,
                        seed, tp_rules=None, tp_degree: int = 1,
-                       zero_degree: int = 0) -> TrainState:
+                       zero_degree: int = 0, ema: bool = False) -> TrainState:
     """Host-side (numpy) init — instant, no device traffic; place the result
     with one device_put / jit donation afterwards.
 
@@ -83,6 +87,8 @@ def create_train_state(model: Module, optimizer: Optimizer,
         model_state=variables["state"],
         opt_state=opt_state,
         epoch=np.zeros((), np.int32),
+        ema_params=(jax.tree_util.tree_map(np.copy, variables["params"])
+                    if ema else None),
     )
 
 
@@ -124,8 +130,11 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
                     state_specs=None,
                     moe_aux_weight: float = 0.01,
                     zero_degree: int = 0,
+                    zero_stage: int = 1,
+                    zero3_templates: PyTree = None,
                     max_grad_norm: Optional[float] = None,
-                    remat: int = 0):
+                    remat: int = 0,
+                    ema_decay: float = 0.0):
     """Build the jitted train step.
 
     Returns step(state, features, labels, rng) ->
@@ -149,6 +158,12 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
     HBM-for-FLOPs trade for long clips / big batches). Gradients are
     unchanged; only the autodiff schedule moves.
 
+    ``ema_decay`` > 0 updates ``state.ema_params`` (which must then be
+    non-None, from ``create_train_state(ema=True)``) after every optimizer
+    step: ema = decay*ema + (1-decay)*params. The EMA runs on the
+    post-update (post-all-gather under ZeRO) replicated-or-param-sharded
+    values, so it is layout-invariant by construction.
+
     ``zero_degree`` > 1 enables ZeRO optimizer-state sharding over 'data'
     (parallel/zero.py): grads are reduce-scattered instead of all-reduced,
     the optimizer updates a 1/N parameter slice per rank, and new params
@@ -156,6 +171,15 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
     ``create_train_state(zero_degree=N)`` and the matching
     ``zero.zero_state_specs`` as ``state_specs``; zero_degree must equal
     the mesh's 'data' axis size.
+
+    ``zero_stage=3`` (with ``zero_degree`` > 1) is the parameter-sharded
+    FSDP/ZeRO-3 layout: ``state.params`` (and EMA) are the (n, chunk) rank
+    stacks from ``zero.zero3_shard_params``; the step all-gathers them
+    back to full leaves FIRST (``zero3_templates`` — zero.param_templates —
+    carries the static full shapes), runs forward/backward, reduce-scatters
+    grads, updates the local slice, and returns NEW rank stacks (no
+    trailing gather; per-step ICI bytes match stage 1). Use
+    ``zero.zero3_state_specs`` as ``state_specs``.
     """
     policy = policy or DtypePolicy.bf16()
     loss_fn, acc_fn = LOSSES[criterion]
@@ -170,6 +194,12 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
         if state_specs is None:
             raise ValueError("ZeRO needs parallel.zero.zero_state_specs as "
                              "state_specs (the moment leaves are sharded)")
+        if zero_stage not in (1, 3):
+            raise ValueError(f"zero_stage must be 1 or 3, got {zero_stage}")
+        if zero_stage == 3 and zero3_templates is None:
+            raise ValueError("zero_stage=3 needs zero3_templates "
+                             "(parallel.zero.param_templates of the FULL "
+                             "params — the rank stacks erase shapes)")
 
     def micro_loss(params, model_state, feats, labels, rng):
         x = preprocess(feats, policy.compute_dtype, mean, std)
@@ -192,18 +222,27 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
             # torch rng; a replicated key would correlate masks globally)
             rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
 
+        if zero_degree > 1 and zero_stage == 3:
+            # stage 3: rebuild full params from the rank stacks (the
+            # stage-1 post-update all-gather, moved to the step's top)
+            from picklebot_tpu.parallel.zero import zero3_gather_params
+            params = zero3_gather_params(state.params, zero3_templates,
+                                         "data")
+        else:
+            params = state.params
+
         def micro(carry, inp):
             grads_acc, model_state, i = carry
             feats, lbls = inp
             (_, (model_state, correct, loss)), grads = grad_fn(
-                state.params, model_state, feats, lbls,
+                params, model_state, feats, lbls,
                 jax.random.fold_in(rng, i))
             grads_acc = jax.tree_util.tree_map(
                 lambda a, g: a + g.astype(jnp.float32), grads_acc, grads)
             return (grads_acc, model_state, i + 1), (loss, correct)
 
         zero_grads = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
         (grads, model_state, _), (losses, corrects) = jax.lax.scan(
             micro, (zero_grads, state.model_state, jnp.zeros((), jnp.int32)),
             (features, labels))
@@ -219,10 +258,15 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
                 grads = jax.lax.pmean(grads, "data")
 
         grad_norm = None
-        if mesh is not None and zero_degree > 1:
+        if mesh is not None and zero_degree > 1 and zero_stage == 3:
+            from picklebot_tpu.parallel.zero import zero3_update
+            new_params, opt_state, grad_norm = zero3_update(
+                optimizer, state.params, grads, state.opt_state, lr,
+                n=zero_degree, axis="data", max_grad_norm=max_grad_norm)
+        elif mesh is not None and zero_degree > 1:
             from picklebot_tpu.parallel.zero import zero_update
             new_params, opt_state, grad_norm = zero_update(
-                optimizer, state.params, grads, state.opt_state, lr,
+                optimizer, params, grads, state.opt_state, lr,
                 n=zero_degree, axis="data", max_grad_norm=max_grad_norm)
         else:
             if max_grad_norm is not None:
@@ -254,7 +298,7 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
                     1.0, max_grad_norm / (grad_norm + 1e-6))
                 grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
             new_params, opt_state = optimizer.update(
-                grads, state.opt_state, state.params, lr)
+                grads, state.opt_state, params, lr)
         samples = jnp.asarray(features.shape[0] * features.shape[1],
                               jnp.float32)
         if mesh is not None:
@@ -265,8 +309,16 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
                    "samples": samples, "lr": lr}
         if grad_norm is not None:
             metrics["grad_norm"] = grad_norm
+        ema = state.ema_params
+        if ema_decay > 0.0 and ema is not None:
+            d = jnp.asarray(ema_decay, jnp.float32)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: (d * e.astype(jnp.float32)
+                              + (1.0 - d) * p.astype(jnp.float32)
+                              ).astype(e.dtype),
+                ema, new_params)
         return TrainState(new_params, model_state, opt_state,
-                          state.epoch), metrics
+                          state.epoch, ema), metrics
 
     if mesh is None:
         return jax.jit(local_step, donate_argnums=(0,) if donate else ())
@@ -286,7 +338,8 @@ def make_eval_step(model: Module, criterion: str,
                    policy: Optional[DtypePolicy] = None,
                    mesh: Optional[Mesh] = None,
                    mean=None, std=None,
-                   state_specs=None):
+                   state_specs=None,
+                   zero3_templates=None):
     """eval_step(state, features, labels, mask) ->
     {'loss': masked mean, 'loss_sum', 'correct', 'samples'}.
 
@@ -296,14 +349,24 @@ def make_eval_step(model: Module, criterion: str,
     val loader keep its final partial batch (padded up to B) so every sample
     is evaluated exactly once — the reference consumes the full val set
     (train.py:134-150); round 1 dropped up to global_batch-1 samples.
+
+    ``zero3_templates`` (with a matching zero3 ``state_specs``): the state's
+    params arrive as ZeRO-3 rank stacks; the eval gathers them back to full
+    leaves first (same contract as make_train_step zero_stage=3).
     """
     policy = policy or DtypePolicy.bf16()
     loss_fn, correct_fn = LOSSES_PER_SAMPLE[criterion]
 
     def local_eval(state: TrainState, features, labels, mask):
+        if zero3_templates is not None:
+            from picklebot_tpu.parallel.zero import zero3_gather_params
+            params = zero3_gather_params(state.params, zero3_templates,
+                                         "data")
+        else:
+            params = state.params
         x = preprocess(features, policy.compute_dtype, mean, std)
         logits, _ = model.apply(
-            {"params": state.params, "state": state.model_state}, x,
+            {"params": params, "state": state.model_state}, x,
             train=False, policy=policy)
         lbl = prepare_labels(criterion, labels)
         mask = mask.astype(jnp.float32)

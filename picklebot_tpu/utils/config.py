@@ -54,6 +54,12 @@ class Config:
     max_frames: int = 256
     apply_mean_std: bool = False        # actually use mean/std keys
     data_parallel: Optional[int] = None  # None -> all local devices
+    dcn_data_parallel: int = 1          # multi-slice topology: the data
+    #                                     axis spans this many DCN-connected
+    #                                     slices (outer stride over DCN;
+    #                                     TP/SP/PP/EP and the inner data
+    #                                     stride stay on each slice's ICI —
+    #                                     parallel/mesh.make_mesh dcn_data)
     model_parallel: int = 1             # TP degree (MobileViT FFNs)
     sequence_parallel: int = 1          # SP degree (MobileViT transformer
     #                                     tokens sharded over the 'seq' mesh
@@ -76,10 +82,25 @@ class Config:
     #                                     scale 1/EP per rank)
     expert_parallel: int = 1            # EP degree (expert bank sharded
     #                                     over the 'expert' mesh axis)
-    zero_sharding: bool = False         # ZeRO-DP: optimizer state sharded
-    #                                     1/N over the 'data' axis
-    #                                     (reduce-scatter grads + all-gather
-    #                                     params; parallel/zero.py)
+    zero_sharding: int = 0              # ZeRO-DP stage: 0/False off;
+    #                                     1/True shards optimizer state 1/N
+    #                                     over the 'data' axis (reduce-
+    #                                     scatter grads + all-gather params);
+    #                                     3 additionally shards the params
+    #                                     (and EMA) at rest — FSDP/ZeRO-3
+    #                                     layout, same per-step ICI bytes
+    #                                     (parallel/zero.py)
+    warmup_epochs: int = 0              # linear LR ramp over the first N
+    #                                     epochs before the cosine anneal
+    #                                     (extension; reference goes straight
+    #                                     to CosineAnnealingLR, train.py:215)
+    ema_decay: float = 0.0              # >0 keeps an exponential moving
+    #                                     average of the params (per optimizer
+    #                                     step, ema = d*ema + (1-d)*p); eval
+    #                                     and the final checkpoint then use
+    #                                     the EMA weights (production serving
+    #                                     practice; raw params stay in
+    #                                     'params', EMA in 'ema_params')
     max_grad_norm: Optional[float] = None  # global-norm gradient clipping
     #                                     (torch clip_grad_norm_ semantics);
     #                                     applied to the reduced grads with
@@ -96,6 +117,14 @@ class Config:
     #                                     checkpoint_dir/<model> when
     #                                     'checkpoint' is unset (preemption
     #                                     recovery)
+    checkpoint_every_steps: int = 0     # >0 also snapshots mid-epoch every
+    #                                     N optimizer steps (step_<epoch>_<n>
+    #                                     dirs); resume (checkpoint= or
+    #                                     auto_resume) fast-forwards the
+    #                                     loader to the exact position —
+    #                                     with position-keyed dropout rng the
+    #                                     resumed run is bit-identical to an
+    #                                     uninterrupted one
     async_checkpoint: bool = False      # periodic saves return after the
     #                                     host snapshot; orbax writes in the
     #                                     background (final save always
@@ -198,6 +227,11 @@ class Config:
                 raise ValueError(
                     f"expert_parallel={self.expert_parallel} must divide "
                     f"moe_experts={self.moe_experts} evenly")
+        if int(self.zero_sharding) not in (0, 1, 3):
+            raise ValueError(
+                f"zero_sharding={self.zero_sharding!r} must be 0/false "
+                "(off), 1/true (optimizer-state sharding) or 3 (parameter "
+                "sharding, FSDP/ZeRO-3)")
         if self.zero_sharding and (
                 self.model_parallel > 1 or self.sequence_parallel > 1
                 or self.pipeline_parallel > 1 or self.expert_parallel > 1):
@@ -207,6 +241,24 @@ class Config:
                 "state is already per-shard)")
         if self.max_grad_norm is not None and self.max_grad_norm <= 0:
             raise ValueError("max_grad_norm must be positive")
+        if not 0.0 <= self.ema_decay < 1.0:
+            raise ValueError("ema_decay must be in [0, 1) (0 disables)")
+        if self.checkpoint_every_steps < 0:
+            raise ValueError("checkpoint_every_steps must be >= 0")
+        if self.dcn_data_parallel < 1:
+            raise ValueError("dcn_data_parallel must be >= 1")
+        if self.dcn_data_parallel > 1 and self.data_parallel is not None \
+                and self.data_parallel % self.dcn_data_parallel != 0:
+            raise ValueError(
+                f"dcn_data_parallel={self.dcn_data_parallel} must divide "
+                f"data_parallel={self.data_parallel} (each slice carries "
+                "an equal share of the batch)")
+        if self.warmup_epochs < 0 or self.warmup_epochs >= max(
+                self.max_iters, 1):
+            if self.warmup_epochs != 0:
+                raise ValueError(
+                    f"warmup_epochs={self.warmup_epochs} must be in "
+                    f"[0, max_iters={self.max_iters})")
         if int(self.remat) < 0:
             raise ValueError("remat must be >= 0 (a child-call depth; "
                              "true means 1)")

@@ -216,6 +216,48 @@ print(f"HOST{proc_id} ZEROTRAIN OK val_loss={summary['final_val_loss']:.4f}")
 """
 
 
+_DCN_TRAIN_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/picklebot_jax_cache")
+proc_id = int(sys.argv[1])
+jax.distributed.initialize(coordinator_address="localhost:%PORT%",
+                           num_processes=2, process_id=proc_id)
+assert jax.device_count() == 8, jax.device_count()
+
+import numpy as np
+from picklebot_tpu.parallel.mesh import make_mesh
+from picklebot_tpu.train.loop import train
+from picklebot_tpu.utils.config import Config
+
+# multi-slice layout: each PROCESS stands in for a DCN-connected slice
+# (process_is_granule semantics). With dcn_data=2, every TP pair and the
+# inner data stride must be process-local; only the outer data stride
+# crosses the process (DCN) boundary.
+mesh = make_mesh(data=4, model=2, dcn_data=2)
+pidx = np.vectorize(lambda d: d.process_index)(mesh.devices)
+rows = pidx.reshape(4, 2)
+assert (rows[:2] == 0).all() and (rows[2:] == 1).all(), rows
+
+os.chdir(sys.argv[2])
+cfg = Config(
+    model_name="MobileViT", learning_rate=1e-3, batch_size=1,
+    max_iters=1, eval_interval=1, weight_decay=5e-4, use_autocast=False,
+    criterion="CE", num_classes=13, effective_batch_size=4,
+    dims=[64, 80, 96],
+    channels=[16, 16, 24, 24, 48, 48, 64, 64, 80, 80, 320],
+    data_backend="synthetic", synthetic_len=8, synthetic_shape=(4, 32, 32),
+    t_bucket=4, max_frames=4, num_workers=1, optimizer="adamw8bit",
+    data_parallel=4, model_parallel=2, dcn_data_parallel=2,
+    checkpoint_dir="ckpt", log_dir="runs").validate()
+summary = train(cfg, max_steps=1)
+assert np.isfinite(summary["final_val_loss"]), summary
+assert summary["val_samples"] == 8.0, summary
+print(f"HOST{proc_id} DCNTRAIN OK val_loss={summary['final_val_loss']:.4f}")
+"""
+
+
 _AUTOTUNE_WORKER = r"""
 import os, sys
 import jax
@@ -312,6 +354,16 @@ def test_two_process_train_loop_zero(tmp_path):
     slice, the reduce-scatter + all-gather pair crossing the process
     boundary, 8-bit per-slice quantized blocks."""
     _run_two_process(tmp_path, _ZERO_TRAIN_WORKER, "ZEROTRAIN OK",
+                     extra_args=(tmp_path,))
+
+
+@pytest.mark.slow
+def test_two_process_train_loop_dcn(tmp_path):
+    """train(config) across 2 processes with a HYBRID multi-slice mesh
+    (dcn_data_parallel=2, data=4, model=2): each process is a stand-in
+    slice, TP pairs and the inner data stride stay process-local, the
+    outer data stride (gradient all-reduce) crosses the boundary."""
+    _run_two_process(tmp_path, _DCN_TRAIN_WORKER, "DCNTRAIN OK",
                      extra_args=(tmp_path,))
 
 

@@ -191,11 +191,13 @@ def test_model_actually_learns(tmp_path, monkeypatch):
     cfg = _smoke_config(
         tmp_path, data_backend="synthetic_learnable", synthetic_len=32,
         synthetic_shape=(8, 32, 32), batch_size=8, effective_batch_size=8,
-        learning_rate=5e-3, max_iters=25, eval_interval=24, num_workers=2)
+        learning_rate=5e-3, max_iters=40, eval_interval=39, num_workers=2)
     summary = train(cfg)
     # chance is 1/13 ~ 7.7%; with per-block channel dropout and 32 samples
     # the model needs a couple hundred steps to separate 13 brightness
-    # classes (the torch reference behaves the same — same arch/dropout)
+    # classes (the torch reference behaves the same — same arch/dropout).
+    # 40 epochs (160 steps) measured 34-38% across seeds under the
+    # position-keyed rng stream (25 epochs sat ON the threshold: 22-31%)
     assert summary["final_val_accuracy"] > 0.3, summary
 
 
