@@ -35,6 +35,10 @@ def main(argv=None):
     p.add_argument("--like", default=None,
                    help="a torch .pth whose key names the export should "
                         "mirror exactly")
+    p.add_argument("--ema", action="store_true",
+                   help="convert the EMA weights (ema_params) from an "
+                        "Orbax snapshot trained with ema_decay > 0 "
+                        "(same contract as serve/export --ema)")
     args = p.parse_args(argv)
 
     from picklebot_tpu.models.registry import initialize_model
@@ -48,10 +52,20 @@ def main(argv=None):
     key_map = key_map_for(config.model_name)
 
     if args.src.endswith(".pth"):
+        if args.ema:
+            raise SystemExit("--ema applies to Orbax snapshots only "
+                             "(.pth files hold a single weight set)")
         variables = ckpt.load_pth(args.src, variables, key_map=key_map)
     else:
         payload = ckpt.restore_checkpoint(args.src, None)
-        variables = {"params": payload["params"],
+        params = payload["params"]
+        if args.ema:
+            if payload.get("ema_params") is None:
+                raise SystemExit(
+                    "--ema: this snapshot has no ema_params (train with "
+                    "config ema_decay > 0)")
+            params = payload["ema_params"]
+        variables = {"params": params,
                      "state": payload["model_state"]}
 
     if args.out.endswith(".pth"):
