@@ -531,6 +531,11 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 if writer and "grad_norm" in m:
                     writer.add_scalar("grad norm", float(m["grad_norm"]),
                                       step_base)
+                if writer and "lr" in m:
+                    # learning-rate curve (production observability; the
+                    # reference logs only loss/accuracy, train.py:291-293)
+                    writer.add_scalar("learning rate", float(m["lr"]),
+                                      step_base)
                 per_micro = losses.shape[0]
                 micro_samples = float(m["samples"]) / per_micro
                 for j in range(per_micro):

@@ -37,9 +37,15 @@ def test_train_two_epochs_single_device(tmp_path, monkeypatch):
     # checkpoints written: periodic + finished
     assert glob.glob(str(tmp_path / "ckpt" / "MobileNetSmall3D" / "step_*"))
     assert glob.glob(str(tmp_path / "ckpt" / "*_finished" / "step_*"))
-    # tensorboard events with reference tag names
+    # tensorboard events with reference tag names + the lr curve extension
     ev = glob.glob(str(tmp_path / "runs" / "*" / "events.out.tfevents.*"))
     assert ev
+    from tensorboard.backend.event_processing import event_accumulator
+    acc = event_accumulator.EventAccumulator(ev[0])
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert {"training loss", "training accuracy", "val loss",
+            "val accuracy", "learning rate"} <= tags, tags
     # statistics artifacts (reference statistics/*.npy shape)
     stats = glob.glob(str(tmp_path / "statistics" / "*_train_losses.npy"))
     assert stats
