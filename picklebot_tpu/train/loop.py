@@ -167,6 +167,9 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
 
     mean = config.mean if config.apply_mean_std else None
     std = config.std if config.apply_mean_std else None
+    from picklebot_tpu.data.augment import Augment
+    augment = Augment(flip=config.augment_flip, crop=config.augment_crop,
+                      brightness=config.augment_brightness)
     train_step = make_train_step(model, optimizer, config.criterion,
                                  schedule, policy=policy, mesh=mesh,
                                  mean=mean, std=std, state_specs=state_specs,
@@ -176,7 +179,8 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                                  zero3_templates=zero3_tmpl,
                                  max_grad_norm=config.max_grad_norm,
                                  remat=int(config.remat),
-                                 ema_decay=config.ema_decay)
+                                 ema_decay=config.ema_decay,
+                                 augment=augment)
     eval_step = make_eval_step(model, config.criterion, policy=policy,
                                mesh=mesh, mean=mean, std=std,
                                state_specs=state_specs,

@@ -134,7 +134,8 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
                     zero3_templates: PyTree = None,
                     max_grad_norm: Optional[float] = None,
                     remat: int = 0,
-                    ema_decay: float = 0.0):
+                    ema_decay: float = 0.0,
+                    augment=None):
     """Build the jitted train step.
 
     Returns step(state, features, labels, rng) ->
@@ -157,6 +158,12 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
     backward recomputes block activations instead of storing them — the
     HBM-for-FLOPs trade for long clips / big batches). Gradients are
     unchanged; only the autodiff schedule moves.
+
+    ``augment`` (a data.augment.Augment) enables in-graph per-sample
+    training augmentation after preprocessing — flip/crop/brightness keys
+    are salted off each micro rng, so the dropout stream (and therefore
+    every unaugmented run) is unchanged, and mid-epoch resume replays the
+    augmentation draws exactly.
 
     ``ema_decay`` > 0 updates ``state.ema_params`` (which must then be
     non-None, from ``create_train_state(ema=True)``) after every optimizer
@@ -201,8 +208,17 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
                              "(parallel.zero.param_templates of the FULL "
                              "params — the rank stacks erase shapes)")
 
+    aug = augment if augment is not None and augment.enabled() else None
+
     def micro_loss(params, model_state, feats, labels, rng):
         x = preprocess(feats, policy.compute_dtype, mean, std)
+        if aug is not None:
+            # in-graph per-sample augmentation (data/augment.py) — keys
+            # salted off the same micro rng, so dropout is untouched and
+            # the whole stream stays position-keyed (exact mid-epoch
+            # resume includes the augmentation draws)
+            from picklebot_tpu.data.augment import apply_augment
+            x = apply_augment(x, aug, rng)
         logits, new_state = model.apply(
             {"params": params, "state": model_state}, x,
             train=True, rng=rng, policy=policy, remat=remat)

@@ -90,6 +90,15 @@ class Config:
     #                                     (and EMA) at rest — FSDP/ZeRO-3
     #                                     layout, same per-step ICI bytes
     #                                     (parallel/zero.py)
+    augment_flip: bool = False          # training-time horizontal flip
+    #                                     (p=0.5 per clip, in-graph —
+    #                                     data/augment.py; reference trains
+    #                                     with no augmentation at all)
+    augment_crop: int = 0               # random spatial crop: pad H/W by P
+    #                                     and slice a random same-size
+    #                                     window per clip (+-P translation)
+    augment_brightness: float = 0.0     # per-clip brightness scale drawn
+    #                                     from [1-b, 1+b]
     warmup_epochs: int = 0              # linear LR ramp over the first N
     #                                     epochs before the cosine anneal
     #                                     (extension; reference goes straight
@@ -243,6 +252,12 @@ class Config:
             raise ValueError("max_grad_norm must be positive")
         if not 0.0 <= self.ema_decay < 1.0:
             raise ValueError("ema_decay must be in [0, 1) (0 disables)")
+        if self.augment_crop < 0:
+            raise ValueError("augment_crop must be >= 0 (a padding in "
+                             "pixels; 0 disables)")
+        if not 0.0 <= self.augment_brightness < 1.0:
+            raise ValueError("augment_brightness must be in [0, 1) "
+                             "(a relative jitter; 0 disables)")
         if self.checkpoint_every_steps < 0:
             raise ValueError("checkpoint_every_steps must be >= 0")
         if self.dcn_data_parallel < 1:
