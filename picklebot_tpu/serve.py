@@ -177,11 +177,17 @@ def pad_batch_to(feats, target):
 def make_http_server(port, classify_path, info):
     """HTTP serving endpoint (the network-facing counterpart of the
     reference's HuggingFace demo space): POST /predict with a video file
-    as the request body -> JSON prediction; GET / -> model/server info.
+    as the request body -> JSON prediction; GET / -> model/server info;
+    GET /healthz -> load-balancer liveness probe (200 + request/error
+    counters once the predictor is up).
     Returns the ThreadingHTTPServer (caller runs serve_forever)."""
     import http.server
     import os
     import tempfile
+    import threading
+
+    stats = {"requests": 0, "errors": 0}
+    stats_lock = threading.Lock()
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet: predictions go to the client
@@ -196,6 +202,9 @@ def make_http_server(port, classify_path, info):
             self.wfile.write(body)
 
         def do_GET(self):
+            if self.path == "/healthz":
+                with stats_lock:
+                    return self._send(200, {"status": "ok", **stats})
             self._send(200, info)
 
         def do_POST(self):
@@ -207,8 +216,14 @@ def make_http_server(port, classify_path, info):
             try:
                 with os.fdopen(fd, "wb") as f:
                     f.write(data)
-                self._send(200, classify_path(path))
+                result = classify_path(path)
+                with stats_lock:
+                    stats["requests"] += 1
+                self._send(200, result)
             except Exception as e:  # noqa: BLE001 — surface to the client
+                with stats_lock:
+                    stats["requests"] += 1
+                    stats["errors"] += 1
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
             finally:
                 os.unlink(path)

@@ -376,6 +376,25 @@ def restore_checkpoint(path: str, target: Any = None) -> Any:
     return ckptr.restore(os.path.abspath(path), target=target)
 
 
+def prune_epochs(directory: str, keep: int) -> None:
+    """Delete all but the newest ``keep`` END-of-epoch snapshots
+    (``step_<e>`` dirs; mid-epoch ``step_<e>_<n>`` ones are
+    prune_midepoch's business). ``keep`` <= 0 disables pruning — the
+    reference's behavior (one .pth per eval interval, never deleted,
+    train.py:316-318) and ours by default."""
+    if keep <= 0 or not os.path.isdir(directory):
+        return
+    snaps = []
+    for name in os.listdir(directory):
+        m = re.fullmatch(r"step_(\d+)", name)
+        if m:
+            snaps.append((int(m.group(1)), name))
+    snaps.sort()
+    for _, name in snaps[:max(0, len(snaps) - keep)]:
+        import shutil
+        shutil.rmtree(os.path.join(directory, name), ignore_errors=True)
+
+
 def prune_midepoch(directory: str, keep: int = 1) -> None:
     """Delete all but the newest ``keep`` MID-epoch snapshots
     (``step_<e>_<n>`` dirs) so checkpoint_every_steps doesn't accumulate

@@ -475,6 +475,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         st = state if state.ema_params is None \
             else state._replace(params=state.ema_params)
         tot_loss_sum, tot_correct, tot_n = 0.0, 0.0, 0.0
+        tot_conf = None
         print("Evaluating...")
         batches = 0
         dummy = None
@@ -489,6 +490,8 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             tot_loss_sum += float(out["loss_sum"])
             tot_correct += float(out["correct"])
             tot_n += float(out["samples"])
+            conf = np.asarray(out["confusion"], np.float64)
+            tot_conf = conf if tot_conf is None else tot_conf + conf
             batches += 1
         # multi-host: hosts with smaller val shards feed fully-masked dummy
         # batches so every host joins the same number of collectives
@@ -507,10 +510,10 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             tot_n += float(out["samples"])
             batches += 1
         if tot_n == 0:
-            return float("nan"), float("nan"), 0.0
+            return float("nan"), float("nan"), 0.0, None
         # sample-weighted mean — identical to the reference's mean-of-batch-
         # means when all batches are full, exact (not shard-biased) on tails
-        return tot_loss_sum / tot_n, tot_correct / tot_n, tot_n
+        return tot_loss_sum / tot_n, tot_correct / tot_n, tot_n, tot_conf
 
     # preemption safety: TPU-VM maintenance events deliver SIGTERM, not
     # Ctrl-C — route it into the same graceful-finish path (reference
@@ -611,10 +614,12 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
 
             if epoch % config.eval_interval == 0 or \
                     epoch == config.max_iters - 1:
-                val_loss, val_accuracy, val_samples = run_eval()
+                val_loss, val_accuracy, val_samples, val_conf = run_eval()
                 val_losses.append(val_loss)
                 val_percent.append(val_accuracy)
                 summary["val_samples"] = val_samples
+                if val_conf is not None:
+                    summary["val_confusion"] = val_conf
                 if is_main:
                     tl = train_losses_hist[-1] if train_losses_hist \
                         else float("nan")
@@ -642,6 +647,11 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                     ckpt.prune_midepoch(
                         os.path.join(config.checkpoint_dir,
                                      config.model_name), keep=1)
+                if is_main and config.keep_checkpoints:
+                    ckpt.prune_epochs(
+                        os.path.join(config.checkpoint_dir,
+                                     config.model_name),
+                        keep=config.keep_checkpoints)
 
             elapsed = time.time() - start_time
             done = epoch - start_epoch + 1
@@ -679,6 +689,11 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                     np.asarray(val_losses))
             np.save(os.path.join(stats_dir, f"{base}_val_percent.npy"),
                     np.asarray(val_percent))
+            if summary.get("val_confusion") is not None:
+                # per-class observability beyond the reference's scalars:
+                # rows = true class, cols = predicted, from the last eval
+                np.save(os.path.join(stats_dir, f"{base}_val_confusion.npy"),
+                        summary["val_confusion"])
             print("Model and statistics saved!")
             if writer:
                 writer.close()

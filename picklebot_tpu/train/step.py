@@ -389,12 +389,26 @@ def make_eval_step(model: Module, criterion: str,
         loss_sum = jnp.sum(loss_fn(logits, lbl) * mask)
         correct = jnp.sum(correct_fn(logits, lbl) * mask)
         n = jnp.sum(mask)
+        # confusion matrix (rows = true class, cols = predicted) — a
+        # per-class observability extension; the reference reports only
+        # scalar accuracy (train.py:110-121)
+        if criterion == "BCE":
+            pred = (logits.reshape(-1) > 0).astype(jnp.int32)
+            true = lbl.reshape(-1).astype(jnp.int32)
+            ncls = 2
+        else:
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            true = lbl
+            ncls = logits.shape[-1]
+        confusion = jnp.zeros((ncls, ncls), jnp.float32).at[
+            true, pred].add(mask)
         if mesh is not None:
             loss_sum = jax.lax.psum(loss_sum, "data")
             correct = jax.lax.psum(correct, "data")
             n = jax.lax.psum(n, "data")
+            confusion = jax.lax.psum(confusion, "data")
         return {"loss": loss_sum / jnp.maximum(n, 1.0), "loss_sum": loss_sum,
-                "correct": correct, "samples": n}
+                "correct": correct, "samples": n, "confusion": confusion}
 
     if mesh is None:
         return jax.jit(local_eval)

@@ -134,6 +134,14 @@ class Config:
     #                                     with position-keyed dropout rng the
     #                                     resumed run is bit-identical to an
     #                                     uninterrupted one
+    keep_checkpoints: int = 0           # >0 retains only the newest N
+    #                                     end-of-epoch step_<e> snapshots
+    #                                     (storage hygiene; 0 keeps all —
+    #                                     reference behavior, one file per
+    #                                     eval interval, train.py:316-318).
+    #                                     The final *_finished snapshot is
+    #                                     a separate directory, never
+    #                                     pruned
     async_checkpoint: bool = False      # periodic saves return after the
     #                                     host snapshot; orbax writes in the
     #                                     background (final save always
@@ -260,6 +268,8 @@ class Config:
                              "(a relative jitter; 0 disables)")
         if self.checkpoint_every_steps < 0:
             raise ValueError("checkpoint_every_steps must be >= 0")
+        if self.keep_checkpoints < 0:
+            raise ValueError("keep_checkpoints must be >= 0 (0 keeps all)")
         if self.dcn_data_parallel < 1:
             raise ValueError("dcn_data_parallel must be >= 1")
         if self.dcn_data_parallel > 1 and self.data_parallel is not None \

@@ -65,3 +65,48 @@ def test_strip_compile_prefix():
     sd = {"_orig_mod.block1.0.weight": 1, "block2.bias": 2}
     out = ckpt.strip_compile_prefix(sd)
     assert out == {"block1.0.weight": 1, "block2.bias": 2}
+
+
+def test_prune_epochs(tmp_path):
+    """keep_checkpoints retention: only the newest N end-of-epoch
+    snapshots survive; mid-epoch snapshots are untouched."""
+    from picklebot_tpu.train.checkpoint import prune_epochs
+
+    d = tmp_path / "ck"
+    d.mkdir()
+    for name in ("step_0", "step_1", "step_2", "step_10", "step_3_5",
+                 "not_a_step"):
+        (d / name).mkdir()
+    prune_epochs(str(d), keep=2)
+    left = sorted(p.name for p in d.iterdir())
+    assert left == ["not_a_step", "step_10", "step_2", "step_3_5"], left
+    # keep=0 disables (never deletes)
+    prune_epochs(str(d), keep=0)
+    assert sorted(p.name for p in d.iterdir()) == left
+
+
+def test_train_loop_keep_checkpoints(tmp_path, monkeypatch):
+    """train(config) with keep_checkpoints=2 over 3 epochs retains only
+    the newest two step_<e> snapshots (plus the finished dir)."""
+    import glob
+
+    from picklebot_tpu.train.loop import train
+    from picklebot_tpu.utils.config import Config
+
+    monkeypatch.chdir(tmp_path)
+    cfg = Config(
+        model_name="MobileNetSmall3D", learning_rate=1e-3, batch_size=2,
+        max_iters=3, eval_interval=1, weight_decay=5e-4, use_autocast=False,
+        criterion="CE", num_classes=13, effective_batch_size=2,
+        data_backend="synthetic", synthetic_len=8,
+        synthetic_shape=(8, 32, 32), t_bucket=8, max_frames=8,
+        num_workers=2, optimizer="adamw8bit", data_parallel=1,
+        keep_checkpoints=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "runs"),
+    ).validate()
+    train(cfg)
+    snaps = sorted(os.path.basename(p) for p in glob.glob(
+        str(tmp_path / "ckpt" / "MobileNetSmall3D" / "step_*")))
+    assert snaps == ["step_1", "step_2"], snaps
+    assert glob.glob(str(tmp_path / "ckpt" / "*_finished" / "step_*"))

@@ -235,6 +235,15 @@ def test_serve_http_exported(tmp_path, monkeypatch, rng):
 
         conn.request("POST", "/elsewhere", body=b"")
         assert conn.getresponse().status == 404
+
+        # liveness probe: 200 + request/error counters (2 POSTs above,
+        # one of them the bad-video 400)
+        conn.request("GET", "/healthz")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        health = json.loads(resp.read())
+        assert health["status"] == "ok"
+        assert health["requests"] == 2 and health["errors"] == 1, health
     finally:
         created["srv"].shutdown()
     th.join(timeout=30)

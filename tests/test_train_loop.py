@@ -51,6 +51,13 @@ def test_train_two_epochs_single_device(tmp_path, monkeypatch):
     assert stats
     arr = np.load(stats[0])
     assert arr.ndim == 2 and arr.shape[1] == 1  # (windows, 1) like reference
+    # per-class observability extension: confusion matrix of the last eval
+    conf = glob.glob(str(tmp_path / "statistics" / "*_val_confusion.npy"))
+    assert conf
+    cm = np.load(conf[0])
+    assert cm.shape == (13, 13) and cm.sum() == summary["val_samples"]
+    np.testing.assert_allclose(
+        np.trace(cm) / cm.sum(), summary["final_val_accuracy"], rtol=1e-6)
 
 
 @pytest.mark.slow

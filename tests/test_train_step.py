@@ -203,3 +203,50 @@ def test_sharded_predict_matches_single_device(rng):
     sharded = make_sharded_predict_fn(model, mesh, policy)(variables, feats)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_eval_confusion_matrix(rng):
+    """eval_step's confusion matrix: rows = true, cols = argmax(pred),
+    masked tail samples contribute nothing, trace sums to 'correct'."""
+    model = TinyNoBNNet()
+    opt = AdamW(weight_decay=1e-4)
+    state = create_train_state(model, opt, jax.random.key(0))
+    ev = make_eval_step(model, "CE", policy=DtypePolicy.f32())
+
+    feats, labels = _data(rng, accum=1, batch=16)
+    feats, labels = feats[0], labels[0]
+    mask = np.ones((16,), np.float32)
+    mask[13:] = 0.0  # padded tail
+    out = ev(state, feats, labels, mask)
+    conf = np.asarray(out["confusion"])
+    assert conf.shape == (13, 13)
+    assert conf.sum() == float(out["samples"]) == 13.0
+    np.testing.assert_allclose(np.trace(conf), float(out["correct"]))
+
+    # recompute from the model's own logits
+    from picklebot_tpu.train.step import preprocess
+    x = preprocess(feats, jnp.float32)
+    logits, _ = model.apply(
+        {"params": state.params, "state": state.model_state}, x,
+        train=False, policy=DtypePolicy.f32())
+    pred = np.argmax(np.asarray(logits, np.float32), axis=-1)
+    want = np.zeros((13, 13), np.float32)
+    for i in range(13):
+        want[int(labels[i]), int(pred[i])] += 1
+    np.testing.assert_array_equal(conf, want)
+
+
+def test_eval_confusion_bce(rng):
+    """BCE criterion: 2x2 confusion from thresholded logits."""
+    model = TinyNoBNNet(num_classes=1)
+    opt = AdamW(weight_decay=1e-4)
+    state = create_train_state(model, opt, jax.random.key(0))
+    ev = make_eval_step(model, "BCE", policy=DtypePolicy.f32())
+    feats, _ = _data(rng, accum=1, batch=8)
+    labels = np.asarray(rng.randint(0, 2, (8,)), np.int32)
+    mask = np.ones((8,), np.float32)
+    out = ev(state, feats[0], jnp.asarray(labels), mask)
+    conf = np.asarray(out["confusion"])
+    assert conf.shape == (2, 2)
+    assert conf.sum() == 8.0
+    np.testing.assert_allclose(np.trace(conf), float(out["correct"]))
