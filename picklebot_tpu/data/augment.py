@@ -52,7 +52,17 @@ def apply_augment(x: jax.Array, aug: Augment, key: jax.Array) -> jax.Array:
     """Augment a (B, T, H, W, C) float batch per-sample.
 
     ``key`` is the micro-step rng; callers pass the same key they hand the
-    model for dropout — the salt keeps the two streams independent."""
+    model for dropout — the salt keeps the two streams independent.
+
+    Execution form (measured on-chip, scripts/probe_augment_cost.py, bench
+    shapes bs=16 T=32 224²): this pass-based form — where-flip,
+    pad + per-sample dynamic_slice, scale — costs 4.3 ms on the 32 ms
+    Large3D train step with all three augmentations on. A "fused"
+    single-gather rewrite (flip+crop as one advanced-index gather with
+    clamped indices, brightness multiplied into the mask) was measured
+    2.5x WORSE (89.7 vs 35.9 ms steps): per-sample dynamic gathers lower
+    to slow scalar loops on TPU, while where/pad/dynamic_slice stay
+    vectorized. Don't re-fuse without re-measuring."""
     key = jax.random.fold_in(key, _AUG_SALT)
     b = x.shape[0]
     k_flip, k_crop, k_bright = jax.random.split(key, 3)
