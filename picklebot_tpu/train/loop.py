@@ -180,7 +180,8 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                                  max_grad_norm=config.max_grad_norm,
                                  remat=int(config.remat),
                                  ema_decay=config.ema_decay,
-                                 augment=augment)
+                                 augment=augment,
+                                 label_smoothing=config.label_smoothing)
     eval_step = make_eval_step(model, config.criterion, policy=policy,
                                mesh=mesh, mean=mean, std=std,
                                state_specs=state_specs,

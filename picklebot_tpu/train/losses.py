@@ -25,6 +25,32 @@ def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return jnp.mean(cross_entropy_per_sample(logits, labels))
 
 
+def smoothed_cross_entropy(eps: float):
+    """Label-smoothed CE (training extension; the reference trains on hard
+    labels only, train.py:217-221): target = (1-eps)*onehot + eps/C.
+    Matches torch nn.CrossEntropyLoss(label_smoothing=eps):
+    loss = (1-eps)*NLL + eps*mean_c(-log p_c)."""
+    def loss(logits, labels):
+        logits = logits.astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
+                                   axis=-1)[:, 0]
+        uniform = -jnp.mean(logp, axis=-1)
+        return jnp.mean((1.0 - eps) * nll + eps * uniform)
+
+    return loss
+
+
+def smoothed_bce(eps: float):
+    """Label-smoothed BCEWithLogits: y -> y*(1-eps) + eps/2 (torch
+    convention for binary smoothing)."""
+    def loss(logits, labels):
+        labels = labels.astype(jnp.float32) * (1.0 - eps) + eps / 2.0
+        return bce_with_logits(logits, labels)
+
+    return loss
+
+
 def bce_per_sample(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """logits (B, 1) float, labels (B, 1) float -> (B,) per-sample BCE."""
     logits = logits.astype(jnp.float32)

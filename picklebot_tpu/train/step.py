@@ -135,7 +135,8 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
                     max_grad_norm: Optional[float] = None,
                     remat: int = 0,
                     ema_decay: float = 0.0,
-                    augment=None):
+                    augment=None,
+                    label_smoothing: float = 0.0):
     """Build the jitted train step.
 
     Returns step(state, features, labels, rng) ->
@@ -158,6 +159,11 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
     backward recomputes block activations instead of storing them — the
     HBM-for-FLOPs trade for long clips / big batches). Gradients are
     unchanged; only the autodiff schedule moves.
+
+    ``label_smoothing`` > 0 smooths the TRAINING loss targets (torch
+    CrossEntropyLoss label_smoothing= semantics; BCE: y -> y(1-e)+e/2).
+    The logged loss is the smoothed training objective; eval loss and all
+    accuracy metrics stay on hard labels.
 
     ``augment`` (a data.augment.Augment) enables in-graph per-sample
     training augmentation after preprocessing — flip/crop/brightness keys
@@ -190,6 +196,13 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
     """
     policy = policy or DtypePolicy.bf16()
     loss_fn, acc_fn = LOSSES[criterion]
+    if label_smoothing > 0.0:
+        # training-only (torch label_smoothing= semantics); eval loss and
+        # all accuracy metrics stay on hard labels
+        from picklebot_tpu.train.losses import (smoothed_bce,
+                                                smoothed_cross_entropy)
+        loss_fn = (smoothed_cross_entropy(label_smoothing)
+                   if criterion == "CE" else smoothed_bce(label_smoothing))
     if zero_degree > 1:
         if mesh is None:
             raise ValueError("zero_degree needs a mesh (ZeRO shards over "

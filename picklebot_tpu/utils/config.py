@@ -90,6 +90,11 @@ class Config:
     #                                     (and EMA) at rest — FSDP/ZeRO-3
     #                                     layout, same per-step ICI bytes
     #                                     (parallel/zero.py)
+    label_smoothing: float = 0.0        # training-loss label smoothing
+    #                                     (torch CrossEntropyLoss
+    #                                     label_smoothing= semantics; BCE
+    #                                     smooths y -> y(1-e)+e/2); eval
+    #                                     loss/accuracy stay on hard labels
     augment_flip: bool = False          # training-time horizontal flip
     #                                     (p=0.5 per clip, in-graph —
     #                                     data/augment.py; reference trains
@@ -260,6 +265,8 @@ class Config:
             raise ValueError("max_grad_norm must be positive")
         if not 0.0 <= self.ema_decay < 1.0:
             raise ValueError("ema_decay must be in [0, 1) (0 disables)")
+        if not 0.0 <= self.label_smoothing < 1.0:
+            raise ValueError("label_smoothing must be in [0, 1)")
         if self.augment_crop < 0:
             raise ValueError("augment_crop must be >= 0 (a padding in "
                              "pixels; 0 disables)")
