@@ -27,7 +27,8 @@ class DataLoader:
                  shuffle: bool = False, num_workers: int = 4,
                  t_bucket: int = 8, max_frames: int = 256,
                  seed: int = 1234, drop_last: bool = False,
-                 prefetch_batches: int = 4):
+                 prefetch_batches: int = 4,
+                 temporal_jitter: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -37,6 +38,13 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch_batches = prefetch_batches
+        # training-time temporal sampling: clips longer than max_frames
+        # contribute a RANDOM contiguous max_frames window instead of the
+        # head (the eval loader keeps the deterministic head truncation).
+        # The window is keyed by (seed, epoch, dataset index), so a
+        # mid-epoch resume replays identical crops and different epochs
+        # see different windows.
+        self.temporal_jitter = temporal_jitter
         self.epoch = 0
         self._skip_batches = 0
 
@@ -88,7 +96,17 @@ class DataLoader:
                         return
                     cursor["i"] = i + 1
                 try:
-                    item = self.dataset[int(order[i])]
+                    ds_idx = int(order[i])
+                    item = self.dataset[ds_idx]
+                    if self.temporal_jitter and \
+                            item[0].shape[0] > self.max_frames:
+                        clip, label = item
+                        rng = np.random.RandomState(
+                            (self.seed * 1000003 + self.epoch) * 1000003
+                            % 2**31 ^ ds_idx)
+                        s = rng.randint(
+                            0, clip.shape[0] - self.max_frames + 1)
+                        item = (clip[s:s + self.max_frames], label)
                 except Exception as e:  # surface decode errors, don't hang
                     item = e
                 item_q.put((i, item))

@@ -359,7 +359,8 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                               num_workers=config.num_workers,
                               t_bucket=t_bucket,
                               max_frames=config.max_frames,
-                              seed=config.seed, drop_last=True)
+                              seed=config.seed, drop_last=True,
+                              temporal_jitter=config.temporal_jitter)
     # drop_last=False: the reference's estimate_loss consumes the FULL val
     # set (train.py:134-150); the tail batch is padded to local_batch and
     # masked inside eval_step so every sample counts exactly once.

@@ -104,6 +104,12 @@ class Config:
     #                                     window per clip (+-P translation)
     augment_brightness: float = 0.0     # per-clip brightness scale drawn
     #                                     from [1-b, 1+b]
+    temporal_jitter: bool = False       # train loader: clips longer than
+    #                                     max_frames contribute a RANDOM
+    #                                     contiguous window instead of the
+    #                                     head (keyed by (seed, epoch,
+    #                                     clip) — resume replays crops;
+    #                                     eval keeps head truncation)
     warmup_epochs: int = 0              # linear LR ramp over the first N
     #                                     epochs before the cosine anneal
     #                                     (extension; reference goes straight

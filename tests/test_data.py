@@ -195,3 +195,48 @@ def test_ffmpeg_backend_through_loader(tmp_path, rng):
     assert feats.shape == (2, 8, 24, 32, 3)
     assert list(labels) == [0, 1]
     assert feats[0, :5].sum() > 0 and feats[0, 5:].sum() == 0
+
+
+def test_temporal_jitter_random_window():
+    """temporal_jitter: clips longer than max_frames contribute a random
+    contiguous window (not the head), deterministically per (seed, epoch,
+    clip); different epochs see different windows; off -> head."""
+    from picklebot_tpu.data.loader import DataLoader
+
+    ds = ClipDataset("", "", backend="synthetic",
+                     synthetic_shape=(24, 8, 8), synthetic_len=6)
+    sources = {i: ds[i][0] for i in range(len(ds))}
+
+    def windows(loader):
+        out = []
+        for feats, _ in iter(loader):
+            for clip in feats:
+                out.append(clip)
+        return out
+
+    def find_offset(window, src, t):
+        for s in range(src.shape[0] - t + 1):
+            if np.array_equal(window[:t], src[s:s + t]):
+                return s
+        return None
+
+    # jitter ON: every batch clip is SOME contiguous window; two
+    # iterations at the same epoch agree; epochs differ somewhere
+    lj = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                    t_bucket=8, max_frames=8, temporal_jitter=True)
+    lj.set_epoch(0)
+    w0a, w0b = windows(lj), windows(lj)
+    offs0 = [find_offset(w, sources[i], 8) for i, w in enumerate(w0a)]
+    assert all(o is not None for o in offs0), offs0
+    for a, b in zip(w0a, w0b):
+        np.testing.assert_array_equal(a, b)
+    lj.set_epoch(1)
+    offs1 = [find_offset(w, sources[i], 8) for i, w in enumerate(windows(lj))]
+    assert offs0 != offs1, (offs0, offs1)
+    assert any(o != 0 for o in offs0 + offs1)
+
+    # jitter OFF (default): head truncation exactly
+    lh = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                    t_bucket=8, max_frames=8)
+    for i, w in enumerate(windows(lh)):
+        np.testing.assert_array_equal(w[:8], sources[i][:8])
