@@ -22,6 +22,7 @@ TPU-first differences from the reference, all documented:
 from __future__ import annotations
 
 import dataclasses
+import math
 import os
 import signal
 import threading
@@ -165,6 +166,17 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         state = create_train_state(model, optimizer, config.seed,
                                    ema=config.ema_decay > 0)
 
+    frozen_mask = None
+    if config.freeze_params:
+        # fine-tuning: build the per-leaf mask from the FULL param tree
+        # (state.params is still unchunked here even under ZeRO-3 — the
+        # rank stacks share its treedef, so the mask applies to both)
+        from picklebot_tpu.train.freeze import freeze_mask, frozen_summary
+        frozen_mask = freeze_mask(state.params, config.freeze_params)
+        fl, tl_, fn, tn = frozen_summary(state.params, frozen_mask)
+        print(f"Freezing {fl}/{tl_} param leaves "
+              f"({fn:,}/{tn:,} params) via {config.freeze_params}")
+
     mean = config.mean if config.apply_mean_std else None
     std = config.std if config.apply_mean_std else None
     from picklebot_tpu.data.augment import Augment
@@ -181,7 +193,8 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                                  remat=int(config.remat),
                                  ema_decay=config.ema_decay,
                                  augment=augment,
-                                 label_smoothing=config.label_smoothing)
+                                 label_smoothing=config.label_smoothing,
+                                 frozen_mask=frozen_mask)
     eval_step = make_eval_step(model, config.criterion, policy=policy,
                                mesh=mesh, mean=mean, std=std,
                                state_specs=state_specs,
@@ -430,6 +443,13 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     train_losses_hist, train_acc_hist = [], []
     all_losses: list = []
     val_losses, val_percent = [], []
+    # best-checkpoint / early-stop tracking (config save_best /
+    # early_stop_patience). val_loss is globally reduced in eval, so every
+    # host sees the identical value and takes the identical branch — the
+    # collective best-save and the loop break stay in lockstep multi-host.
+    best_val_loss = float("inf")
+    evals_since_improve = 0
+    stopped_early = False
     summary = {}
 
     def host_state(st):
@@ -654,6 +674,37 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                         os.path.join(config.checkpoint_dir,
                                      config.model_name),
                         keep=config.keep_checkpoints)
+                if not math.isnan(val_loss):
+                    # NaN (empty val set) counts toward neither mechanism
+                    if val_loss < best_val_loss - config.early_stop_min_delta:
+                        evals_since_improve = 0
+                    else:
+                        evals_since_improve += 1
+                    if val_loss < best_val_loss:
+                        best_val_loss = val_loss
+                        if config.save_best:
+                            best_dir = os.path.join(
+                                config.checkpoint_dir,
+                                f"{config.model_name}_best")
+                            # prune BEFORE saving (the established pattern:
+                            # at most the newest old best + the new one on
+                            # disk, even mid async write)
+                            if is_main:
+                                ckpt.prune_epochs(best_dir, keep=1)
+                            ckpt.save_checkpoint(
+                                best_dir, epoch,
+                                {**host_state(state)._asdict(),
+                                 "loop_state": np.asarray(
+                                     [global_step, 0], np.int64)},
+                                block=not config.async_checkpoint)
+                if config.early_stop_patience and \
+                        evals_since_improve >= config.early_stop_patience:
+                    stopped_early = True
+                    if is_main:
+                        print(f"Early stopping at epoch {epoch}: no val-"
+                              f"loss improvement in {evals_since_improve} "
+                              f"evals (best {best_val_loss:.4f})")
+                    break
 
             elapsed = time.time() - start_time
             done = epoch - start_epoch + 1
@@ -707,5 +758,8 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         final_val_accuracy=val_percent[-1] if val_percent else None,
         global_step=global_step,
         train_losses=all_losses,
+        val_losses=list(val_losses),
+        best_val_loss=best_val_loss if val_losses else None,
+        stopped_early=stopped_early,
     )
     return summary

@@ -136,7 +136,8 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
                     remat: int = 0,
                     ema_decay: float = 0.0,
                     augment=None,
-                    label_smoothing: float = 0.0):
+                    label_smoothing: float = 0.0,
+                    frozen_mask: PyTree = None):
     """Build the jitted train step.
 
     Returns step(state, features, labels, rng) ->
@@ -184,6 +185,17 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
     ``create_train_state(zero_degree=N)`` and the matching
     ``zero.zero_state_specs`` as ``state_specs``; zero_degree must equal
     the mesh's 'data' axis size.
+
+    ``frozen_mask`` (train/freeze.py freeze_mask: per-leaf Python bools
+    mirroring params, True = frozen) fine-tunes with torch
+    ``requires_grad=False`` semantics: frozen leaves contribute no
+    gradient (zeroed before reductions and the clipping norm) and take no
+    optimizer update — including no decoupled weight decay (the updated
+    value is structurally replaced by the old one, so XLA eliminates the
+    frozen leaves' whole update chain). Moments stay zero; composes with
+    DP/TP/EP/ZeRO because the mask is applied leaf-wise on each rank's
+    identical-structure trees. BN running stats still update (torch
+    parity — freezing params does not put modules in eval mode).
 
     ``zero_stage=3`` (with ``zero_degree`` > 1) is the parameter-sharded
     FSDP/ZeRO-3 layout: ``state.params`` (and EMA) are the (n, chunk) rank
@@ -276,6 +288,14 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
             micro, (zero_grads, state.model_state, jnp.zeros((), jnp.int32)),
             (features, labels))
 
+        if frozen_mask is not None:
+            # before any reduction: DP pmean / ZeRO reduce-scatter and the
+            # global clipping norm then see only trainable grads, exactly
+            # like torch where frozen params have no .grad at all
+            grads = jax.tree_util.tree_map(
+                lambda g, f: jnp.zeros_like(g) if f else g,
+                grads, frozen_mask)
+
         if mesh is not None:
             # DDP-equivalent replicated-state repair + metric reduction
             model_state = jax.lax.pmean(model_state, "data")
@@ -328,6 +348,17 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
                 grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
             new_params, opt_state = optimizer.update(
                 grads, state.opt_state, params, lr)
+        if frozen_mask is not None:
+            # kill the remaining mover, decoupled weight decay: AdamW at
+            # zero grad still shrinks a weight by lr*wd*p. Static per-leaf
+            # selection — XLA dead-code-eliminates the frozen leaves'
+            # update chain entirely. Under ZeRO-3 both sides are the
+            # (n, chunk) rank stacks (same treedef as the full params).
+            ref = (state.params if (zero_degree > 1 and zero_stage == 3)
+                   else params)
+            new_params = jax.tree_util.tree_map(
+                lambda old, new, f: old if f else new,
+                ref, new_params, frozen_mask)
         samples = jnp.asarray(features.shape[0] * features.shape[1],
                               jnp.float32)
         if mesh is not None:

@@ -121,6 +121,29 @@ class Config:
     #                                     the EMA weights (production serving
     #                                     practice; raw params stay in
     #                                     'params', EMA in 'ema_params')
+    save_best: bool = False             # keep a best-val-loss snapshot in
+    #                                     <checkpoint_dir>/<model>_best
+    #                                     (keep-1 retention; EMA-eval runs
+    #                                     track the EMA-scored loss, i.e.
+    #                                     the weights serving would use)
+    early_stop_patience: int = 0        # >0 stops training after N
+    #                                     consecutive evals without a val-
+    #                                     loss improvement (the graceful
+    #                                     finish still writes the final
+    #                                     checkpoint + statistics)
+    early_stop_min_delta: float = 0.0   # an eval only resets the patience
+    #                                     counter when it beats the best
+    #                                     val loss by MORE than this
+    #                                     (save_best keeps tracking raw
+    #                                     improvements regardless)
+    freeze_params: Optional[list] = None  # fine-tuning: list of param-path
+    #                                     patterns to freeze (module name,
+    #                                     dotted prefix, or glob — e.g.
+    #                                     ["stem", "block*"]); frozen leaves
+    #                                     get torch requires_grad=False
+    #                                     semantics (no grad, no update, no
+    #                                     weight decay; BN stats still run).
+    #                                     Typos fail loudly (train/freeze.py)
     max_grad_norm: Optional[float] = None  # global-norm gradient clipping
     #                                     (torch clip_grad_norm_ semantics);
     #                                     applied to the reduced grads with
@@ -269,6 +292,19 @@ class Config:
                 "state is already per-shard)")
         if self.max_grad_norm is not None and self.max_grad_norm <= 0:
             raise ValueError("max_grad_norm must be positive")
+        if self.early_stop_patience < 0:
+            raise ValueError("early_stop_patience must be >= 0 (0 disables)")
+        if self.early_stop_min_delta < 0:
+            raise ValueError("early_stop_min_delta must be >= 0")
+        if self.freeze_params is not None:
+            if (not isinstance(self.freeze_params, (list, tuple))
+                    or not all(isinstance(p, str) and p
+                               for p in self.freeze_params)):
+                raise ValueError("freeze_params must be a list of non-empty "
+                                 "param-path patterns (strings)")
+            if len(self.freeze_params) == 0:
+                raise ValueError("freeze_params must not be an empty list "
+                                 "(omit it to train everything)")
         if not 0.0 <= self.ema_decay < 1.0:
             raise ValueError("ema_decay must be in [0, 1) (0 disables)")
         if not 0.0 <= self.label_smoothing < 1.0:

@@ -1,0 +1,68 @@
+"""Best-checkpoint tracking (config save_best) and early stopping
+(config early_stop_patience).
+
+Determinism trick: learning_rate=0 keeps params fixed (only BN running
+stats drift, moving val loss by tiny amounts), and early_stop_min_delta=10
+makes those jiggles never count as improvement — so eval 0 improves
+(anything beats inf) and every later eval does not: patience P stops the
+run after exactly 1 + P evals.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from picklebot_tpu.train.loop import train
+from tests.test_train_loop import _smoke_config
+
+
+@pytest.mark.slow
+def test_early_stop_halts_after_patience(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = _smoke_config(tmp_path, learning_rate=0.0, max_iters=10,
+                        early_stop_patience=2, early_stop_min_delta=10.0)
+    summary = train(cfg)
+    assert summary["stopped_early"] is True
+    # evals at epochs 0 (improve), 1, 2 (patience exhausted) -> 3 evals
+    assert len(summary["val_losses"]) == 3
+    # near-constant loss sanity: params never moved at lr=0 (only BN
+    # running stats drift between epochs)
+    np.testing.assert_allclose(summary["val_losses"][0],
+                               summary["val_losses"][-1], rtol=0.2)
+    # the graceful finish still wrote the final checkpoint + statistics
+    assert glob.glob(str(tmp_path / "ckpt" / "*_finished" / "step_*"))
+    assert glob.glob(str(tmp_path / "statistics" / "*_val_losses.npy"))
+
+
+@pytest.mark.slow
+def test_save_best_writes_and_prunes(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = _smoke_config(tmp_path, max_iters=3, save_best=True)
+    summary = train(cfg)
+    assert summary["stopped_early"] is False
+    best_dirs = glob.glob(
+        str(tmp_path / "ckpt" / "MobileNetSmall3D_best" / "step_*"))
+    assert best_dirs, "save_best wrote no snapshot"
+    # keep-1 retention pattern: at most the newest old best + the new one
+    assert len(best_dirs) <= 2
+    # the newest best snapshot corresponds to the argmin of the val curve
+    epochs = sorted(int(os.path.basename(d).split("_")[1])
+                    for d in best_dirs)
+    vl = summary["val_losses"]
+    assert epochs[-1] == int(np.argmin(vl))
+    assert summary["best_val_loss"] == min(vl)
+    # it restores as a full training snapshot
+    from picklebot_tpu.train.checkpoint import (latest_checkpoint,
+                                                restore_checkpoint)
+    path = latest_checkpoint(str(tmp_path / "ckpt" / "MobileNetSmall3D_best"))
+    payload = restore_checkpoint(path)
+    assert "params" in payload and "opt_state" in payload
+
+
+def test_config_validates_early_stop():
+    from picklebot_tpu.utils.config import Config
+    with pytest.raises(ValueError, match="early_stop_patience"):
+        Config(model_name="MobileNetSmall3D",
+               early_stop_patience=-1).validate()
