@@ -173,9 +173,10 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         # rank stacks share its treedef, so the mask applies to both)
         from picklebot_tpu.train.freeze import freeze_mask, frozen_summary
         frozen_mask = freeze_mask(state.params, config.freeze_params)
-        fl, tl_, fn, tn = frozen_summary(state.params, frozen_mask)
-        print(f"Freezing {fl}/{tl_} param leaves "
-              f"({fn:,}/{tn:,} params) via {config.freeze_params}")
+        if jax.process_index() == 0:
+            fl, tl_, fn, tn = frozen_summary(state.params, frozen_mask)
+            print(f"Freezing {fl}/{tl_} param leaves "
+                  f"({fn:,}/{tn:,} params) via {config.freeze_params}")
 
     mean = config.mean if config.apply_mean_std else None
     std = config.std if config.apply_mean_std else None
@@ -232,6 +233,13 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     start_epoch = 0
     resume_skip = 0        # optimizer steps already done in start_epoch
     resume_global_step = 0  # TB global_step continuity across resumes
+    # early-stop / best-checkpoint state restored from the snapshot (so an
+    # interrupted+resumed run tracks best/patience exactly like an
+    # uninterrupted one — without this, the first post-resume eval always
+    # "improves" and save_best can overwrite the true best with worse weights)
+    resume_best = float("inf")
+    resume_baseline = float("inf")
+    resume_evals = 0
     if not config.checkpoint and config.auto_resume:
         # preemption recovery: pick up the newest periodic snapshot (the
         # reference has no resume at all — its start_epoch is assigned the
@@ -278,8 +286,11 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 # below (ema) or defaults to position zero (loop_state)
                 target = dict(state._asdict())
                 target["loop_state"] = np.zeros((2,), np.int64)
-                attempts = [target,
-                            {k: v for k, v in target.items()
+                target["early_stop"] = np.zeros((3,), np.float64)
+                no_es = {k: v for k, v in target.items()
+                         if k != "early_stop"}
+                attempts = [target, no_es,
+                            {k: v for k, v in no_es.items()
                              if k != "loop_state"}]
                 if target.get("ema_params") is not None:
                     for base_t in list(attempts):
@@ -296,12 +307,18 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                         if i == len(attempts) - 1:
                             raise
             loop_state = payload.pop("loop_state", None)
+            early_stop = payload.pop("early_stop", None)
             payload.setdefault("ema_params", None)
             state = TrainState(**payload)
             start_epoch = int(state.epoch)
             if loop_state is not None:
                 resume_global_step = int(np.asarray(loop_state)[0])
                 resume_skip = int(np.asarray(loop_state)[1])
+            if early_stop is not None:
+                es = np.asarray(early_stop, np.float64)
+                resume_best = float(es[0])
+                resume_baseline = float(es[1])
+                resume_evals = int(es[2])
         if resume_skip:
             print(f"Loaded checkpoint at epoch {start_epoch}, "
                   f"optimizer step {resume_skip} within the epoch")
@@ -447,10 +464,22 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     # early_stop_patience). val_loss is globally reduced in eval, so every
     # host sees the identical value and takes the identical branch — the
     # collective best-save and the loop break stay in lockstep multi-host.
-    best_val_loss = float("inf")
-    evals_since_improve = 0
+    # Two baselines on purpose (Keras EarlyStopping semantics):
+    # best_val_loss moves on ANY improvement and gates save_best;
+    # patience_baseline moves only on improvements > min_delta, so a run of
+    # steady sub-min_delta improvements still exhausts patience.
+    # All three persist in checkpoints as the "early_stop" array.
+    best_val_loss = resume_best
+    patience_baseline = resume_baseline
+    evals_since_improve = resume_evals
     stopped_early = False
     summary = {}
+
+    def early_stop_state():
+        """The checkpointed best/patience triple (float64 so inf survives)."""
+        return np.asarray(
+            [best_val_loss, patience_baseline, evals_since_improve],
+            np.float64)
 
     def host_state(st):
         """TrainState -> host numpy for checkpointing. Under multi-host
@@ -618,7 +647,8 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                         epoch,
                         {**host_state(state)._asdict(),
                          "loop_state": np.asarray(
-                             [global_step, supers_in_epoch], np.int64)},
+                             [global_step, supers_in_epoch], np.int64),
+                         "early_stop": early_stop_state()},
                         block=not config.async_checkpoint,
                         minor=supers_in_epoch)
                 if max_steps is not None and steps_this_run >= max_steps:
@@ -653,6 +683,21 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                     if writer:
                         writer.add_scalar("val loss", val_loss, epoch)
                         writer.add_scalar("val accuracy", val_accuracy, epoch)
+                # update best/patience BEFORE the end-of-epoch save so the
+                # snapshot carries this epoch's eval — a resume from it then
+                # tracks best/patience exactly like an uninterrupted run
+                improved_best = False
+                if not math.isnan(val_loss):
+                    # NaN (empty val set) counts toward neither mechanism
+                    if val_loss < patience_baseline - \
+                            config.early_stop_min_delta:
+                        evals_since_improve = 0
+                        patience_baseline = val_loss
+                    else:
+                        evals_since_improve += 1
+                    if val_loss < best_val_loss:
+                        best_val_loss = val_loss
+                        improved_best = True
                 # Orbax saves are process-collective: EVERY process must
                 # call save (orbax barriers internally and writes once) —
                 # gating on is_main deadlocks multi-host at the first save
@@ -661,7 +706,8 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                                  config.model_name),
                     epoch,
                     {**host_state(state)._asdict(),
-                     "loop_state": np.asarray([global_step, 0], np.int64)},
+                     "loop_state": np.asarray([global_step, 0], np.int64),
+                     "early_stop": early_stop_state()},
                     block=not config.async_checkpoint)
                 if is_main and config.checkpoint_every_steps:
                     # the end-of-epoch snapshot dominates this epoch's
@@ -674,29 +720,22 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                         os.path.join(config.checkpoint_dir,
                                      config.model_name),
                         keep=config.keep_checkpoints)
-                if not math.isnan(val_loss):
-                    # NaN (empty val set) counts toward neither mechanism
-                    if val_loss < best_val_loss - config.early_stop_min_delta:
-                        evals_since_improve = 0
-                    else:
-                        evals_since_improve += 1
-                    if val_loss < best_val_loss:
-                        best_val_loss = val_loss
-                        if config.save_best:
-                            best_dir = os.path.join(
-                                config.checkpoint_dir,
-                                f"{config.model_name}_best")
-                            # prune BEFORE saving (the established pattern:
-                            # at most the newest old best + the new one on
-                            # disk, even mid async write)
-                            if is_main:
-                                ckpt.prune_epochs(best_dir, keep=1)
-                            ckpt.save_checkpoint(
-                                best_dir, epoch,
-                                {**host_state(state)._asdict(),
-                                 "loop_state": np.asarray(
-                                     [global_step, 0], np.int64)},
-                                block=not config.async_checkpoint)
+                if improved_best and config.save_best:
+                    best_dir = os.path.join(
+                        config.checkpoint_dir,
+                        f"{config.model_name}_best")
+                    # prune BEFORE saving (the established pattern:
+                    # at most the newest old best + the new one on
+                    # disk, even mid async write)
+                    if is_main:
+                        ckpt.prune_epochs(best_dir, keep=1)
+                    ckpt.save_checkpoint(
+                        best_dir, epoch,
+                        {**host_state(state)._asdict(),
+                         "loop_state": np.asarray(
+                             [global_step, 0], np.int64),
+                         "early_stop": early_stop_state()},
+                        block=not config.async_checkpoint)
                 if config.early_stop_patience and \
                         evals_since_improve >= config.early_stop_patience:
                     stopped_early = True
@@ -729,7 +768,8 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                              {**host_state(state)._asdict(),
                               "loop_state": np.asarray(
                                   [global_step, supers_in_epoch],
-                                  np.int64)})
+                                  np.int64),
+                              "early_stop": early_stop_state()})
         if is_main:
             stats_dir = "statistics"
             os.makedirs(stats_dir, exist_ok=True)

@@ -61,6 +61,33 @@ def test_save_best_writes_and_prunes(tmp_path, monkeypatch):
     assert "params" in payload and "opt_state" in payload
 
 
+@pytest.mark.slow
+def test_early_stop_state_survives_resume(tmp_path, monkeypatch):
+    """best/patience are checkpointed: an interrupted+resumed run stops at
+    the same eval an uninterrupted one would. Without the restore, the
+    first post-resume eval always "improves" (best resets to inf) and
+    patience restarts, so the resumed run below would need 3 more evals
+    instead of 1 (ADVICE round 3, medium)."""
+    monkeypatch.chdir(tmp_path)
+    kw = dict(learning_rate=0.0, early_stop_patience=2,
+              early_stop_min_delta=10.0)
+    # run A: evals at epoch 0 (improves: anything beats inf) and epoch 1
+    # (lr=0 jiggle < min_delta -> evals_since_improve=1 in the snapshot)
+    cfg = _smoke_config(tmp_path, max_iters=2, **kw)
+    sa = train(cfg)
+    assert sa["stopped_early"] is False and len(sa["val_losses"]) == 2
+    from picklebot_tpu.train.checkpoint import latest_checkpoint
+    snap = latest_checkpoint(str(tmp_path / "ckpt" / "MobileNetSmall3D"))
+    # run B resumes: epoch 2's eval exhausts patience immediately (1 eval),
+    # exactly like an uninterrupted max_iters=10 run (3 evals total)
+    cfg2 = _smoke_config(tmp_path, max_iters=10, checkpoint=snap, **kw)
+    sb = train(cfg2)
+    assert sb["stopped_early"] is True
+    assert len(sb["val_losses"]) == 1
+    # the restored best carries through to the summary
+    assert np.isclose(sb["best_val_loss"], min(sa["val_losses"]), rtol=0.2)
+
+
 def test_config_validates_early_stop():
     from picklebot_tpu.utils.config import Config
     with pytest.raises(ValueError, match="early_stop_patience"):
