@@ -50,16 +50,33 @@ def read_annotations(csv_path: str) -> Tuple[List[str], np.ndarray]:
         return names, np.asarray(zones, np.int64)
 
 
-def decode_opencv(path: str) -> np.ndarray:
-    """mp4 -> (T, H, W, 3) uint8 RGB (reference dataloader.py:46-56)."""
+def sample_stride(native_fps: float, sample_fps: float) -> int:
+    """Keep every k-th frame so the output rate approximates sample_fps.
+    Unknown/zero container fps -> keep everything (never guess a rate)."""
+    if sample_fps <= 0 or native_fps <= 0:
+        return 1
+    return max(1, int(round(native_fps / sample_fps)))
+
+
+def decode_opencv(path: str, sample_fps: float = 0.0) -> np.ndarray:
+    """mp4 -> (T, H, W, 3) uint8 RGB (reference dataloader.py:46-56).
+
+    ``sample_fps`` > 0 enables frame-rate sampling (config.sample_fps):
+    only every round(container_fps / sample_fps)-th frame is kept — the
+    dropped frames skip the BGR->RGB conversion and the copy (the codec
+    still has to decode them; inter-frame codecs can't seek cheaply)."""
     import cv2
     cap = cv2.VideoCapture(path)
+    stride = sample_stride(cap.get(cv2.CAP_PROP_FPS) or 0.0, sample_fps)
     frames = []
+    i = 0
     while True:
         ret, frame = cap.read()
         if not ret:
             break
-        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        if i % stride == 0:
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        i += 1
     cap.release()
     if not frames:
         raise IOError(f"no frames decoded from {path}")
@@ -74,14 +91,16 @@ def decode_npy(path: str) -> np.ndarray:
     return np.ascontiguousarray(arr, np.uint8)
 
 
-def decode_ffmpeg(path: str) -> np.ndarray:
+def decode_ffmpeg(path: str, sample_fps: float = 0.0) -> np.ndarray:
     """Second real video decode backend: the first-party libavcodec core
     (data/native_src/videodec.cpp) — the analog of the reference's
     torchvision.io.read_video path (dataloader.py:41-43), which is likewise
     an ffmpeg integration. Same (T, H, W, 3) uint8 RGB as decode_opencv;
-    byte-parity on the same mp4s is tested (tests/test_data.py)."""
+    byte-parity on the same mp4s is tested (tests/test_data.py).
+    ``sample_fps``: same frame-rate sampling contract as decode_opencv
+    (the stride is computed in the native core)."""
     from picklebot_tpu.data.native import decode_video_ffmpeg
-    return decode_video_ffmpeg(path)
+    return decode_video_ffmpeg(path, sample_fps=sample_fps)
 
 
 class ClipDataset:
@@ -89,9 +108,22 @@ class ClipDataset:
                  backend: str = "opencv",
                  shard: int = 0, num_shards: int = 1,
                  synthetic_shape: Tuple[int, int, int] = (16, 224, 224),
-                 synthetic_len: Optional[int] = None):
+                 synthetic_len: Optional[int] = None,
+                 sample_fps: float = 0.0,
+                 transform=None, target_transform=None):
         self.video_dir = video_dir
         self.backend = backend
+        # frame-rate sampling at decode (config.sample_fps; video backends
+        # only — npy/synthetic carry no fps metadata, config validates)
+        self.sample_fps = float(sample_fps)
+        # host-side per-item hooks (reference dataloader.py:30-33, 59-62 —
+        # declared there, unused by its own train path): ``transform`` maps
+        # the decoded (T, H, W, C) uint8 clip, ``target_transform`` maps the
+        # int label. For training-time augmentation prefer the in-graph
+        # config.augment_* path (data/augment.py) — these hooks run on the
+        # (single-core) host, per item.
+        self.transform = transform
+        self.target_transform = target_transform
         if backend in ("synthetic", "synthetic_learnable"):
             n = synthetic_len or 64
             self.filenames = [f"synthetic_{i}.mp4" for i in range(n)]
@@ -110,6 +142,14 @@ class ClipDataset:
         return len(self.filenames)
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
+        clip, label = self._decode_item(idx)
+        if self.transform is not None:
+            clip = self.transform(clip)
+        if self.target_transform is not None:
+            label = self.target_transform(label)
+        return clip, label
+
+    def _decode_item(self, idx: int) -> Tuple[np.ndarray, int]:
         label = int(self.labels[idx])
         if self.backend in ("synthetic", "synthetic_learnable"):
             t, h, w = self.synthetic_shape
@@ -129,9 +169,9 @@ class ClipDataset:
             return clip, label
         path = os.path.join(self.video_dir, self.filenames[idx])
         if self.backend == "opencv":
-            return decode_opencv(path), label
+            return decode_opencv(path, self.sample_fps), label
         if self.backend == "ffmpeg":
-            return decode_ffmpeg(path), label
+            return decode_ffmpeg(path, self.sample_fps), label
         if self.backend == "npy":
             return decode_npy(path), label
         raise ValueError(f"unknown backend {self.backend}")
@@ -155,6 +195,16 @@ def pad_collate(clips: Sequence[np.ndarray], labels: Sequence[int],
     t_max = max(c.shape[0] for c in clips)
     t_out = bucket_frames(t_max, t_bucket, max_frames)
     h, w, ch = clips[0].shape[1:]
+    shapes = {c.shape[1:] for c in clips}
+    if len(shapes) > 1:
+        # a batch must share one (H, W): stacking mixed resolutions would
+        # corrupt the tensor (the in-graph config.input_size resize runs
+        # AFTER collation). Fail with the fix, not a broadcast error.
+        raise ValueError(
+            f"clips in one batch have mixed frame shapes {sorted(shapes)}; "
+            "a mixed-resolution dataset needs offline normalization "
+            "(scripts/preprocess_dataset.py --resize) — config.input_size "
+            "resizes on device but batches must still stack uniformly")
     batch = np.zeros((len(clips), t_out, h, w, ch), np.uint8)
     if native:
         from picklebot_tpu.data.native import native_collate

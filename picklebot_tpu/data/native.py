@@ -108,6 +108,12 @@ def get_videodec_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64)]
+        lib.pb_decode_video_fps.restype = ctypes.c_int
+        lib.pb_decode_video_fps.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_double,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
         lib.pb_video_free.restype = None
         lib.pb_video_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
         _VDEC_LIB = lib
@@ -118,9 +124,13 @@ def ffmpeg_available() -> bool:
     return get_videodec_lib() is not None
 
 
-def decode_video_ffmpeg(path: str, max_frames: int = 0) -> np.ndarray:
+def decode_video_ffmpeg(path: str, max_frames: int = 0,
+                        sample_fps: float = 0.0) -> np.ndarray:
     """Decode a video via the first-party libavcodec core -> (T, H, W, 3)
-    uint8 RGB. Raises RuntimeError when the native library is unavailable
+    uint8 RGB. ``sample_fps`` > 0 keeps every round(container_fps /
+    sample_fps)-th frame (the stride is computed in the native core from
+    the stream's frame rate; dropped frames skip color conversion).
+    Raises RuntimeError when the native library is unavailable
     or the file can't be decoded."""
     lib = get_videodec_lib()
     if lib is None:
@@ -132,9 +142,10 @@ def decode_video_ffmpeg(path: str, max_frames: int = 0) -> np.ndarray:
     t = ctypes.c_int64()
     h = ctypes.c_int64()
     w = ctypes.c_int64()
-    ret = lib.pb_decode_video(path.encode(), max_frames,
-                              ctypes.byref(out), ctypes.byref(t),
-                              ctypes.byref(h), ctypes.byref(w))
+    ret = lib.pb_decode_video_fps(path.encode(), max_frames,
+                                  float(sample_fps),
+                                  ctypes.byref(out), ctypes.byref(t),
+                                  ctypes.byref(h), ctypes.byref(w))
     if ret != 0:
         raise RuntimeError(f"ffmpeg decode failed for {path!r} (code {ret})")
     try:

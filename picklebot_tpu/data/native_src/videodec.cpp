@@ -48,11 +48,18 @@ struct DecodeCtx {
 
 extern "C" {
 
-// Decode up to max_frames (<=0: all) video frames of `path` into one
+// Decode up to max_frames (<=0: all) KEPT video frames of `path` into one
 // malloc'd (t, h, w, 3) uint8 RGB24 buffer. Returns 0 on success and fills
 // out/t/h/w; negative av error or -1000-series shim error otherwise.
-int pb_decode_video(const char *path, int64_t max_frames, uint8_t **out,
-                    int64_t *t, int64_t *h, int64_t *w) {
+//
+// sample_fps > 0 enables frame-rate sampling (config.sample_fps): only
+// every round(container_fps / sample_fps)-th decoded frame is converted
+// and kept — dropped frames skip the sws_scale color convert and the copy
+// (the codec still decodes them; inter-frame codecs can't seek cheaply).
+// Unknown container rate -> keep everything (never guess a rate).
+int pb_decode_video_fps(const char *path, int64_t max_frames,
+                        double sample_fps, uint8_t **out,
+                        int64_t *t, int64_t *h, int64_t *w) {
     DecodeCtx c;
     int ret = avformat_open_input(&c.fmt, path, nullptr, nullptr);
     if (ret < 0) return ret;
@@ -77,8 +84,19 @@ int pb_decode_video(const char *path, int64_t max_frames, uint8_t **out,
     c.pkt = av_packet_alloc();
     if (!c.frame || !c.rgb || !c.pkt) return -1003;
 
+    int64_t stride = 1;
+    if (sample_fps > 0) {
+        AVRational r = c.fmt->streams[stream]->avg_frame_rate;
+        if (r.num <= 0 || r.den <= 0) r = c.fmt->streams[stream]->r_frame_rate;
+        double fps = (r.num > 0 && r.den > 0) ? (double)r.num / r.den : 0.0;
+        if (fps > 0) {
+            stride = (int64_t)(fps / sample_fps + 0.5);
+            if (stride < 1) stride = 1;
+        }
+    }
+
     std::vector<uint8_t> frames;
-    int64_t width = 0, height = 0, count = 0;
+    int64_t width = 0, height = 0, count = 0, decoded = 0;
     bool flushing = false;
     bool pending = false;  // a read packet the decoder hasn't accepted yet
 
@@ -126,6 +144,10 @@ int pb_decode_video(const char *path, int64_t max_frames, uint8_t **out,
                 av_frame_unref(c.frame);
                 return -1004;  // mid-stream resolution change unsupported
             }
+            if (decoded++ % stride != 0) {
+                av_frame_unref(c.frame);
+                continue;
+            }
             c.sws = sws_getCachedContext(
                 c.sws, width, height, (AVPixelFormat)c.frame->format,
                 width, height, AV_PIX_FMT_RGB24, SWS_BILINEAR,
@@ -155,6 +177,11 @@ done:
     *h = height;
     *w = width;
     return 0;
+}
+
+int pb_decode_video(const char *path, int64_t max_frames, uint8_t **out,
+                    int64_t *t, int64_t *h, int64_t *w) {
+    return pb_decode_video_fps(path, max_frames, 0.0, out, t, h, w);
 }
 
 void pb_video_free(uint8_t *p) { std::free(p); }

@@ -128,7 +128,10 @@ def main(argv=None):
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--frames", type=int, default=32)
-    p.add_argument("--size", type=int, default=224)
+    p.add_argument("--size", type=int, default=None,
+                   help="spatial input size (default: config.input_size "
+                        "if set, else 224). serve --exported host-resizes "
+                        "mismatched clips to this")
     p.add_argument("--batch", type=int, default=-1,
                    help="-1 (default): symbolic batch dim; N: pinned")
     p.add_argument("--ema", action="store_true",
@@ -170,9 +173,12 @@ def main(argv=None):
     policy = DtypePolicy.bf16() if config.use_autocast else DtypePolicy.f32()
     mean = config.mean if config.apply_mean_std else None
     std = config.std if config.apply_mean_std else None
+    # the model trained at config.input_size sees exactly that shape here;
+    # serve --exported host-resizes any other clip to `size`
+    size = args.size or config.input_size or 224
 
     exported = export_predictor(
-        model, variables, policy, frames=args.frames, size=args.size,
+        model, variables, policy, frames=args.frames, size=size,
         mean=mean, std=std, model_name=config.model_name,
         batch=None if args.batch == -1 else args.batch,
         platforms=tuple(args.platforms.split(",")))
@@ -181,8 +187,11 @@ def main(argv=None):
         "num_classes": config.num_classes,
         "criterion": config.criterion,
         "frames": args.frames,
-        "size": args.size,
+        "size": size,
         "batch": args.batch,
+        # serve --exported strides its decode to this rate (the host-side
+        # half of the training pipeline's config.sample_fps)
+        "sample_fps": config.sample_fps,
         "platforms": args.platforms.split(","),
         "compute_dtype": str(policy.compute_dtype.__name__
                              if hasattr(policy.compute_dtype, "__name__")

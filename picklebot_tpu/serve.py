@@ -249,17 +249,23 @@ def _serve_stream(args, config, model, variables, policy, mean, std):
         print("no clips given", file=sys.stderr)
         return 1
     is_movinet = config.model_name == "MoViNetA2Stream"
+    input_size = config.input_size
 
     @jax.jit
     def stream_step(variables, feats, carry):
-        x = preprocess(feats, policy.compute_dtype, mean, std)
+        x = preprocess(feats, policy.compute_dtype, mean, std,
+                       input_size=input_size)
         (logits, carry), _ = model.apply(variables, x, carry, train=False,
                                          policy=policy)
         return logits, carry
 
     for clip_path in args.clips:
-        frames = decode_opencv(clip_path)        # (T, H, W, 3) uint8
+        # (T, H, W, 3) uint8 at native resolution/frame rate; the in-graph
+        # resize (config.input_size) runs inside stream_step
+        frames = decode_opencv(clip_path, config.sample_fps)
         t_total, h, w = frames.shape[:3]
+        if input_size:
+            h = w = input_size
         if is_movinet:
             carry = model.init_stream(1, h, w, dtype=policy.compute_dtype)
         else:
@@ -303,14 +309,21 @@ def _serve_exported(args):
         return 1
     frames, size = meta["frames"], meta["size"]
     num_classes, criterion = meta["num_classes"], meta["criterion"]
+    sample_fps = float(meta.get("sample_fps", 0.0) or 0.0)
 
     def prep(clip):
-        """(T, H, W, 3) uint8 -> (frames, size, size, 3): pad/trim T, check
-        spatial dims (the artifact's shapes are compiled in)."""
+        """(T, H, W, 3) uint8 -> (frames, size, size, 3): pad/trim T,
+        resize mismatched spatial dims HOST-side (the artifact's shapes
+        are compiled in, so the in-graph config.input_size resize can't
+        apply — cv2 here, INTER_AREA on downscale to match the antialiased
+        ops/resize.py semantics)."""
         if clip.shape[1] != size or clip.shape[2] != size:
-            raise ValueError(
-                f"artifact was exported for {size}x{size} frames, clip is "
-                f"{clip.shape[1]}x{clip.shape[2]}")
+            import cv2
+            interp = (cv2.INTER_AREA if clip.shape[1] > size
+                      else cv2.INTER_LINEAR)
+            clip = np.stack([cv2.resize(f, (size, size),
+                                        interpolation=interp)
+                             for f in clip])
         clip = clip[:frames]
         if clip.shape[0] < frames:
             clip = np.concatenate(
@@ -319,7 +332,7 @@ def _serve_exported(args):
         return clip
 
     def classify_path(path):
-        feats = prep(decode_opencv(path))[None]
+        feats = prep(decode_opencv(path, sample_fps))[None]
         logits = np.asarray(predict(feats), np.float32)
         return decode_logits(logits, criterion, num_classes)[0]
 
@@ -342,7 +355,7 @@ def _serve_exported(args):
                                  window_ms=args.batch_window)
         srv = make_http_server(args.http,
                                lambda path: batcher.submit(
-                                   prep(decode_opencv(path))),
+                                   prep(decode_opencv(path, sample_fps))),
                                {"mode": "exported", **meta})
         print(json.dumps({"serving": f"http://0.0.0.0:"
                           f"{srv.server_address[1]}"}), flush=True)
@@ -354,7 +367,8 @@ def _serve_exported(args):
         return 1
     for start in range(0, len(args.clips), args.batch):
         names = args.clips[start:start + args.batch]
-        feats = np.stack([prep(decode_opencv(c)) for c in names])
+        feats = np.stack([prep(decode_opencv(c, sample_fps))
+                          for c in names])
         logits = np.asarray(predict(feats), np.float32)
         for name, rec in zip(names, decode_logits(logits, criterion,
                                                   num_classes)):
@@ -461,6 +475,14 @@ def main(argv=None):
     policy = DtypePolicy.bf16() if config.use_autocast else DtypePolicy.f32()
     mean = config.mean if config.apply_mean_std else None
     std = config.std if config.apply_mean_std else None
+    # in-pipeline normalization of real-world inputs: clips decode at
+    # native resolution/frame rate; config.input_size resizes them INSIDE
+    # the jitted predictor (ops/resize.py), config.sample_fps strides the
+    # decode — a 1080p 60fps phone video serves without offline prep
+    input_size = config.input_size
+
+    def decode(path):
+        return decode_opencv(path, config.sample_fps)
 
     if args.stream:
         return _serve_stream(args, config, model, variables, policy,
@@ -478,7 +500,8 @@ def main(argv=None):
 
         @jax.jit
         def predict(variables, feats):
-            x = preprocess(feats, policy.compute_dtype, mean, std)
+            x = preprocess(feats, policy.compute_dtype, mean, std,
+                           input_size=input_size)
             carry = model.init_stream(x.shape[0], x.shape[2], x.shape[3],
                                       dtype=policy.compute_dtype)
             (logits, _), _ = model.apply(variables, x, carry, train=False,
@@ -492,7 +515,8 @@ def main(argv=None):
 
         mesh = make_mesh(data=args.data_parallel, model=1)
         sharded = make_sharded_predict_fn(model, mesh, policy,
-                                          mean=mean, std=std)
+                                          mean=mean, std=std,
+                                          input_size=input_size)
 
         def predict(variables, feats):
             dp = args.data_parallel
@@ -500,18 +524,32 @@ def main(argv=None):
                                     + (-feats.shape[0]) % dp)
             return sharded(variables, feats)[:b]
     else:
-        predict = make_predict_fn(model, policy, mean=mean, std=std)
+        predict = make_predict_fn(model, policy, mean=mean, std=std,
+                                   input_size=input_size)
 
     def predict_records(batch_clips):
         """clips -> per-clip prediction dicts; the one pipeline every
         checkpoint-mode consumer (CLI, CSV, HTTP) shares. The batch dim
-        buckets to powers of two so XLA compiles O(log) shapes."""
-        feats, _ = pad_collate(batch_clips, [0] * len(batch_clips),
-                               config.t_bucket, config.max_frames)
-        feats, b = pad_batch_to(
-            feats, pad_batch_pow2(feats.shape[0], args.batch))
-        logits = np.asarray(predict(variables, feats), np.float32)[:b]
-        return decode_logits(logits, config.criterion, config.num_classes)
+        buckets to powers of two so XLA compiles O(log) shapes. Clips of
+        different resolutions can't stack into one tensor, so they run as
+        same-(H, W) groups (the HTTP batcher already keys on shape; this
+        covers the CLI/CSV paths) — with config.input_size each group
+        resizes in-graph to the same model input."""
+        groups = {}
+        for i, c in enumerate(batch_clips):
+            groups.setdefault(c.shape[1:3], []).append(i)
+        records = [None] * len(batch_clips)
+        for idxs in groups.values():
+            feats, _ = pad_collate([batch_clips[i] for i in idxs],
+                                   [0] * len(idxs),
+                                   config.t_bucket, config.max_frames)
+            feats, b = pad_batch_to(
+                feats, pad_batch_pow2(feats.shape[0], args.batch))
+            logits = np.asarray(predict(variables, feats), np.float32)[:b]
+            for i, rec in zip(idxs, decode_logits(
+                    logits, config.criterion, config.num_classes)):
+                records[i] = rec
+        return records
 
     def classify(batch_clips, names):
         recs = predict_records(batch_clips)
@@ -526,7 +564,7 @@ def main(argv=None):
                                  window_ms=args.batch_window)
 
         def classify_path(path):
-            clip = decode_opencv(path)
+            clip = decode(path)
             # batch only with same-shape peers: mixed resolutions can't
             # stack, and sharing a T bucket with a longer clip would
             # change this clip's unmasked padding (see RequestBatcher)
@@ -564,7 +602,7 @@ def main(argv=None):
             return 1
         for start in range(0, len(args.clips), args.batch):
             chunk = args.clips[start:start + args.batch]
-            classify([decode_opencv(c) for c in chunk], chunk)
+            classify([decode(c) for c in chunk], chunk)
     return 0
 
 

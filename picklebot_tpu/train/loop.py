@@ -52,7 +52,8 @@ def _make_datasets(config: Config):
     kwargs = dict(backend=config.data_backend, shard=shard,
                   num_shards=num_shards,
                   synthetic_shape=config.synthetic_shape,
-                  synthetic_len=config.synthetic_len)
+                  synthetic_len=config.synthetic_len,
+                  sample_fps=config.sample_fps)
     train_ds = ClipDataset(config.train_annotations_file, config.video_paths,
                            **kwargs)
     val_ds = ClipDataset(config.val_annotations_file, config.video_paths,
@@ -195,11 +196,13 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                                  ema_decay=config.ema_decay,
                                  augment=augment,
                                  label_smoothing=config.label_smoothing,
-                                 frozen_mask=frozen_mask)
+                                 frozen_mask=frozen_mask,
+                                 input_size=config.input_size)
     eval_step = make_eval_step(model, config.criterion, policy=policy,
                                mesh=mesh, mean=mean, std=std,
                                state_specs=state_specs,
-                               zero3_templates=zero3_tmpl)
+                               zero3_templates=zero3_tmpl,
+                               input_size=config.input_size)
 
     def _multihost_synced(fn, tag):
         """Multi-host compile rendezvous: AOT-compile each new input shape,

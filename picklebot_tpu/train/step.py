@@ -93,14 +93,23 @@ def create_train_state(model: Module, optimizer: Optimizer,
 
 
 def preprocess(features: jax.Array, compute_dtype,
-               mean=None, std=None) -> jax.Array:
+               mean=None, std=None, input_size=None) -> jax.Array:
     """uint8 (..., T, H, W, C) -> compute-dtype, on-device and fused.
 
     Default is /255 only (exactly what the reference applies,
     train.py:106 — its config mean/std are declared but never used).
     Passing mean/std (per-channel) enables real standardization
-    (config.apply_mean_std)."""
+    (config.apply_mean_std).
+
+    ``input_size`` (config.input_size) resizes the frames to
+    (input_size, input_size) in-graph (ops/resize.py — bilinear,
+    antialiased): native-resolution clips stream to the chip as uint8 and
+    resample at HBM speed. Resize is linear, so applying mean/std after
+    it is exact; a matching input needs no resize (identity)."""
     x = features.astype(compute_dtype) / jnp.asarray(255, compute_dtype)
+    if input_size:
+        from picklebot_tpu.ops.resize import resize_frames
+        x = resize_frames(x, input_size)
     if mean is not None and std is not None:
         mean = jnp.asarray(mean, compute_dtype)
         std = jnp.asarray(std, compute_dtype)
@@ -137,7 +146,8 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
                     ema_decay: float = 0.0,
                     augment=None,
                     label_smoothing: float = 0.0,
-                    frozen_mask: PyTree = None):
+                    frozen_mask: PyTree = None,
+                    input_size: Optional[int] = None):
     """Build the jitted train step.
 
     Returns step(state, features, labels, rng) ->
@@ -236,7 +246,8 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
     aug = augment if augment is not None and augment.enabled() else None
 
     def micro_loss(params, model_state, feats, labels, rng):
-        x = preprocess(feats, policy.compute_dtype, mean, std)
+        x = preprocess(feats, policy.compute_dtype, mean, std,
+                       input_size=input_size)
         if aug is not None:
             # in-graph per-sample augmentation (data/augment.py) — keys
             # salted off the same micro rng, so dropout is untouched and
@@ -399,7 +410,8 @@ def make_eval_step(model: Module, criterion: str,
                    mesh: Optional[Mesh] = None,
                    mean=None, std=None,
                    state_specs=None,
-                   zero3_templates=None):
+                   zero3_templates=None,
+                   input_size: Optional[int] = None):
     """eval_step(state, features, labels, mask) ->
     {'loss': masked mean, 'loss_sum', 'correct', 'samples'}.
 
@@ -424,7 +436,8 @@ def make_eval_step(model: Module, criterion: str,
                                          "data")
         else:
             params = state.params
-        x = preprocess(features, policy.compute_dtype, mean, std)
+        x = preprocess(features, policy.compute_dtype, mean, std,
+                       input_size=input_size)
         logits, _ = model.apply(
             {"params": params, "state": state.model_state}, x,
             train=False, policy=policy)
@@ -468,12 +481,13 @@ def make_eval_step(model: Module, criterion: str,
 
 
 def make_predict_fn(model: Module, policy: Optional[DtypePolicy] = None,
-                    mean=None, std=None):
+                    mean=None, std=None, input_size=None):
     """Batched inference: uint8 clips -> logits. The bench.py entry point."""
     policy = policy or DtypePolicy.bf16()
 
     def predict(variables, features):
-        x = preprocess(features, policy.compute_dtype, mean, std)
+        x = preprocess(features, policy.compute_dtype, mean, std,
+                       input_size=input_size)
         logits, _ = model.apply(variables, x, train=False, policy=policy)
         return logits
 
@@ -482,7 +496,8 @@ def make_predict_fn(model: Module, policy: Optional[DtypePolicy] = None,
 
 def make_sharded_predict_fn(model: Module, mesh: Mesh,
                             policy: Optional[DtypePolicy] = None,
-                            mean=None, std=None, state_specs=None):
+                            mean=None, std=None, state_specs=None,
+                            input_size=None):
     """Data-parallel batched inference over a device mesh: the batch dim
     splits across the 'data' axis (must divide by its size), every device
     runs the local forward, logits gather back sharded-by-batch. The
@@ -493,7 +508,8 @@ def make_sharded_predict_fn(model: Module, mesh: Mesh,
     policy = policy or DtypePolicy.bf16()
 
     def local_predict(variables, features):
-        x = preprocess(features, policy.compute_dtype, mean, std)
+        x = preprocess(features, policy.compute_dtype, mean, std,
+                       input_size=input_size)
         logits, _ = model.apply(variables, x, train=False, policy=policy)
         return logits
 

@@ -104,6 +104,28 @@ class Config:
     #                                     window per clip (+-P translation)
     augment_brightness: float = 0.0     # per-clip brightness scale drawn
     #                                     from [1-b, 1+b]
+    input_size: Optional[int] = None    # in-pipeline spatial resize: every
+    #                                     clip/frame is resized ON DEVICE to
+    #                                     (input_size, input_size) inside the
+    #                                     jitted preprocess (bilinear,
+    #                                     antialiased — ops/resize.py) before
+    #                                     normalization/augmentation, in
+    #                                     train, eval, serve and serve --http.
+    #                                     None = feed dataset-native frames
+    #                                     (reference behavior). AOT artifacts
+    #                                     keep their compiled shape; serve
+    #                                     --exported host-resizes mismatched
+    #                                     clips instead
+    sample_fps: float = 0.0             # frame-rate sampling at decode:
+    #                                     keep every round(native_fps /
+    #                                     sample_fps)-th frame (host-side,
+    #                                     opencv + ffmpeg backends read the
+    #                                     container fps). 0 keeps every
+    #                                     frame (reference behavior). A 60
+    #                                     fps clip at sample_fps=15 yields
+    #                                     every 4th frame. npy/synthetic
+    #                                     backends carry no fps metadata ->
+    #                                     rejected at validate()
     temporal_jitter: bool = False       # train loader: clips longer than
     #                                     max_frames contribute a RANDOM
     #                                     contiguous window instead of the
@@ -309,6 +331,25 @@ class Config:
             raise ValueError("ema_decay must be in [0, 1) (0 disables)")
         if not 0.0 <= self.label_smoothing < 1.0:
             raise ValueError("label_smoothing must be in [0, 1)")
+        if self.input_size is not None:
+            if self.input_size <= 0:
+                raise ValueError("input_size must be a positive pixel size "
+                                 "(omit it to feed dataset-native frames)")
+            if self.input_size % 32 != 0:
+                # every zoo family downsamples 32x spatially; other sizes
+                # lose pixels to stride truncation (and MobileViT's patch
+                # fold needs even post-stem dims) — warn, don't reject
+                warnings.warn(
+                    f"input_size={self.input_size} is not a multiple of 32; "
+                    "the stride-32 trunks truncate edge pixels")
+        if self.sample_fps < 0:
+            raise ValueError("sample_fps must be >= 0 (0 keeps every frame)")
+        if self.sample_fps > 0 and self.data_backend in (
+                "npy", "synthetic", "synthetic_learnable"):
+            raise ValueError(
+                f"sample_fps needs a video backend with fps metadata "
+                f"(opencv/ffmpeg); data_backend={self.data_backend!r} "
+                "carries none")
         if self.augment_crop < 0:
             raise ValueError("augment_crop must be >= 0 (a padding in "
                              "pixels; 0 disables)")

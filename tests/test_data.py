@@ -240,3 +240,20 @@ def test_temporal_jitter_random_window():
                     t_bucket=8, max_frames=8)
     for i, w in enumerate(windows(lh)):
         np.testing.assert_array_equal(w[:8], sources[i][:8])
+
+
+def test_transform_hooks():
+    """transform / target_transform: per-item host-side hooks with the
+    reference's dataset API semantics (reference dataloader.py:30-33,
+    59-62 — clip mapped after decode, label mapped independently)."""
+    from picklebot_tpu.data.dataset import ClipDataset
+    base = ClipDataset("", "", backend="synthetic", synthetic_len=4,
+                       synthetic_shape=(4, 8, 8))
+    hooked = ClipDataset("", "", backend="synthetic", synthetic_len=4,
+                         synthetic_shape=(4, 8, 8),
+                         transform=lambda c: c[:, ::2, ::2],
+                         target_transform=lambda y: y + 100)
+    clip0, label0 = base[1]
+    clip1, label1 = hooked[1]
+    np.testing.assert_array_equal(clip1, clip0[:, ::2, ::2])
+    assert label1 == label0 + 100

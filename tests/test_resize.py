@@ -1,0 +1,281 @@
+"""In-pipeline spatial resize (config.input_size, ops/resize.py) and
+frame-rate sampling (config.sample_fps): real-world non-224x224 video goes
+end-to-end through train(), serve, serve --http and serve --exported
+instead of being rejected (the north-star data path — BASELINE.json:
+"clip decode, frame sampling, resize, and normalization become an
+on-device XLA preprocessing graph"; the reference has neither knob and
+assumes dataset-native 224^2, reference dataloader.py:46-56)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from picklebot_tpu.data.dataset import decode_opencv, pad_collate
+from picklebot_tpu.ops.resize import resize_frames
+from picklebot_tpu.train.loop import train
+from picklebot_tpu.utils.config import Config
+from tests.test_train_loop import _smoke_config
+
+
+def _write_mp4(path, w, h, frames=6, fps=30, seed=0):
+    cv2 = pytest.importorskip("cv2")
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                         fps, (w, h))
+    r = np.random.RandomState(seed)
+    for _ in range(frames):
+        vw.write(r.randint(0, 255, (h, w, 3)).astype(np.uint8))
+    vw.release()
+    return str(path)
+
+
+# ---------------------------------------------------------------- unit
+
+def test_resize_identity_and_shape():
+    import jax.numpy as jnp
+    x = jnp.arange(2 * 3 * 8 * 6 * 3, dtype=jnp.float32).reshape(
+        (2, 3, 8, 6, 3))
+    assert resize_frames(x, 8).shape == (2, 3, 8, 8, 3)
+    y = resize_frames(x[:, :, :, :6], 4)
+    assert y.shape == (2, 3, 4, 4, 3)
+    # same H=W=size -> the exact same array (no graph op inserted)
+    x_sq = x[:, :, :6, :6]
+    assert resize_frames(x_sq, 6) is x_sq
+
+
+def test_resize_matches_cv2_on_smooth_content(rng):
+    """Antialiased bilinear downscale tracks cv2.INTER_AREA (the offline
+    tool's kernel, scripts/preprocess_dataset.py) within a few gray
+    levels on smooth content — same resampling family, not bit-equal."""
+    cv2 = pytest.importorskip("cv2")
+    yy, xx = np.mgrid[0:96, 0:128].astype(np.float32)
+    img = np.stack([yy / 96, xx / 128, (yy + xx) / 224], -1)  # smooth ramp
+    img = (img * 255).astype(np.uint8)
+    ours = np.asarray(resize_frames(img.astype(np.float32), 32))
+    ref = cv2.resize(img, (32, 32), interpolation=cv2.INTER_AREA)
+    assert np.max(np.abs(ours - ref.astype(np.float32))) < 4.0
+
+
+def test_preprocess_resize_then_normalize():
+    """mean/std standardization applies AFTER the resize (at input_size
+    resolution) and the composition is exact because resize is linear."""
+    import jax
+    import jax.numpy as jnp
+    from picklebot_tpu.train.step import preprocess
+    x = (np.random.RandomState(0).randint(0, 255, (2, 4, 24, 16, 3))
+         .astype(np.uint8))
+    mean, std = [0.4, 0.5, 0.6], [0.2, 0.25, 0.3]
+    got = preprocess(jnp.asarray(x), jnp.float32, mean, std, input_size=8)
+    manual = resize_frames(x.astype(np.float32) / 255.0, 8)
+    manual = (manual - jnp.asarray(mean)) / jnp.asarray(std)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(manual),
+                               rtol=0, atol=1e-5)
+    assert got.shape == (2, 4, 8, 8, 3)
+
+
+def test_pad_collate_rejects_mixed_resolutions():
+    clips = [np.zeros((4, 32, 32, 3), np.uint8),
+             np.zeros((4, 48, 64, 3), np.uint8)]
+    with pytest.raises(ValueError, match="mixed frame shapes"):
+        pad_collate(clips, [0, 1])
+
+
+def test_config_validates_resize_and_fps():
+    base = dict(model_name="MobileNetSmall3D", num_classes=13)
+    with pytest.raises(ValueError, match="input_size"):
+        Config(input_size=0, **base).validate()
+    with pytest.warns(UserWarning, match="multiple of 32"):
+        Config(input_size=100, **base).validate()
+    with pytest.raises(ValueError, match="sample_fps"):
+        Config(sample_fps=-1.0, **base).validate()
+    with pytest.raises(ValueError, match="fps metadata"):
+        Config(sample_fps=10.0, data_backend="npy", **base).validate()
+    Config(input_size=224, sample_fps=10.0, data_backend="opencv",
+           **base).validate()
+
+
+# ------------------------------------------------- frame-rate sampling
+
+def test_decode_opencv_sample_fps(tmp_path):
+    vid = _write_mp4(tmp_path / "v.mp4", 48, 32, frames=30, fps=30)
+    full = decode_opencv(vid)
+    assert full.shape[0] == 30
+    # 30 fps -> 10 fps keeps every 3rd frame, byte-equal to slicing
+    sampled = decode_opencv(vid, sample_fps=10.0)
+    assert sampled.shape[0] == 10
+    np.testing.assert_array_equal(sampled, full[::3])
+    # a rate above native keeps everything
+    assert decode_opencv(vid, sample_fps=120.0).shape[0] == 30
+
+
+def test_decode_ffmpeg_sample_fps_matches_opencv(tmp_path):
+    from picklebot_tpu.data.native import ffmpeg_available
+    if not ffmpeg_available():
+        pytest.skip("native videodec unavailable")
+    from picklebot_tpu.data.dataset import decode_ffmpeg
+    vid = _write_mp4(tmp_path / "v.mp4", 48, 32, frames=30, fps=30)
+    a = decode_opencv(vid, sample_fps=10.0)
+    b = decode_ffmpeg(vid, sample_fps=10.0)
+    np.testing.assert_array_equal(a, b)
+
+
+# ------------------------------------------------------ train() e2e
+
+@pytest.mark.slow
+@pytest.mark.parametrize("w,h", [(640, 480), (1280, 720)])
+def test_train_on_real_resolution_video(tmp_path, monkeypatch, w, h):
+    """A native-resolution (VGA / 720p) mp4 dataset trains end-to-end with
+    the on-device resize: clips stream to the device as uint8 at native
+    size and the jitted step resamples them to input_size."""
+    pytest.importorskip("cv2")
+    monkeypatch.chdir(tmp_path)
+    vids = tmp_path / "vids"
+    vids.mkdir()
+    rows = ["filename,zone"]
+    for i in range(4):
+        _write_mp4(vids / f"c{i}.mp4", w, h, frames=4, seed=i)
+        rows.append(f"c{i}.mp4,{i % 3}")
+    csv = tmp_path / "ann.csv"
+    csv.write_text("\n".join(rows) + "\n")
+
+    cfg = _smoke_config(
+        tmp_path, data_backend="opencv", num_classes=3,
+        train_annotations_file=str(csv), val_annotations_file=str(csv),
+        video_paths=str(vids), input_size=32, sample_fps=15.0,
+        t_bucket=4, max_frames=4, max_iters=1, batch_size=2,
+        effective_batch_size=2)
+    summary = train(cfg, max_steps=2)
+    assert np.isfinite(summary["final_val_loss"])
+    assert summary["val_samples"] == 4
+    assert glob.glob(str(tmp_path / "ckpt" / "*_finished" / "step_*"))
+
+
+# ------------------------------------------------------ serve e2e
+
+@pytest.fixture(scope="module")
+def small_ckpt(tmp_path_factory):
+    """An untrained MobileNetSmall3D checkpoint (weights only — serving
+    doesn't need a training run)."""
+    tmp = tmp_path_factory.mktemp("ck")
+    from picklebot_tpu.models.registry import initialize_model
+    from picklebot_tpu.train import checkpoint as ckpt
+    model = initialize_model(Config(model_name="MobileNetSmall3D",
+                                    num_classes=13))
+    v = model.init(0)
+    return ckpt.save_checkpoint(str(tmp / "ck"), 0,
+                                {"params": v["params"],
+                                 "model_state": v["state"]})
+
+
+def _resize_cfg(tmp_path, **extra):
+    cfg = {
+        "model_name": "MobileNetSmall3D", "num_classes": 13,
+        "criterion": "CE", "use_autocast": False,
+        "batch_size": 2, "effective_batch_size": 2,
+        "train_annotations_file": "", "val_annotations_file": "",
+        "video_paths": "", "data_backend": "opencv",
+        "t_bucket": 4, "max_frames": 8, "input_size": 32, **extra}
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg))
+    return str(path)
+
+
+@pytest.mark.slow
+def test_serve_mixed_resolution_clips(tmp_path, capsys, small_ckpt):
+    """serve CLI classifies a VGA clip and a differently-sized clip in ONE
+    invocation (same-(H, W) groups run separate predictor calls), and the
+    prediction for a clip equals serving it alone."""
+    from picklebot_tpu import serve
+    cfg = _resize_cfg(tmp_path)
+    a = _write_mp4(tmp_path / "a.mp4", 96, 64, frames=4, seed=1)
+    b = _write_mp4(tmp_path / "b.mp4", 64, 48, frames=4, seed=2)
+
+    rc = serve.main([cfg, "--checkpoint", small_ckpt, a, b])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert [l["clip"] for l in lines] == [a, b]
+    assert all("label" in l for l in lines)
+
+    rc = serve.main([cfg, "--checkpoint", small_ckpt, a])
+    assert rc == 0
+    alone = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")][-1]
+    assert alone["pred"] == lines[0]["pred"]
+
+
+@pytest.mark.slow
+def test_serve_http_real_resolution(tmp_path, monkeypatch, small_ckpt):
+    """POST /predict with a non-224^2 (and non-input_size) mp4 returns a
+    200 prediction — previously only dataset-native shapes survived."""
+    pytest.importorskip("cv2")
+    import http.client
+    import threading
+    import time
+
+    from picklebot_tpu import serve
+
+    cfg = _resize_cfg(tmp_path)
+    body = open(_write_mp4(tmp_path / "v.mp4", 96, 64, frames=4), "rb").read()
+
+    created = {}
+    orig = serve.make_http_server
+
+    def capture(port, classify, info):
+        created["srv"] = orig(port, classify, info)
+        return created["srv"]
+
+    monkeypatch.setattr(serve, "make_http_server", capture)
+    th = threading.Thread(
+        target=serve.main,
+        args=([cfg, "--checkpoint", small_ckpt, "--http", "0"],),
+        daemon=True)
+    th.start()
+    for _ in range(500):
+        if "srv" in created:
+            break
+        time.sleep(0.02)
+    port = created["srv"].server_address[1]
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/predict", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        rec = json.loads(resp.read())
+        assert 0 <= rec["pred"] < 13 and 0 < rec["confidence"] <= 1
+    finally:
+        created["srv"].shutdown()
+    th.join(timeout=30)
+
+
+@pytest.mark.slow
+def test_serve_exported_host_resize(tmp_path, capsys):
+    """serve --exported accepts a mismatched-resolution clip by resizing
+    host-side to the artifact's compiled size (previously a hard
+    ValueError), and honors the baked-in sample_fps at decode."""
+    pytest.importorskip("cv2")
+    from picklebot_tpu import export as pexp
+    from picklebot_tpu import serve
+    from picklebot_tpu.core.module import DtypePolicy
+    from picklebot_tpu.models.registry import initialize_model
+
+    model = initialize_model(Config(model_name="MobileNetSmall3D",
+                                    num_classes=13))
+    v = model.init(0)
+    exp = pexp.export_predictor(model, v, DtypePolicy.f32(), frames=4,
+                                size=32, model_name="MobileNetSmall3D",
+                                platforms=("cpu",))
+    art = tmp_path / "m.pbz"
+    pexp.save_artifact(art, exp, {"model_name": "MobileNetSmall3D",
+                                  "num_classes": 13, "criterion": "CE",
+                                  "frames": 4, "size": 32,
+                                  "sample_fps": 15.0})
+    # 30fps 8-frame 96x64 clip: fps-sampled to 4 frames, resized to 32^2
+    vid = _write_mp4(tmp_path / "v.mp4", 96, 64, frames=8, fps=30)
+    rc = serve.main(["--exported", str(art), vid])
+    assert rc == 0
+    line = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    assert line["clip"] == vid and 0 <= line["pred"] < 13
