@@ -51,6 +51,9 @@ def main():
     p.add_argument("--mode", default="train", choices=["train", "infer"])
     p.add_argument("--model", default="MobileNetLarge3D",
                    help="any registry model (MobileViT uses xxs dims)")
+    p.add_argument("--variant", default="xxs", choices=["xxs", "xs", "s"],
+                   help="MobileViT size variant (reference "
+                        "config/mobilevit_*.json dims/channels)")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--frames", type=int, default=32)
     p.add_argument("--size", type=int, default=224)
@@ -82,9 +85,16 @@ def main():
     from picklebot_tpu.utils.autotune import measure_plan
     from picklebot_tpu.utils.config import Config
 
+    vit_dims = {           # reference config/mobilevit_{xxs,xs,s}.json
+        "xxs": ([64, 80, 96],
+                [16, 16, 24, 24, 48, 48, 64, 64, 80, 80, 320]),
+        "xs": ([96, 120, 144],
+               [16, 32, 48, 48, 64, 64, 80, 80, 96, 96, 384]),
+        "s": ([144, 192, 240],
+              [16, 32, 64, 64, 96, 96, 128, 128, 160, 160, 640]),
+    }[args.variant]
     cfg = Config(model_name=args.model, num_classes=13,
-                 dims=[64, 80, 96],
-                 channels=[16, 16, 24, 24, 48, 48, 64, 64, 80, 80, 320],
+                 dims=vit_dims[0], channels=vit_dims[1],
                  space_to_depth=args.s2d, early_fold=args.early_fold,
                  fold_span=args.fold_span)
     # MobileViTV2 is the zoo's 2D image classifier (reference
@@ -104,7 +114,9 @@ def main():
     tdesc = "" if is_image else f"T={args.frames} "
     sample = "images" if is_image else "clips"
     print(json.dumps({
-        "metric": f"{sample}/sec/chip ({args.model} {name}, "
+        "metric": f"{sample}/sec/chip ({args.model}"
+                  f"{'-' + args.variant if args.model == 'MobileViT' else ''}"
+                  f" {name}, "
                   f"bs={args.batch} {tdesc}{args.size}x{args.size} "
                   f"bf16)",
         "value": round(clips_per_sec, 2),

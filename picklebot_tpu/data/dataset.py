@@ -110,7 +110,8 @@ class ClipDataset:
                  synthetic_shape: Tuple[int, int, int] = (16, 224, 224),
                  synthetic_len: Optional[int] = None,
                  sample_fps: float = 0.0,
-                 transform=None, target_transform=None):
+                 transform=None, target_transform=None,
+                 synthetic_classes: int = 13):
         self.video_dir = video_dir
         self.backend = backend
         # frame-rate sampling at decode (config.sample_fps; video backends
@@ -127,7 +128,12 @@ class ClipDataset:
         if backend in ("synthetic", "synthetic_learnable"):
             n = synthetic_len or 64
             self.filenames = [f"synthetic_{i}.mp4" for i in range(n)]
-            self.labels = (np.arange(n) % 13).astype(np.int64)
+            # synthetic_classes sets the task's difficulty knob: the
+            # learnable signal separates classes by ~150/n_cls gray levels
+            # (statistical test gates use 4 classes so their margins sit
+            # far above seed noise; default 13 = the zone task)
+            self.labels = (np.arange(n) % max(1, synthetic_classes)
+                           ).astype(np.int64)
         else:
             self.filenames, self.labels = read_annotations(annotations_file)
         self.synthetic_shape = synthetic_shape

@@ -174,13 +174,28 @@ def pad_batch_to(feats, target):
     return feats, b
 
 
-def make_http_server(port, classify_path, info):
+def make_http_server(port, classify_path, info, max_body=256 << 20,
+                     request_timeout=120.0):
     """HTTP serving endpoint (the network-facing counterpart of the
     reference's HuggingFace demo space): POST /predict with a video file
     as the request body -> JSON prediction; GET / -> model/server info;
     GET /healthz -> load-balancer liveness probe (200 + request/error
     counters once the predictor is up).
+
+    Hostile-input posture (what a public demo endpoint meets on day one):
+      * bodies over ``max_body`` bytes -> 413, rejected BEFORE reading
+        (the Content-Length header is checked first; chunked/missing
+        length -> 411);
+      * corrupt / truncated / non-video bodies -> 400 with the decode
+        error (never a 500);
+      * decode+predict bounded by ``request_timeout`` seconds -> 504 (a
+        crafted file that stalls the decoder, or a dead accelerator
+        tunnel, must not hang the connection forever; the worker thread
+        is left to finish and its slot is not reused);
+      * a 60 s socket timeout caps slowloris bodies;
+      * every outcome counts in /healthz's request/error counters.
     Returns the ThreadingHTTPServer (caller runs serve_forever)."""
+    import concurrent.futures
     import http.server
     import os
     import tempfile
@@ -188,8 +203,21 @@ def make_http_server(port, classify_path, info):
 
     stats = {"requests": 0, "errors": 0}
     stats_lock = threading.Lock()
+    # unbounded workers: one per in-flight request, like the handler
+    # threads themselves; a timed-out classify keeps its worker until the
+    # underlying decode returns (threads can't be killed), which is the
+    # honest cost of bounding the CLIENT's wait
+    pool = concurrent.futures.ThreadPoolExecutor()
+
+    def count(error=False):
+        with stats_lock:
+            stats["requests"] += 1
+            if error:
+                stats["errors"] += 1
 
     class Handler(http.server.BaseHTTPRequestHandler):
+        timeout = 60.0  # socket timeout: slowloris bodies die here
+
         def log_message(self, *a):  # quiet: predictions go to the client
             pass
 
@@ -210,20 +238,38 @@ def make_http_server(port, classify_path, info):
         def do_POST(self):
             if self.path != "/predict":
                 return self._send(404, {"error": "POST /predict"})
-            n = int(self.headers.get("Content-Length", 0))
+            length = self.headers.get("Content-Length")
+            if length is None:
+                count(error=True)
+                return self._send(411, {"error": "Content-Length required"})
+            n = int(length)
+            if n > max_body:
+                # refuse BEFORE reading: close the connection so the
+                # client can't stream the oversize body anyway
+                count(error=True)
+                self.close_connection = True
+                return self._send(413, {"error": f"body {n} bytes exceeds "
+                                                 f"the {max_body}-byte cap"})
+            if n <= 0:
+                count(error=True)
+                return self._send(400, {"error": "empty body"})
             data = self.rfile.read(n)
             fd, path = tempfile.mkstemp(suffix=".mp4")
             try:
                 with os.fdopen(fd, "wb") as f:
                     f.write(data)
-                result = classify_path(path)
-                with stats_lock:
-                    stats["requests"] += 1
+                fut = pool.submit(classify_path, path)
+                try:
+                    result = fut.result(timeout=request_timeout)
+                except concurrent.futures.TimeoutError:
+                    count(error=True)
+                    return self._send(
+                        504, {"error": f"request exceeded "
+                                       f"{request_timeout:g}s"})
+                count()
                 self._send(200, result)
             except Exception as e:  # noqa: BLE001 — surface to the client
-                with stats_lock:
-                    stats["requests"] += 1
-                    stats["errors"] += 1
+                count(error=True)
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
             finally:
                 os.unlink(path)
@@ -356,7 +402,9 @@ def _serve_exported(args):
         srv = make_http_server(args.http,
                                lambda path: batcher.submit(
                                    prep(decode_opencv(path, sample_fps))),
-                               {"mode": "exported", **meta})
+                               {"mode": "exported", **meta},
+                               max_body=int(args.max_request_mb * 2**20),
+                               request_timeout=args.request_timeout)
         print(json.dumps({"serving": f"http://0.0.0.0:"
                           f"{srv.server_address[1]}"}), flush=True)
         srv.serve_forever()
@@ -404,6 +452,12 @@ def main(argv=None):
                    help="--http cross-request batching: wait up to MS ms "
                         "after the first request to coalesce up to --batch "
                         "clips into one predictor call (0 = no batching)")
+    p.add_argument("--max-request-mb", type=float, default=256.0,
+                   help="--http: reject POST bodies larger than this "
+                        "(413; checked before reading)")
+    p.add_argument("--request-timeout", type=float, default=120.0,
+                   help="--http: bound decode+predict per request in "
+                        "seconds (504 on expiry)")
     p.add_argument("--ema", action="store_true",
                    help="serve the EMA weights from an Orbax snapshot "
                         "trained with ema_decay > 0 (ema_params)")
@@ -577,7 +631,9 @@ def main(argv=None):
                                {"mode": "checkpoint",
                                 "model_name": config.model_name,
                                 "num_classes": config.num_classes,
-                                "criterion": config.criterion})
+                                "criterion": config.criterion},
+                               max_body=int(args.max_request_mb * 2**20),
+                               request_timeout=args.request_timeout)
         print(json.dumps({"serving": f"http://0.0.0.0:"
                           f"{srv.server_address[1]}"}), flush=True)
         srv.serve_forever()

@@ -53,7 +53,8 @@ def _make_datasets(config: Config):
                   num_shards=num_shards,
                   synthetic_shape=config.synthetic_shape,
                   synthetic_len=config.synthetic_len,
-                  sample_fps=config.sample_fps)
+                  sample_fps=config.sample_fps,
+                  synthetic_classes=config.synthetic_classes)
     train_ds = ClipDataset(config.train_annotations_file, config.video_paths,
                            **kwargs)
     val_ds = ClipDataset(config.val_annotations_file, config.video_paths,

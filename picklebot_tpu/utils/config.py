@@ -207,6 +207,11 @@ class Config:
     log_dir: str = "runs"
     synthetic_len: Optional[int] = None
     synthetic_shape: Tuple[int, int, int] = (16, 224, 224)
+    synthetic_classes: int = 13         # class count of the synthetic
+    #                                     backends (the learnable signal
+    #                                     separates classes by ~150/n gray
+    #                                     levels — fewer classes = higher
+    #                                     SNR; statistical test gates use 4)
     profile: bool = False               # jax.profiler trace of first steps
     attention_backend: str = "auto"     # auto | xla | pallas
     space_to_depth: bool = False        # fold 2x2 spatial into the stem conv

@@ -223,8 +223,8 @@ def test_serve_http_real_resolution(tmp_path, monkeypatch, small_ckpt):
     created = {}
     orig = serve.make_http_server
 
-    def capture(port, classify, info):
-        created["srv"] = orig(port, classify, info)
+    def capture(port, classify, info, **kw):
+        created["srv"] = orig(port, classify, info, **kw)
         return created["srv"]
 
     monkeypatch.setattr(serve, "make_http_server", capture)

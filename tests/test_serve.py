@@ -1,6 +1,7 @@
 """Serve CLI: classify clips / evaluate a CSV from a trained checkpoint."""
 
 import glob
+import os
 import json
 
 import numpy as np
@@ -202,8 +203,8 @@ def test_serve_http_exported(tmp_path, monkeypatch, rng):
     created = {}
     orig = serve.make_http_server
 
-    def capture(port, classify, info):
-        created["srv"] = orig(port, classify, info)
+    def capture(port, classify, info, **kw):
+        created["srv"] = orig(port, classify, info, **kw)
         return created["srv"]
 
     monkeypatch.setattr(serve, "make_http_server", capture)
@@ -372,8 +373,8 @@ def test_serve_http_concurrent_batched(tmp_path, monkeypatch, rng):
     created = {}
     orig = serve.make_http_server
 
-    def capture(port, classify, info):
-        created["srv"] = orig(port, classify, info)
+    def capture(port, classify, info, **kw):
+        created["srv"] = orig(port, classify, info, **kw)
         return created["srv"]
 
     monkeypatch.setattr(serve, "make_http_server", capture)
@@ -485,8 +486,8 @@ def test_serve_http_checkpoint_mixed_lengths(tmp_path, monkeypatch, rng):
     created = {}
     orig = serve.make_http_server
 
-    def capture(port, classify, info):
-        created["srv"] = orig(port, classify, info)
+    def capture(port, classify, info, **kw):
+        created["srv"] = orig(port, classify, info, **kw)
         return created["srv"]
 
     monkeypatch.setattr(serve, "make_http_server", capture)
@@ -531,3 +532,118 @@ def test_serve_http_checkpoint_mixed_lengths(tmp_path, monkeypatch, rng):
     finally:
         created["srv"].shutdown()
     th.join(timeout=30)
+
+
+def _run_server(classify, info=None, **kw):
+    """Start a make_http_server on an ephemeral port; returns (srv, port)."""
+    import threading
+    srv = serve.make_http_server(0, classify, info or {"mode": "test"}, **kw)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1]
+
+
+def _post(port, body, path="/predict", headers=None, timeout=30):
+    import http.client
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    conn.request("POST", path, body=body, headers=headers or {})
+    resp = conn.getresponse()
+    return resp.status, json.loads(resp.read())
+
+
+def _health(port):
+    import http.client
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/healthz")
+    return json.loads(conn.getresponse().read())
+
+
+def test_http_rejects_oversize_body():
+    """Bodies over the cap get 413 BEFORE the server reads them; the
+    error counter still moves."""
+    calls = []
+    srv, port = _run_server(lambda p: calls.append(p) or {"pred": 0},
+                            max_body=1000)
+    try:
+        status, obj = _post(port, b"x" * 5000)
+        assert status == 413 and "cap" in obj["error"]
+        assert calls == []                     # classify never ran
+        status, obj = _post(port, b"x" * 100)  # under the cap -> classified
+        assert status == 200
+        h = _health(port)
+        assert h["requests"] == 2 and h["errors"] == 1
+    finally:
+        srv.shutdown()
+
+
+def test_http_missing_length_and_empty_body():
+    srv, port = _run_server(lambda p: {"pred": 0})
+    try:
+        # chunked upload (no Content-Length) -> 411
+        import http.client
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.putrequest("POST", "/predict")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        conn.send(b"0\r\n\r\n")
+        resp = conn.getresponse()
+        assert resp.status == 411
+        json.loads(resp.read())
+        # explicit empty body -> 400
+        status, obj = _post(port, b"")
+        assert status == 400 and "empty" in obj["error"]
+        h = _health(port)
+        assert h["requests"] == 2 and h["errors"] == 2
+    finally:
+        srv.shutdown()
+
+
+def test_http_request_timeout_504():
+    """A classify stalled past the request timeout (a crafted file that
+    hangs the decoder / a dead tunnel) returns 504 instead of hanging the
+    client; later requests still work."""
+    import time
+
+    def classify(path):
+        if os.path.getsize(path) > 10:
+            time.sleep(3.0)       # the stalled decode
+        return {"pred": 1}
+
+    srv, port = _run_server(classify, request_timeout=0.3)
+    try:
+        status, obj = _post(port, b"x" * 100)
+        assert status == 504 and "0.3" in obj["error"]
+        status, obj = _post(port, b"ok")
+        assert status == 200 and obj == {"pred": 1}
+        h = _health(port)
+        assert h["requests"] == 2 and h["errors"] == 1
+    finally:
+        srv.shutdown()
+
+
+@pytest.mark.slow
+def test_http_truncated_video_is_400(tmp_path, rng):
+    """A real mp4 cut mid-file (the classic interrupted upload: mp4v puts
+    the moov index at the end) decodes to nothing -> 400, not 500."""
+    cv2 = pytest.importorskip("cv2")
+    from picklebot_tpu.data.dataset import decode_opencv
+
+    vid = tmp_path / "c.mp4"
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                        (32, 32))
+    for _ in range(6):
+        w.write(rng.randint(0, 255, (32, 32, 3)).astype(np.uint8))
+    w.release()
+    body = vid.read_bytes()[: len(vid.read_bytes()) // 2]
+
+    def classify(path):
+        decode_opencv(path)       # the serve paths' first step
+        return {"pred": 0}
+
+    srv, port = _run_server(classify)
+    try:
+        status, obj = _post(port, body)
+        assert status == 400 and "error" in obj
+        h = _health(port)
+        assert h["requests"] == 1 and h["errors"] == 1
+    finally:
+        srv.shutdown()
