@@ -239,9 +239,12 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
         if zero_stage not in (1, 3):
             raise ValueError(f"zero_stage must be 1 or 3, got {zero_stage}")
         if zero_stage == 3 and zero3_templates is None:
-            raise ValueError("zero_stage=3 needs zero3_templates "
-                             "(parallel.zero.param_templates of the FULL "
-                             "params — the rank stacks erase shapes)")
+            # the rank stacks erase the full shapes, but the model itself
+            # still knows them: derive the templates from a host-side init
+            # (numpy, instant, shape-deterministic across seeds) so
+            # callers can't forget them — the round-3 API trap
+            from picklebot_tpu.parallel.zero import param_templates
+            zero3_templates = param_templates(model.init(0)["params"])
 
     aug = augment if augment is not None and augment.enabled() else None
 

@@ -61,9 +61,11 @@ def default_plan(model_name: str, batch: int = 16,
         # 881.8 clips/s train bs=16
         return True, "boundary"
     if model_name == "MoViNetA2":
-        # block2 span: train 117.1 / infer 342.4 vs plain 102/314.8;
-        # boundary measured slower (110.9/327.7), stem-only ties train
-        # and loses infer (118.3/302.6)
+        # block2 span: train 117.1 / infer 342.4 vs plain 102/314.8 at
+        # bs=8; boundary measured slower (110.9/327.7), stem-only ties
+        # train and loses infer (118.3/302.6). Round-4 batch scaling
+        # keeps the same winner: bs=16 train 134.5 vs plain 117.4, infer
+        # 422.8 vs 347.3; bs=32 train 140.0 / infer 460.3 (docs/BENCH.md)
         return True, "block2"
     if model_name == "MobileViT":
         # trunk-boundary fold: train 231.1 vs 220.6 (stem span) at bs=8

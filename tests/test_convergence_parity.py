@@ -12,8 +12,16 @@ on the IDENTICAL synthetic_learnable clips (13 brightness classes) in the
 IDENTICAL batch order, then require both to converge well above chance and
 land within a few points of each other.
 
-Numbers from a representative run are recorded in docs/BENCH.md
-("Converged-accuracy parity").
+Gate engineering (VERDICT r3 item 4): the task runs at
+synthetic_classes=4 (~37 gray levels between class brightness means vs
+~11.5 at 13 classes) and the assertion compares MEANS over 3 init seeds
+per framework. Measured (2026-08-19, probes at 20 and 30 epochs):
+per-seed accuracies quantize on the 32-sample val set and band 0.75-1.0
+within EACH framework (single-run cross-framework gaps reach 0.25 — a
+single-seed gate cannot constrain below that), while the 3-seed means
+land at ours 0.875/0.885 vs torch 0.854/0.833 — mean gaps 0.021/0.052.
+The +-0.125 window is >= 2.4x the largest observed mean gap; the 0.6
+floor is 2.4x chance and ~0.23 under the weakest measured mean.
 """
 
 import os
@@ -38,7 +46,7 @@ BATCH = 8
 EPOCHS = 20
 LR, WD = 3e-3, 5e-4
 SHAPE = (8, 32, 32)      # (T, H, W) before ragged-T variation
-N_CLASSES = 13
+N_CLASSES = 4            # high-SNR task: gap noise << the parity window
 CHANCE = 1.0 / N_CLASSES
 
 
@@ -46,7 +54,8 @@ def _dataset_arrays():
     """The same collated uint8 arrays both frameworks consume."""
     from picklebot_tpu.data.dataset import ClipDataset, pad_collate
     ds = ClipDataset("", "", backend="synthetic_learnable",
-                     synthetic_len=N_TRAIN + N_VAL, synthetic_shape=SHAPE)
+                     synthetic_len=N_TRAIN + N_VAL, synthetic_shape=SHAPE,
+                     synthetic_classes=N_CLASSES)
 
     def collate(indices):
         clips, labels = zip(*[ds[i] for i in indices])
@@ -68,11 +77,11 @@ def _batch_orders():
     return orders
 
 
-def _train_torch(train, val, orders):
+def _train_torch(train, val, orders, seed=0):
     from mobilenet import MobileNetSmall3D as TSmall
     feats, labels = train
     vfeats, vlabels = val
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     model = TSmall(num_classes=N_CLASSES)
     model.initialize_weights()        # reference train.py:177 (a no-op here)
     opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=WD)
@@ -102,7 +111,7 @@ def _train_torch(train, val, orders):
     return correct / N_VAL
 
 
-def _train_ours(train, val, orders):
+def _train_ours(train, val, orders, seed=0):
     from picklebot_tpu.core.module import DtypePolicy
     from picklebot_tpu.models.mobilenet3d import MobileNetSmall3D
     from picklebot_tpu.train.optim import AdamW, cosine_annealing_lr
@@ -117,7 +126,7 @@ def _train_ours(train, val, orders):
                            cosine_annealing_lr(LR, EPOCHS),
                            policy=DtypePolicy.f32(), donate=False)
     eval_step = make_eval_step(model, "CE", policy=DtypePolicy.f32())
-    state = create_train_state(model, opt, 0)
+    state = create_train_state(model, opt, seed)
 
     for e, order in enumerate(orders):
         # the loop drives the schedule by epoch (loop.py), matching the
@@ -137,19 +146,28 @@ def _train_ours(train, val, orders):
     return correct / N_VAL
 
 
+SEEDS = (0, 1, 2)
+
+
 @needs_ref
 @pytest.mark.golden
 @pytest.mark.slow
 def test_converged_accuracy_parity():
     train, val, = _dataset_arrays()
     orders = _batch_orders()
-    acc_ours = _train_ours(train, val, orders)
-    acc_torch = _train_torch(train, val, orders)
-    print(f"\nconverged val accuracy: picklebot-tpu {acc_ours:.3f}, "
-          f"reference-torch {acc_torch:.3f} (chance {CHANCE:.3f})")
-    # both converge well above chance...
-    assert acc_ours >= 4 * CHANCE, acc_ours
-    assert acc_torch >= 4 * CHANCE, acc_torch
-    # ...and to the same place (different frameworks, different init/dropout
-    # draws — a few points of slack, same bar VERDICT r2 set)
-    assert abs(acc_ours - acc_torch) <= 0.15, (acc_ours, acc_torch)
+    acc_ours = [_train_ours(train, val, orders, seed=s) for s in SEEDS]
+    acc_torch = [_train_torch(train, val, orders, seed=s) for s in SEEDS]
+    m_ours = float(np.mean(acc_ours))
+    m_torch = float(np.mean(acc_torch))
+    print(f"\nconverged val accuracy (mean of {len(SEEDS)} seeds): "
+          f"picklebot-tpu {m_ours:.3f} {acc_ours}, "
+          f"reference-torch {m_torch:.3f} {acc_torch} "
+          f"(chance {CHANCE:.3f})")
+    # both converge near ceiling on the 4-class task (floor = 2.4x chance,
+    # ~0.23 under the weakest measured mean)...
+    assert m_ours >= 0.6, acc_ours
+    assert m_torch >= 0.6, acc_torch
+    # ...and to the same place: +-0.125 on 3-seed means is >= 2.4x the
+    # largest measured mean gap (module docstring) — different frameworks
+    # draw different init/dropout streams, so exact equality is undefined
+    assert abs(m_ours - m_torch) <= 0.125, (acc_ours, acc_torch)

@@ -205,10 +205,6 @@ def test_zero3_validation_errors():
     opt = AdamW()
     sched = cosine_annealing_lr(1e-3, 10)
     state = create_train_state(model, opt, jax.random.key(0), zero_degree=8)
-    with pytest.raises(ValueError, match="zero3_templates"):
-        make_train_step(model, opt, "CE", sched, mesh=make_mesh(data=8),
-                        zero_degree=8, zero_stage=3,
-                        state_specs=zero3_state_specs(state))
     with pytest.raises(ValueError, match="zero_stage"):
         make_train_step(model, opt, "CE", sched, mesh=make_mesh(data=8),
                         zero_degree=8, zero_stage=2,
@@ -268,3 +264,20 @@ def test_train_loop_zero3_end_to_end(tmp_path, monkeypatch):
         max_iters=2).validate()
     summary2 = train(resume)
     assert np.isfinite(summary2["final_val_loss"])
+
+
+def test_zero3_templates_derived_when_omitted(rng):
+    """make_train_step derives the full-shape templates from a host-side
+    model.init when zero3_templates is omitted (round-3 API trap: rank
+    stacks erase shapes and every caller had to remember the argument)."""
+    model = TinyNoBNNet()
+    opt = AdamW(weight_decay=1e-4)
+    sched = cosine_annealing_lr(1e-3, 10)
+    mesh = make_mesh(data=8)
+    feats, labels = _data(rng, accum=1, batch=8)
+    state_z, tmpl, specs = _zero3_state(model, opt, 0, 8)
+    z3 = make_train_step(model, opt, "CE", sched, policy=DtypePolicy.f32(),
+                         mesh=mesh, donate=False, state_specs=specs,
+                         zero_degree=8, zero_stage=3)   # no templates
+    state_z, m = _run(z3, state_z, feats, labels, steps=1)
+    assert np.isfinite(np.asarray(m["loss"])).all()
