@@ -74,7 +74,11 @@ def main():
     # Every plan is an exact rewrite (tests/test_early_fold*.py), so the
     # flags only move throughput.
     from picklebot_tpu.utils.autotune import default_plan
-    plan_early, plan_span = default_plan(args.model, args.batch, args.mode)
+    vit_variant_dims = {"xxs": [64, 80, 96], "xs": [96, 120, 144],
+                        "s": [144, 192, 240]}[args.variant]
+    plan_early, plan_span = default_plan(
+        args.model, args.batch, args.mode,
+        dims=vit_variant_dims if args.model == "MobileViT" else None)
     if args.fold_span is None:
         args.fold_span = plan_span
     if args.early_fold is None:

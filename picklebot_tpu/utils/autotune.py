@@ -46,11 +46,13 @@ Plan = Tuple[bool, Optional[str]]  # (early_fold, fold_span)
 
 
 def default_plan(model_name: str, batch: int = 16,
-                 mode: str = "train") -> Plan:
+                 mode: str = "train", dims=None) -> Plan:
     """The v5e-measured static defaults (docs/BENCH.md). ``mode`` is part
     of the signature because train/infer winners can differ; at the
     measured points the batch rule below already captures the one known
-    divergence (Large3D boundary-span loses only at bs>=128 inference)."""
+    divergence (Large3D boundary-span loses only at bs>=128 inference).
+    ``dims`` (MobileViT transformer dims) selects the variant: the trunk
+    fold wins only at xxs channel widths."""
     if model_name == "MobileNetLarge3D":
         # boundary span wins bs<=32 (train 496.8 vs 487.0, infer 1318 vs
         # 1285); at large batch the canonical expanded tensors' relayouts
@@ -68,7 +70,15 @@ def default_plan(model_name: str, batch: int = 16,
         # 422.8 vs 347.3; bs=32 train 140.0 / infer 460.3 (docs/BENCH.md)
         return True, "block2"
     if model_name == "MobileViT":
-        # trunk-boundary fold: train 231.1 vs 220.6 (stem span) at bs=8
+        # xxs (dims[0]=64, stem C=16/24: heavy lane padding): the trunk
+        # fold wins — train 286.3 vs plain 179, infer 678 at bs=8.
+        # xs/s (dims[0]>=96, stem C=32+): the fold LOSES everywhere
+        # measured (round 4: xs train 166.6 folded vs 200.6 plain, infer
+        # 430.7 vs 743.4; s train 134.5 vs 188.2, infer 335.8 vs 707.4)
+        # — wider stems pad less, so the fold's structural-zero MACs
+        # stop being free. Default plain for them.
+        if dims and dims[0] > 64:
+            return False, "trunk"
         return True, "trunk"
     if model_name in ("MobileNetLarge2D", "MobileNetSmall2D"):
         # the 2-D trunks batch frames into large 4-D image convs — a
