@@ -52,10 +52,16 @@ def read_annotations(csv_path: str) -> Tuple[List[str], np.ndarray]:
 
 def sample_stride(native_fps: float, sample_fps: float) -> int:
     """Keep every k-th frame so the output rate approximates sample_fps.
+
+    Rounds half-up (2.5 -> 3), NOT Python banker's rounding: the ffmpeg
+    core computes the identical ``(int64_t)(fps / sample_fps + 0.5)``
+    (native_src/videodec.cpp), and the two backends must pick the same
+    frames for the byte-parity contract to hold at half-integer ratios
+    (e.g. 25 fps at sample_fps=10).
     Unknown/zero container fps -> keep everything (never guess a rate)."""
     if sample_fps <= 0 or native_fps <= 0:
         return 1
-    return max(1, int(round(native_fps / sample_fps)))
+    return max(1, int(native_fps / sample_fps + 0.5))
 
 
 def decode_opencv(path: str, sample_fps: float = 0.0) -> np.ndarray:

@@ -229,6 +229,15 @@ def make_http_server(port, classify_path, info, max_body=256 << 20,
             self.end_headers()
             self.wfile.write(body)
 
+        def _safe_send(self, code, obj):
+            # The outcome was already counted; a client that hung up
+            # before reading the response must not crash the handler or
+            # count the same request twice.
+            try:
+                self._send(code, obj)
+            except OSError:
+                self.close_connection = True
+
         def do_GET(self):
             if self.path == "/healthz":
                 with stats_lock:
@@ -241,36 +250,55 @@ def make_http_server(port, classify_path, info, max_body=256 << 20,
             length = self.headers.get("Content-Length")
             if length is None:
                 count(error=True)
-                return self._send(411, {"error": "Content-Length required"})
-            n = int(length)
+                return self._safe_send(
+                    411, {"error": "Content-Length required"})
+            try:
+                n = int(length)
+            except ValueError:
+                count(error=True)
+                self.close_connection = True
+                return self._safe_send(
+                    400, {"error": f"malformed Content-Length: {length!r}"})
             if n > max_body:
                 # refuse BEFORE reading: close the connection so the
                 # client can't stream the oversize body anyway
                 count(error=True)
                 self.close_connection = True
-                return self._send(413, {"error": f"body {n} bytes exceeds "
-                                                 f"the {max_body}-byte cap"})
+                return self._safe_send(
+                    413, {"error": f"body {n} bytes exceeds "
+                                   f"the {max_body}-byte cap"})
             if n <= 0:
                 count(error=True)
-                return self._send(400, {"error": "empty body"})
-            data = self.rfile.read(n)
+                return self._safe_send(400, {"error": "empty body"})
+            try:
+                data = self.rfile.read(n)
+            except OSError:  # slowloris socket timeout / client vanished
+                count(error=True)
+                self.close_connection = True
+                return
             fd, path = tempfile.mkstemp(suffix=".mp4")
             try:
-                with os.fdopen(fd, "wb") as f:
-                    f.write(data)
+                try:
+                    with os.fdopen(fd, "wb") as f:
+                        f.write(data)
+                except OSError as e:  # disk full: a server-side fault
+                    count(error=True)
+                    return self._safe_send(
+                        503, {"error": f"spool write failed: {e}"})
                 fut = pool.submit(classify_path, path)
                 try:
                     result = fut.result(timeout=request_timeout)
                 except concurrent.futures.TimeoutError:
                     count(error=True)
-                    return self._send(
+                    return self._safe_send(
                         504, {"error": f"request exceeded "
                                        f"{request_timeout:g}s"})
+                except Exception as e:  # noqa: BLE001 — to the client
+                    count(error=True)
+                    return self._safe_send(
+                        400, {"error": f"{type(e).__name__}: {e}"})
                 count()
-                self._send(200, result)
-            except Exception as e:  # noqa: BLE001 — surface to the client
-                count(error=True)
-                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                self._safe_send(200, result)
             finally:
                 os.unlink(path)
 

@@ -244,15 +244,19 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     resume_best = float("inf")
     resume_baseline = float("inf")
     resume_evals = 0
-    if not config.checkpoint and config.auto_resume:
+    if config.auto_resume and (not config.checkpoint or config.warm_start):
         # preemption recovery: pick up the newest periodic snapshot (the
         # reference has no resume at all — its start_epoch is assigned the
-        # checkpoint *path*, train.py:234)
+        # checkpoint *path*, train.py:234). A warm-start run's own
+        # snapshots outrank the configured warm-start checkpoint: after
+        # preemption the fine-tune must RESUME itself, not restart from
+        # the donor weights.
         latest = ckpt.latest_checkpoint(
             os.path.join(config.checkpoint_dir, config.model_name))
         if latest:
             print(f"auto_resume: found {latest}")
-            config = dataclasses.replace(config, checkpoint=latest)
+            config = dataclasses.replace(config, checkpoint=latest,
+                                         warm_start=False)
     if config.checkpoint:
         print(f"Loading checkpoint {config.checkpoint}...")
         if config.checkpoint.endswith(".pth"):
@@ -277,6 +281,8 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 n_want = zero_degree if zero_degree > 1 else 0
                 n_saved = zero_degree_of(payload["params"],
                                          payload["opt_state"])
+                if config.warm_start:
+                    n_saved = n_want  # opt state is discarded: skip reshard
                 if n_saved != n_want:
                     print(f"Resharding optimizer state: ZeRO degree "
                           f"{n_saved} -> {n_want}")
@@ -313,16 +319,31 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             loop_state = payload.pop("loop_state", None)
             early_stop = payload.pop("early_stop", None)
             payload.setdefault("ema_params", None)
-            state = TrainState(**payload)
-            start_epoch = int(state.epoch)
-            if loop_state is not None:
-                resume_global_step = int(np.asarray(loop_state)[0])
-                resume_skip = int(np.asarray(loop_state)[1])
-            if early_stop is not None:
-                es = np.asarray(early_stop, np.float64)
-                resume_best = float(es[0])
-                resume_baseline = float(es[1])
-                resume_evals = int(es[2])
+            if config.warm_start:
+                # fine-tune entry: weights + BN stats ONLY — the optimizer,
+                # epoch counter, TB step and early-stop/best state start
+                # fresh. Inheriting a converged donor's best_val_loss /
+                # patience would mean save_best never fires and early
+                # stopping kills the fine-tune while it is improving.
+                state = state._replace(
+                    params=payload["params"],
+                    model_state=payload["model_state"],
+                    ema_params=(jax.tree_util.tree_map(
+                        np.copy, payload["params"])
+                        if state.ema_params is not None else None))
+                print("warm_start: loaded weights + BN stats; optimizer, "
+                      "epoch and early-stop state start fresh")
+            else:
+                state = TrainState(**payload)
+                start_epoch = int(state.epoch)
+                if loop_state is not None:
+                    resume_global_step = int(np.asarray(loop_state)[0])
+                    resume_skip = int(np.asarray(loop_state)[1])
+                if early_stop is not None:
+                    es = np.asarray(early_stop, np.float64)
+                    resume_best = float(es[0])
+                    resume_baseline = float(es[1])
+                    resume_evals = int(es[2])
         if resume_skip:
             print(f"Loaded checkpoint at epoch {start_epoch}, "
                   f"optimizer step {resume_skip} within the epoch")

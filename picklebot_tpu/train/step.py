@@ -432,6 +432,20 @@ def make_eval_step(model: Module, criterion: str,
     policy = policy or DtypePolicy.bf16()
     loss_fn, correct_fn = LOSSES_PER_SAMPLE[criterion]
 
+    if zero3_templates is None and state_specs is not None:
+        # Stage-3 states are detectable from their specs: params rank
+        # stacks are the only layout that shards PARAM leaves on 'data'
+        # (ZeRO is pure-DP-only, config.validate). Derive the templates
+        # exactly like make_train_step does so callers can't forget them
+        # — otherwise stacked params trace into model.apply and die with
+        # an opaque conv shape error.
+        p_leaves = jax.tree_util.tree_leaves(
+            state_specs.params, is_leaf=lambda s: isinstance(s, P))
+        if any(isinstance(s, P) and len(s) and s[0] == "data"
+               for s in p_leaves):
+            from picklebot_tpu.parallel.zero import param_templates
+            zero3_templates = param_templates(model.init(0)["params"])
+
     def local_eval(state: TrainState, features, labels, mask):
         if zero3_templates is not None:
             from picklebot_tpu.parallel.zero import zero3_gather_params

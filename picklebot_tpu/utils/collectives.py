@@ -67,11 +67,23 @@ def collective_stats(hlo_text: str) -> Dict[str, Dict[str, int]]:
             continue
         shape_text, kind, is_start = m.group(1), m.group(2), m.group(3)
         if is_start:
-            # async pair: the -start result tuple aliases the operand
-            # (would double-count); take the operand shapes instead
-            shape_text = line[m.end():line.rfind(")")]
+            # Async pair: the -start result is a tuple that ALIASES the
+            # operand (plus the true result and small u32 scratch).
+            # Counting the whole tuple double-counts; counting the
+            # operand alone would make all-gather/reduce-scatter bytes
+            # differ by a factor of N from the sync spelling. Normalize
+            # to the RESULT: tuple bytes minus operand bytes.
+            operand_bytes = _shape_bytes(line[m.end():line.rfind(")")])
+            if shape_text.startswith("("):
+                nbytes = _shape_bytes(shape_text) - operand_bytes
+                if nbytes <= 0:  # unexpected spelling: fall back
+                    nbytes = operand_bytes
+            else:
+                nbytes = _shape_bytes(shape_text)
+        else:
+            nbytes = _shape_bytes(shape_text)
         stats[kind]["count"] += 1
-        stats[kind]["bytes"] += _shape_bytes(shape_text)
+        stats[kind]["bytes"] += nbytes
     return {k: v for k, v in stats.items() if v["count"]}
 
 

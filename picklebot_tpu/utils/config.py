@@ -158,6 +158,16 @@ class Config:
     #                                     val loss by MORE than this
     #                                     (save_best keeps tracking raw
     #                                     improvements regardless)
+    warm_start: bool = False            # with `checkpoint`: load weights +
+    #                                     BN stats ONLY — fresh optimizer,
+    #                                     epoch 0, fresh early-stop/best
+    #                                     state (the fine-tune entry; the
+    #                                     default `checkpoint` semantics is
+    #                                     full resume, continuing epoch /
+    #                                     best_val_loss / patience). With
+    #                                     auto_resume, a snapshot written by
+    #                                     THIS run wins over the warm-start
+    #                                     checkpoint after preemption.
     freeze_params: Optional[list] = None  # fine-tuning: list of param-path
     #                                     patterns to freeze (module name,
     #                                     dotted prefix, or glob — e.g.
@@ -363,6 +373,9 @@ class Config:
                              "(a relative jitter; 0 disables)")
         if self.checkpoint_every_steps < 0:
             raise ValueError("checkpoint_every_steps must be >= 0")
+        if self.warm_start and not self.checkpoint:
+            raise ValueError("warm_start requires `checkpoint` (the "
+                             "snapshot to take the weights from)")
         if self.keep_checkpoints < 0:
             raise ValueError("keep_checkpoints must be >= 0 (0 keeps all)")
         if self.dcn_data_parallel < 1:

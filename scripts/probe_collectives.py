@@ -61,14 +61,22 @@ def lower_stats(model, mesh, shape, state_kw=None, step_kw=None,
 
 
 def wire_bytes(stats, n=N):
-    """Ring-model per-chip wire bytes: all-reduce 2(n-1)/n * P; gather/
-    scatter/all-to-all (n-1)/n * P (result-relative); permute 1 * P."""
+    """Ring-model per-chip wire bytes, result-relative.
+
+    all-reduce: result P, wire 2(n-1)/n * P. all-gather / all-to-all:
+    result P, wire (n-1)/n * P. reduce-scatter: result is the SCATTERED
+    chunk P/n, and a ring RS moves (n-1) chunks of that size per chip —
+    wire (n-1) * bytes (NOT (n-1)/n, which undercounts n×). Sanity
+    anchor: RS(P/n) + AG(P) must equal the all-reduce they decompose
+    ((n-1)/n*P + (n-1)/n*P = 2(n-1)/n*P). permute: 1 * P."""
     w = 0.0
     for kind, v in stats.items():
         if kind == "all-reduce":
             w += 2 * (n - 1) / n * v["bytes"]
-        elif kind in ("all-gather", "reduce-scatter", "all-to-all"):
+        elif kind in ("all-gather", "all-to-all"):
             w += (n - 1) / n * v["bytes"]
+        elif kind == "reduce-scatter":
+            w += (n - 1) * v["bytes"]
         else:
             w += v["bytes"]
     return w

@@ -39,13 +39,16 @@ def timeit_pre(h, w, reps=20):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randint(0, 255, (B, T, h, w, 3)), jnp.uint8)
 
-    def body(i, acc):
-        y = preprocess(x + i.astype(jnp.uint8), jnp.bfloat16,
-                       input_size=SIZE)
-        return acc + jnp.sum(y.astype(jnp.float32))
-
-    looped = jax.jit(lambda x0: lax.fori_loop(
-        0, reps, body, jnp.zeros((), jnp.float32)))
+    @jax.jit
+    def looped(x0):
+        # body must close over the jit ARGUMENT, not the host array —
+        # a closed-over numpy constant gets baked into the program and
+        # the 471 MB 720p input blows the remote compiler's request cap
+        def body(i, acc):
+            y = preprocess(x0 + i.astype(jnp.uint8), jnp.bfloat16,
+                           input_size=SIZE)
+            return acc + jnp.sum(y.astype(jnp.float32))
+        return lax.fori_loop(0, reps, body, jnp.zeros((), jnp.float32))
     sync(looped(x))
     t0 = time.perf_counter()
     sync(looped(x))

@@ -16,6 +16,13 @@ as matmuls the MXU likes —
 
 Measures fwd and fwd+bwd (in-graph fori_loop) for conv1 and conv4
 shapes vs the conv_general_dilated baseline; exactness asserted.
+
+CAVEAT (measured round 4): trust the fwd columns only. The fwd+bwd loop
+differentiates sum(fn(x, w)), whose cotangent is constant ones — XLA
+then constant-folds the whole dx chain (conv_transpose(ones, w) with w a
+closed-over constant) and DCEs the forward, so "fwd+bwd" can measure
+LESS than fwd (e.g. conv_dilated 1.43 vs 1.70 ms). The fwd comparison
+alone decides: im2col 5.6-6.7 ms, tapsum 3.7-27 ms vs conv 1.7-1.8 ms.
 """
 
 import os
@@ -70,8 +77,10 @@ def conv_tapsum(x, w):
 def timeit_fwd(fn, x, w, reps=20):
     def body(_, carry):
         out = fn(carry, w)
-        return carry + (1e-6 * out[..., :carry.shape[-1]]
-                        ).astype(carry.dtype)
+        # shape-agnostic data dependency (conv4 has cout < cin: a
+        # channel slice of out can't broadcast back onto carry)
+        upd = jnp.sum(out, axis=-1, keepdims=True).astype(carry.dtype)
+        return carry + 1e-6 * upd
 
     looped = jax.jit(lambda x0: lax.fori_loop(0, reps, body, x0))
     sync(looped(x))

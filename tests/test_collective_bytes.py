@@ -142,3 +142,31 @@ def test_tp_adds_activation_psums(small_model):
     # Megatron f/g: forward+backward activation psums land ON TOP of the
     # (sharded-leaf-aware) gradient reduction
     assert tp["all-reduce"]["bytes"] > pbytes, (tp, pbytes)
+
+
+def test_async_start_ops_normalized_to_result_bytes():
+    """TPU lowerings spell collectives as async -start/-done pairs whose
+    -start result is a tuple ALIASING the operand. Bytes must normalize
+    to the RESULT (what the sync spelling reports), or all-gather /
+    reduce-scatter bytes differ by a factor of N between the CPU HLO the
+    tests parse and an on-chip HLO."""
+    sync_hlo = """
+      ag = f32[8,128]{1,0} all-gather(f32[1,128]{1,0} p0), dimensions={0}
+      rs = f32[1,128]{1,0} reduce-scatter(f32[8,128]{1,0} p1), dimensions={0}
+      ar = f32[4,128]{1,0} all-reduce(f32[4,128]{1,0} p2), to_apply=add
+    """
+    async_hlo = """
+      ag = (f32[1,128]{1,0}, f32[8,128]{1,0}) all-gather-start(f32[1,128]{1,0} p0), dimensions={0}
+      agd = f32[8,128]{1,0} all-gather-done(ag)
+      rs = (f32[8,128]{1,0}, f32[1,128]{1,0}) reduce-scatter-start(f32[8,128]{1,0} p1), dimensions={0}
+      rsd = f32[1,128]{1,0} reduce-scatter-done(rs)
+      ar = (f32[4,128]{1,0}, f32[4,128]{1,0}) all-reduce-start(f32[4,128]{1,0} p2), to_apply=add
+      ard = f32[4,128]{1,0} all-reduce-done(ar)
+    """
+    s = collective_stats(sync_hlo)
+    a = collective_stats(async_hlo)
+    for kind in ("all-gather", "reduce-scatter", "all-reduce"):
+        assert a[kind]["count"] == s[kind]["count"] == 1, kind
+        assert a[kind]["bytes"] == s[kind]["bytes"], kind
+    assert s["all-gather"]["bytes"] == 8 * 128 * 4      # full result
+    assert s["reduce-scatter"]["bytes"] == 1 * 128 * 4  # scattered chunk

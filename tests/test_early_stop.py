@@ -93,3 +93,43 @@ def test_config_validates_early_stop():
     with pytest.raises(ValueError, match="early_stop_patience"):
         Config(model_name="MobileNetSmall3D",
                early_stop_patience=-1).validate()
+
+
+@pytest.mark.slow
+def test_warm_start_resets_run_state(tmp_path, monkeypatch):
+    """config warm_start: an explicit checkpoint is a fine-tune DONOR —
+    weights + BN stats load, but epoch, optimizer, TB step and the
+    early-stop/best state start fresh. Without it, a warm start from a
+    converged run inherits its best_val_loss (save_best never fires) and
+    its patience counter (early stop kills an improving fine-tune)."""
+    monkeypatch.chdir(tmp_path)
+    kw = dict(learning_rate=0.0, early_stop_patience=2,
+              early_stop_min_delta=10.0)
+    # donor: 2 epochs, snapshot holds epoch=2, evals_since_improve=1
+    sa = train(_smoke_config(tmp_path, max_iters=2, **kw))
+    from picklebot_tpu.train.checkpoint import latest_checkpoint
+    snap = latest_checkpoint(str(tmp_path / "ckpt" / "MobileNetSmall3D"))
+
+    # warm start into a fresh dir: full 2-epoch run from epoch 0 (a
+    # resume would have continued at epoch 2), and the early-stop state
+    # did NOT carry (a resume under these knobs stops after ONE eval —
+    # test_early_stop_state_survives_resume pins that)
+    ft = tmp_path / "ft"
+    ft.mkdir()
+    monkeypatch.chdir(ft)
+    cfg = _smoke_config(ft, max_iters=2, checkpoint=snap,
+                        warm_start=True, **kw)
+    sb = train(cfg)
+    assert sb["stopped_early"] is False
+    assert len(sb["val_losses"]) == 2   # epochs 0 and 1 both ran
+    # loss sanity (at lr=0 the donor's params equal its init, so this is
+    # a loaded-BN-stats sanity check, not a weight-transfer proof — the
+    # freeze-path tests cover real transfer)
+    np.testing.assert_allclose(sb["val_losses"][0], sa["val_losses"][-1],
+                               rtol=0.2)
+
+
+def test_config_validates_warm_start():
+    from picklebot_tpu.utils.config import Config
+    with pytest.raises(ValueError, match="warm_start"):
+        Config(model_name="MobileNetSmall3D", warm_start=True).validate()

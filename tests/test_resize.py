@@ -110,6 +110,20 @@ def test_decode_opencv_sample_fps(tmp_path):
     assert decode_opencv(vid, sample_fps=120.0).shape[0] == 30
 
 
+def test_sample_stride_rounds_half_up():
+    """The stride contract is round-HALF-UP — int(x + 0.5), the ffmpeg
+    core's (int64_t)(fps/sample_fps + 0.5) — NOT Python banker's
+    rounding, so both backends pick the same frames at half-integer
+    ratios (25 fps at sample_fps=10 -> 2.5 -> stride 3; round() would
+    give 2 and silently change the decoded dataset per backend)."""
+    from picklebot_tpu.data.dataset import sample_stride
+    assert sample_stride(30.0, 10.0) == 3
+    assert sample_stride(25.0, 10.0) == 3   # 2.5 rounds UP
+    assert sample_stride(35.0, 10.0) == 4   # 3.5 rounds UP too
+    assert sample_stride(30.0, 120.0) == 1  # above native: keep all
+    assert sample_stride(0.0, 10.0) == 1    # unknown fps: keep all
+
+
 def test_decode_ffmpeg_sample_fps_matches_opencv(tmp_path):
     from picklebot_tpu.data.native import ffmpeg_available
     if not ffmpeg_available():
@@ -118,6 +132,13 @@ def test_decode_ffmpeg_sample_fps_matches_opencv(tmp_path):
     vid = _write_mp4(tmp_path / "v.mp4", 48, 32, frames=30, fps=30)
     a = decode_opencv(vid, sample_fps=10.0)
     b = decode_ffmpeg(vid, sample_fps=10.0)
+    np.testing.assert_array_equal(a, b)
+    # the half-integer stride ratio (25/10 = 2.5) is where the two
+    # backends' rounding could diverge — byte parity must hold there
+    vid25 = _write_mp4(tmp_path / "v25.mp4", 48, 32, frames=25, fps=25)
+    a = decode_opencv(vid25, sample_fps=10.0)
+    b = decode_ffmpeg(vid25, sample_fps=10.0)
+    assert a.shape[0] == 9  # stride 3 over 25 frames
     np.testing.assert_array_equal(a, b)
 
 

@@ -597,6 +597,57 @@ def test_http_missing_length_and_empty_body():
         srv.shutdown()
 
 
+def test_http_malformed_content_length():
+    """'Content-Length: abc' gets a 400 JSON error, not an uncaught
+    ValueError (BaseHTTPRequestHandler only catches socket timeouts, so
+    an unhandled exception would drop the connection with no response);
+    the error counter still moves."""
+    import http.client
+    calls = []
+    srv, port = _run_server(lambda p: calls.append(p) or {"pred": 0})
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.putrequest("POST", "/predict")
+        conn.putheader("Content-Length", "abc")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        obj = json.loads(resp.read())
+        assert "Content-Length" in obj["error"]
+        assert calls == []
+        h = _health(port)
+        assert h["requests"] == 1 and h["errors"] == 1
+    finally:
+        srv.shutdown()
+
+
+def test_http_client_disconnect_counts_once():
+    """A client that hangs up before reading the response must not
+    double-count the request or mark a successful classification as an
+    error (/healthz is load-balancer truth)."""
+    import socket
+    import time
+
+    srv, port = _run_server(lambda p: {"pred": 0})
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=30)
+        body = b"x" * 64
+        s.sendall(b"POST /predict HTTP/1.1\r\nHost: t\r\n"
+                  b"Content-Length: %d\r\n\r\n" % len(body) + body)
+        s.close()                    # vanish before reading the response
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            h = _health(port)
+            if h["requests"]:
+                break
+            time.sleep(0.05)
+        time.sleep(0.2)              # let any (wrong) second count land
+        h = _health(port)
+        assert h["requests"] == 1 and h["errors"] == 0
+    finally:
+        srv.shutdown()
+
+
 def test_http_request_timeout_504():
     """A classify stalled past the request timeout (a crafted file that
     hangs the decoder / a dead tunnel) returns 504 instead of hanging the

@@ -281,3 +281,30 @@ def test_zero3_templates_derived_when_omitted(rng):
                          zero_degree=8, zero_stage=3)   # no templates
     state_z, m = _run(z3, state_z, feats, labels, steps=1)
     assert np.isfinite(np.asarray(m["loss"])).all()
+
+
+def test_zero3_eval_templates_derived_when_omitted(rng):
+    """make_eval_step detects stage-3 from the state_specs (param leaves
+    sharded on 'data' — the only layout that does that, ZeRO being
+    pure-DP-only) and derives the templates itself, closing the same API
+    trap make_train_step closed: omitting the argument must not trace
+    rank stacks into model.apply."""
+    model = TinyNoBNNet()
+    opt = AdamW(weight_decay=1e-4)
+    policy = DtypePolicy.f32()
+    mesh = make_mesh(data=8)
+    feats, labels = _data(rng, accum=1, batch=16)
+    feats, labels = feats[0], labels[0]
+    mask = np.ones((feats.shape[0],), np.float32)
+
+    state = create_train_state(model, opt, jax.random.key(0))
+    ref = make_eval_step(model, "CE", policy=policy, mesh=mesh)(
+        state, feats, labels, mask)
+
+    s3, _tmpl, specs = _zero3_state(model, opt, 0, 8)
+    ev3 = make_eval_step(model, "CE", policy=policy, mesh=mesh,
+                         state_specs=specs)   # no zero3_templates
+    got = ev3(s3, feats, labels, mask)
+    for k in ("loss", "correct", "samples"):
+        np.testing.assert_allclose(np.asarray(ref[k]), np.asarray(got[k]),
+                                   rtol=1e-6, atol=1e-7)
