@@ -241,12 +241,12 @@ def make_http_server(port, classify_path, info, max_body=256 << 20,
         def do_GET(self):
             if self.path == "/healthz":
                 with stats_lock:
-                    return self._send(200, {"status": "ok", **stats})
-            self._send(200, info)
+                    return self._safe_send(200, {"status": "ok", **stats})
+            self._safe_send(200, info)
 
         def do_POST(self):
             if self.path != "/predict":
-                return self._send(404, {"error": "POST /predict"})
+                return self._safe_send(404, {"error": "POST /predict"})
             length = self.headers.get("Content-Length")
             if length is None:
                 count(error=True)

@@ -133,3 +133,50 @@ def test_config_validates_warm_start():
     from picklebot_tpu.utils.config import Config
     with pytest.raises(ValueError, match="warm_start"):
         Config(model_name="MobileNetSmall3D", warm_start=True).validate()
+
+
+@pytest.mark.slow
+def test_warm_start_with_freeze_end_to_end(tmp_path, monkeypatch):
+    """The canonical fine-tune flow — checkpoint + warm_start +
+    freeze_params — runs end-to-end: frozen leaves stay bit-identical to
+    the donor's weights while the head trains."""
+    monkeypatch.chdir(tmp_path)
+    sa = train(_smoke_config(tmp_path, max_iters=1))
+    assert sa["val_losses"]
+    from picklebot_tpu.train.checkpoint import (latest_checkpoint,
+                                                restore_checkpoint)
+    snap = latest_checkpoint(str(tmp_path / "ckpt" / "MobileNetSmall3D"))
+    donor = restore_checkpoint(snap)
+
+    ft = tmp_path / "ft"
+    ft.mkdir()
+    monkeypatch.chdir(ft)
+    sb = train(_smoke_config(ft, max_iters=1, checkpoint=snap,
+                             warm_start=True, learning_rate=1e-2,
+                             freeze_params=["block*"]))
+    assert sb["val_losses"]
+    ft_snap = latest_checkpoint(str(ft / "ckpt" / "MobileNetSmall3D"))
+    tuned = restore_checkpoint(ft_snap)
+
+    before = _leaves(donor["params"])
+    after = _leaves(tuned["params"])
+    froze = moved = 0
+    for path in sorted(before):
+        if path.split("/")[0].startswith("block"):   # block1/2/3 frozen
+            np.testing.assert_array_equal(before[path], after[path],
+                                          err_msg=path)
+            froze += 1
+        elif not np.array_equal(before[path], after[path]):
+            moved += 1   # b4_*/fc head leaves actually trained
+    assert froze > 0 and moved > 0
+
+
+def _leaves(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_leaves(v, p))
+        else:
+            out[p] = np.asarray(v)
+    return out
