@@ -206,6 +206,19 @@ def test_measure_plan_real_tiny():
     assert rate > 0
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["train", "infer"])
+def test_measure_plan_graph_timing(mode):
+    # bench.py's reported number uses timing='graph' (steps chained in one
+    # lax.fori_loop, one dispatch per window — device time, not host-loop
+    # dispatch time); both modes must compile and return a sane rate
+    cfg = _cfg()
+    rate = at.measure_plan(cfg, (False, None), mode, (2, 2, 32, 32, 3),
+                           steps=2, warmup=1, min_window=0.0, repeats=1,
+                           timing="graph")
+    assert rate > 0
+
+
 def test_failed_entry_is_retried_not_permanent(tmp_path, monkeypatch):
     # a transiently-failed candidate must not crown a losing survivor
     # forever: a cache entry carrying failures re-measures ONLY the failed
