@@ -14,7 +14,7 @@ the artifact doesn't record the exact T the reference used; fixed here for
 reproducibility across rounds).
 
 Usage: python bench.py [--mode train|infer] [--batch 16] [--frames 32]
-                       [--steps 10]
+                       [--steps 50] [--baked]
 """
 
 from __future__ import annotations
@@ -120,10 +120,13 @@ def main():
     # the steps inside one lax.fori_loop so the reported number is DEVICE
     # time (one dispatch per window): through the remote tunnel, host-loop
     # dispatches serialize an RPC each and inflate the per-step time
-    # ~25-40% (round-4 measurement; the candidate search keeps host
-    # windows — relative margins don't need the extra exactness)
-    timing = "graph-baked" if (args.baked and args.mode == "infer") \
-        else "graph"
+    # ~9-10% at bench shapes, worse at faster steps (round-4 measurement;
+    # the candidate search keeps host windows — relative margins don't
+    # need the extra exactness)
+    if args.baked and args.mode != "infer":
+        p.error("--baked is inference-only (training weights change every "
+                "step); add --mode infer")
+    timing = "graph-baked" if args.baked else "graph"
     clips_per_sec = measure_plan(
         cfg, (args.early_fold, args.fold_span), args.mode, shape,
         steps=args.steps, warmup=args.warmup, timing=timing)

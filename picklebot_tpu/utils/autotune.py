@@ -183,9 +183,10 @@ def measure_plan(config, plan: Plan, mode: str, shape: Tuple[int, ...],
       * 'host' — a Python loop of dispatches with one trailing sync. The
         autotuner's candidate search uses this (relative margins, no extra
         compile); through the remote tunnel each dispatch serializes an
-        RPC that does NOT pipeline, inflating the per-step time ~25-40%
-        (measured round 4: infer bs=16 read 10.0 ms/step host vs 7.2
-        in-graph).
+        RPC that does NOT pipeline, inflating the per-step time ~9-10% at
+        bench shapes (measured round 4, Large3D bs=16: infer 10.03
+        ms/step host vs 9.10 in-graph, train 31.76 vs 28.95) and worse
+        as steps get faster (the roundtrip is a fixed tens-of-ms cost).
       * 'graph' — ``steps`` CHAINED steps inside one lax.fori_loop (train
         carries the TrainState; inference feeds the logits back into the
         input so no two iterations can overlap), ONE dispatch per window:
@@ -310,18 +311,20 @@ def measure_plan(config, plan: Plan, mode: str, shape: Tuple[int, ...],
                     sync(looped(variables, feats))
                     return time.perf_counter() - t0
 
-        for _ in range(max(1, warmup // 3)):
-            window_graph()               # compile + warm
+        # ONE warmup window always (compile + warm): a graph window is
+        # itself `steps` chained iterations, so per-step warmup counts
+        # don't apply; `warmup` is a host-mode knob.
+        window_graph()
         # NO multi-call auto-range here: every window call pays ONE full
         # tunnel dispatch+readback roundtrip (tens of ms), so repeating
         # calls re-introduces exactly the overhead graph timing removes
         # (measured round 4: 8 calls of a 72 ms window read 11.2 ms/step
-        # where one 50-step window reads ~7.5). Amortization must come
+        # where one 50-step window read 9.1). Amortization must come
         # from `steps` (baked into the program) — callers wanting device
         # time pass steps large enough that steps*step_time >> roundtrip
-        # (bench.py defaults to 50). Best-of-repeats as in host mode.
+        # (bench.py defaults to 50). Best-of-`repeats` as in host mode.
         best = batch * steps / window_graph()
-        for _ in range(max(repeats, 2) - 1):
+        for _ in range(max(repeats, 1) - 1):
             best = max(best, batch * steps / window_graph())
         return best
 
