@@ -219,6 +219,24 @@ def test_measure_plan_graph_timing(mode):
     assert rate > 0
 
 
+@pytest.mark.slow
+def test_measure_plan_graph_baked():
+    # the SERVING number (bench.py --baked): weights closed over as
+    # compile-time constants — the same program shape the AOT export /
+    # `serve --exported` path runs (BN folded, weights pre-laid-out).
+    # Must compile and return a sane rate; training must be rejected
+    # (weights change every step, baking them is meaningless).
+    cfg = _cfg()
+    rate = at.measure_plan(cfg, (False, None), "infer", (2, 2, 32, 32, 3),
+                           steps=2, warmup=1, min_window=0.0, repeats=1,
+                           timing="graph-baked")
+    assert rate > 0
+    with pytest.raises(ValueError, match="inference-only"):
+        at.measure_plan(cfg, (False, None), "train", (2, 2, 32, 32, 3),
+                        steps=2, warmup=1, min_window=0.0, repeats=1,
+                        timing="graph-baked")
+
+
 def test_failed_entry_is_retried_not_permanent(tmp_path, monkeypatch):
     # a transiently-failed candidate must not crown a losing survivor
     # forever: a cache entry carrying failures re-measures ONLY the failed
