@@ -39,9 +39,9 @@ def _require_devices(timeout_s: float = 600.0):
             "metric": "clips/sec/chip (unmeasured)",
             "value": 0.0, "unit": "clips/s", "vs_baseline": 0.0,
             "error": f"{e} — no measurement taken",
-            "last_recorded": "BENCH_r02.json: 503.7 clips/s "
-                             "(vs_baseline 239.86) on this same "
-                             "workload, captured by the round-2 driver",
+            "last_recorded": "BENCH_r03.json: 509.7 clips/s "
+                             "(vs_baseline 242.7) on this same "
+                             "workload, captured by the round-3 driver",
         }), flush=True)
         raise SystemExit(1)
 

@@ -134,12 +134,18 @@ TRANSIENT_STATE_LEAVES = ("aux_loss",)
 
 def import_torch_state_dict(
         sd: Dict[str, np.ndarray], variables: Variables,
-        key_map=None, strict: bool = True) -> Variables:
+        key_map=None, strict: bool = True,
+        partial: bool = False) -> Variables:
     """Graft a torch state_dict onto an initialized variables pytree.
 
     ``key_map(torch_key) -> (flat_path, is_state) | None`` lets models remap
     structurally-renamed layers (e.g. classifier convs that became Dense).
     BatchNorm affine params map weight->scale, bias->bias within params.
+
+    ``partial=True`` (transfer learning): a torch leaf whose shape cannot
+    convert to the target's (e.g. a head trained at a different class
+    count) keeps the fresh initialization instead of raising — pair with
+    ``strict=False`` so donor-only keys are skipped too.
     """
     flat_params = flatten_dict(variables["params"])
     flat_state = flatten_dict(variables["state"])
@@ -167,9 +173,15 @@ def import_torch_state_dict(
                     raise KeyError(f"{tk} -> state path {path} not found")
                 unused.append(tk)
                 continue
+            try:
+                conv = _convert_leaf(tk, v, flat_state[path])
+            except ValueError:
+                if not partial:
+                    raise
+                unused.append(tk)
+                continue
             new_state[path] = jnp.asarray(
-                np.array(_convert_leaf(tk, v, flat_state[path]), copy=True),
-                flat_state[path].dtype)
+                np.array(conv, copy=True), flat_state[path].dtype)
         else:
             # BN affine: our param names are scale/bias, torch weight/bias
             if path not in flat_params:
@@ -185,9 +197,15 @@ def import_torch_state_dict(
                         raise KeyError(f"{tk} -> param path {path} not found")
                     unused.append(tk)
                     continue
+            try:
+                conv = _convert_leaf(tk, v, flat_params[path])
+            except ValueError:
+                if not partial:
+                    raise
+                unused.append(tk)
+                continue
             new_params[path] = jnp.asarray(
-                np.array(_convert_leaf(tk, v, flat_params[path]), copy=True),
-                flat_params[path].dtype)
+                np.array(conv, copy=True), flat_params[path].dtype)
     if unused:
         print(f"[checkpoint] {len(unused)} torch keys unused: {unused[:8]}...")
     return {"params": unflatten_dict(new_params),
@@ -195,10 +213,44 @@ def import_torch_state_dict(
 
 
 def load_pth(path: str, variables: Variables, key_map=None,
-             strict: bool = True) -> Variables:
+             strict: bool = True, partial: bool = False) -> Variables:
     """One-call reference-checkpoint import (north-star parity gate)."""
     return import_torch_state_dict(load_torch_state_dict(path), variables,
-                                   key_map=key_map, strict=strict)
+                                   key_map=key_map, strict=strict,
+                                   partial=partial)
+
+
+def graft_matching(donor: Any, fresh: Any):
+    """Transfer-learning merge: each donor leaf whose flat path exists in
+    ``fresh`` with the SAME shape replaces the fresh leaf (cast to the fresh
+    dtype); everything else keeps the fresh initialization.
+
+    Returns ``(merged, grafted, skipped)`` — ``grafted`` the transferred
+    paths, ``skipped`` a list of ``(path, reason)`` for donor leaves that
+    did not land (unknown path or shape mismatch, e.g. a classifier head
+    at a different ``num_classes``). The torch recipe this replaces is
+    "delete the mismatched keys, then load_state_dict(strict=False)" —
+    the reference has no fine-tune entry of its own (train.py loads
+    checkpoints only as full weight sets).
+    """
+    df = flatten_dict(donor)
+    ff = flatten_dict(fresh)
+    merged = dict(ff)
+    grafted, skipped = [], []
+    for path in sorted(df):
+        leaf = df[path]
+        if path not in ff:
+            skipped.append((path, "no matching leaf in the fresh model"))
+            continue
+        tgt = np.asarray(ff[path])
+        src = np.asarray(leaf)
+        if src.shape != tgt.shape:
+            skipped.append(
+                (path, f"donor shape {src.shape} != fresh {tgt.shape}"))
+            continue
+        merged[path] = src.astype(tgt.dtype, copy=False)
+        grafted.append(path)
+    return unflatten_dict(merged), grafted, skipped
 
 
 # --------------------------------------------------------------------------

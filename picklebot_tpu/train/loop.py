@@ -59,6 +59,18 @@ def _make_datasets(config: Config):
                            **kwargs)
     val_ds = ClipDataset(config.val_annotations_file, config.video_paths,
                          **kwargs)
+    if config.criterion == "CE":
+        # a label >= num_classes hits CE's out-of-bounds NaN-fill gather and
+        # train loss goes silently NaN — fail loudly at startup instead
+        # (annotation-file labels are host numpy; synthetic labels are
+        # bounded by the synthetic_classes <= num_classes config check)
+        for name, ds in (("train", train_ds), ("val", val_ds)):
+            labels = np.asarray(ds.labels)
+            if labels.size and labels.max() >= config.num_classes:
+                raise ValueError(
+                    f"{name} annotations contain label {labels.max()} but "
+                    f"num_classes={config.num_classes} (labels must be in "
+                    f"[0, num_classes) for CE)")
     return train_ds, val_ds
 
 
@@ -262,7 +274,9 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         if config.checkpoint.endswith(".pth"):
             variables = {"params": state.params, "state": state.model_state}
             variables = ckpt.load_pth(config.checkpoint, variables,
-                                      key_map=key_map_for(config.model_name))
+                                      key_map=key_map_for(config.model_name),
+                                      strict=not config.warm_start_partial,
+                                      partial=config.warm_start_partial)
             state = state._replace(
                 params=variables["params"],
                 model_state=variables["state"],
@@ -270,7 +284,14 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                     np.copy, variables["params"])
                     if state.ema_params is not None else None))
         else:
-            if mp == 1 and ep == 1:
+            if config.warm_start:
+                # fine-tune donor: only weights + BN stats are taken, so
+                # restore RAW (no target) — ANY donor layout/optimizer
+                # loads (its opt state is discarded), including a
+                # different-head donor under warm_start_partial where a
+                # target-shaped restore would reject the mismatched leaf
+                payload = ckpt.restore_checkpoint(config.checkpoint)
+            elif mp == 1 and ep == 1:
                 # layout-aware restore: a ZeRO checkpoint can resume at a
                 # different DP degree (or with zero_sharding toggled) —
                 # restore raw, detect the saved layout, reshard host-side
@@ -281,8 +302,6 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 n_want = zero_degree if zero_degree > 1 else 0
                 n_saved = zero_degree_of(payload["params"],
                                          payload["opt_state"])
-                if config.warm_start:
-                    n_saved = n_want  # opt state is discarded: skip reshard
                 if n_saved != n_want:
                     print(f"Resharding optimizer state: ZeRO degree "
                           f"{n_saved} -> {n_want}")
@@ -325,11 +344,34 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 # fresh. Inheriting a converged donor's best_val_loss /
                 # patience would mean save_best never fires and early
                 # stopping kills the fine-tune while it is improving.
+                donor_params = payload["params"]
+                donor_mstate = payload["model_state"]
+                if config.warm_start_partial:
+                    # transfer learning: graft only shape-matching leaves
+                    # (a head at a different num_classes keeps its fresh
+                    # init); loud about every leaf that did not transfer
+                    donor_params, got_p, skip_p = ckpt.graft_matching(
+                        donor_params, state.params)
+                    donor_mstate, _, skip_s = ckpt.graft_matching(
+                        donor_mstate, state.model_state)
+                    if not got_p:
+                        raise ValueError(
+                            "warm_start_partial: NO donor param leaf "
+                            f"matched the fresh {config.model_name} — "
+                            "wrong donor checkpoint? First donor paths: "
+                            f"{[p for p, _ in skip_p[:5]]}")
+                    if jax.process_index() == 0:
+                        for path, why in skip_p + skip_s:
+                            print(f"warm_start_partial: kept fresh "
+                                  f"{path} ({why})")
+                        print(f"warm_start_partial: grafted {len(got_p)} "
+                              f"param leaves; {len(skip_p) + len(skip_s)} "
+                              "kept fresh init")
                 state = state._replace(
-                    params=payload["params"],
-                    model_state=payload["model_state"],
+                    params=donor_params,
+                    model_state=donor_mstate,
                     ema_params=(jax.tree_util.tree_map(
-                        np.copy, payload["params"])
+                        np.copy, donor_params)
                         if state.ema_params is not None else None))
                 print("warm_start: loaded weights + BN stats; optimizer, "
                       "epoch and early-stop state start fresh")

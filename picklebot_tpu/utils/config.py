@@ -168,6 +168,17 @@ class Config:
     #                                     auto_resume, a snapshot written by
     #                                     THIS run wins over the warm-start
     #                                     checkpoint after preemption.
+    warm_start_partial: bool = False    # with `warm_start`: graft only the
+    #                                     donor leaves whose path AND shape
+    #                                     match the fresh init — mismatched
+    #                                     leaves (e.g. a classifier head at
+    #                                     a different num_classes) keep
+    #                                     their fresh initialization. The
+    #                                     transfer-learning entry (torch:
+    #                                     load_state_dict(strict=False) +
+    #                                     reinit head). Skipped paths print
+    #                                     loudly; zero grafted leaves is an
+    #                                     error (wrong donor).
     freeze_params: Optional[list] = None  # fine-tuning: list of param-path
     #                                     patterns to freeze (module name,
     #                                     dotted prefix, or glob — e.g.
@@ -275,6 +286,15 @@ class Config:
         if self.data_backend not in ("opencv", "ffmpeg", "npy", "synthetic",
                                      "synthetic_learnable"):
             raise ValueError(f"Invalid data_backend: {self.data_backend}")
+        if (self.data_backend.startswith("synthetic")
+                and self.criterion == "CE"
+                and self.synthetic_classes > self.num_classes):
+            raise ValueError(
+                f"synthetic_classes={self.synthetic_classes} > "
+                f"num_classes={self.num_classes}: labels outside the logit "
+                "range hit CE's out-of-bounds NaN-fill gather and train "
+                "loss goes silently NaN — lower synthetic_classes (fewer "
+                "classes than logits is fine)")
         if self.model_parallel > 1:
             if self.model_name != "MobileViT":
                 raise ValueError(
@@ -376,6 +396,10 @@ class Config:
         if self.warm_start and not self.checkpoint:
             raise ValueError("warm_start requires `checkpoint` (the "
                              "snapshot to take the weights from)")
+        if self.warm_start_partial and not self.warm_start:
+            raise ValueError("warm_start_partial requires warm_start "
+                             "(it qualifies WHICH donor weights load; a "
+                             "full resume must restore every leaf)")
         if self.keep_checkpoints < 0:
             raise ValueError("keep_checkpoints must be >= 0 (0 keeps all)")
         if self.dcn_data_parallel < 1:
