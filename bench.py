@@ -15,6 +15,14 @@ reproducibility across rounds).
 
 Usage: python bench.py [--mode train|infer] [--batch 16] [--frames 32]
                        [--steps 50] [--baked]
+       python bench.py --matrix [--only Large3D] [--matrix-out FILE]
+
+``--matrix`` measures the standard row set (every model/variant x mode x
+standard batches — the BENCH.md tables, machine-generated) and writes ONE
+JSON artifact with a ``timing`` field per row, so round-over-round perf is
+diffable instead of hand-curated. Rows are written incrementally; a row
+that fails (OOM, compile rejection) is recorded with its error and the
+matrix continues.
 """
 
 from __future__ import annotations
@@ -23,6 +31,110 @@ import argparse
 import json
 
 BASELINE_CLIPS_PER_SEC = 2.1  # reference steady-state train step (BASELINE.md)
+
+# The standard matrix: (model, variant, mode, batch, frames, size, baked).
+# Mirrors docs/BENCH.md's curated tables; variant is MobileViT-only. Train
+# rows at bs>=128 are the saturation curve (round-5); baked rows are the
+# AOT serving program. MobileViTV2 is the 2D image model (size 256, no T).
+MATRIX_ROWS = [
+    ("MobileNetLarge3D", None, "train", 16, 32, 224, False),
+    ("MobileNetLarge3D", None, "train", 64, 32, 224, False),
+    ("MobileNetLarge3D", None, "train", 128, 32, 224, False),
+    ("MobileNetLarge3D", None, "train", 256, 32, 224, False),
+    ("MobileNetLarge3D", None, "infer", 16, 32, 224, False),
+    ("MobileNetLarge3D", None, "infer", 64, 32, 224, False),
+    ("MobileNetLarge3D", None, "infer", 256, 32, 224, False),
+    ("MobileNetLarge3D", None, "infer", 16, 32, 224, True),
+    ("MobileNetLarge3D", None, "infer", 256, 32, 224, True),
+    ("MobileNetSmall3D", None, "train", 16, 32, 224, False),
+    ("MobileNetSmall3D", None, "infer", 16, 32, 224, False),
+    ("MoViNetA2", None, "train", 8, 32, 224, False),
+    ("MoViNetA2", None, "train", 32, 32, 224, False),
+    ("MoViNetA2", None, "infer", 32, 32, 224, False),
+    ("MobileViT", "xxs", "train", 8, 16, 256, False),
+    ("MobileViT", "xxs", "infer", 8, 16, 256, False),
+    ("MobileViT", "xs", "train", 8, 16, 256, False),
+    ("MobileViT", "s", "train", 8, 16, 256, False),
+    ("MobileNetLarge2D", None, "train", 8, 16, 224, False),
+    ("MobileNetLarge2D", None, "infer", 8, 16, 224, False),
+    ("MobileNetSmall2D", None, "train", 8, 16, 224, False),
+    ("MobileViTV2", None, "train", 32, 0, 256, False),
+    ("MobileViTV2", None, "infer", 32, 0, 256, False),
+]
+
+
+def _measure_row(model, variant, mode, batch, frames, size, baked,
+                 steps=50, warmup=3):
+    """One matrix row -> result dict (shared path with the single-line
+    bench: default_plan -> measure_plan, timing='graph'/'graph-baked')."""
+    from picklebot_tpu.utils.autotune import default_plan, measure_plan
+    from picklebot_tpu.utils.config import Config
+
+    vit_dims = {
+        "xxs": ([64, 80, 96],
+                [16, 16, 24, 24, 48, 48, 64, 64, 80, 80, 320]),
+        "xs": ([96, 120, 144],
+               [16, 32, 48, 48, 64, 64, 80, 80, 96, 96, 384]),
+        "s": ([144, 192, 240],
+              [16, 32, 64, 64, 96, 96, 128, 128, 160, 160, 640]),
+    }
+    dims, channels = vit_dims.get(variant or "xxs", vit_dims["xxs"])
+    early, span = default_plan(model, batch, mode,
+                               dims=dims if model == "MobileViT" else None)
+    cfg = Config(model_name=model, num_classes=13,
+                 dims=dims, channels=channels,
+                 early_fold=early, fold_span=span)
+    is_image = model == "MobileViTV2"
+    shape = ((batch, size, size, 3) if is_image
+             else (batch, frames, size, size, 3))
+    timing = "graph-baked" if baked else "graph"
+    row = {"model": model, "variant": variant, "mode": mode,
+           "batch": batch, "frames": None if is_image else frames,
+           "size": size, "baked": baked,
+           "plan": {"early_fold": early, "fold_span": span},
+           "timing": timing, "steps": steps,
+           "unit": "images/s" if is_image else "clips/s"}
+    try:
+        stats: dict = {}
+        row["value"] = round(measure_plan(
+            cfg, (early, span), mode, shape,
+            steps=steps, warmup=warmup, timing=timing, stats=stats), 2)
+        # hardware utilization from the SAME compile (XLA cost analysis):
+        # step time from the graph-timed number, peaks = v5e (197 bf16
+        # TFLOP/s MXU, 819 GB/s HBM — the MFU table in docs/BENCH.md)
+        if row["value"] and "flops_per_step" in stats:
+            step_s = batch / row["value"]
+            row["ms_per_step"] = round(1e3 * step_s, 3)
+            row["tflops"] = round(stats["flops_per_step"] / step_s / 1e12, 2)
+            row["mfu_pct"] = round(100 * row["tflops"] / 197.0, 2)
+            if "bytes_per_step" in stats:
+                row["hbm_gbps"] = round(
+                    stats["bytes_per_step"] / step_s / 1e9, 1)
+                row["hbm_pct"] = round(100 * row["hbm_gbps"] / 819.0, 1)
+    except Exception as e:  # OOM / compile rejection: record, keep going
+        row["value"] = None
+        row["error"] = f"{type(e).__name__}: {e}"[:500]
+    return row
+
+
+def run_matrix(args) -> None:
+    import time
+    rows = [r for r in MATRIX_ROWS
+            if not args.only or args.only.lower() in r[0].lower()]
+    out = {"rows": [], "steps": args.steps,
+           "device": None, "started": time.strftime("%Y-%m-%d %H:%M:%S")}
+    import jax
+    out["device"] = str(jax.devices()[0].device_kind)
+    for i, r in enumerate(rows):
+        t0 = time.time()
+        row = _measure_row(*r, steps=args.steps, warmup=args.warmup)
+        row["measure_wall_s"] = round(time.time() - t0, 1)
+        out["rows"].append(row)
+        print(json.dumps(row), flush=True)
+        with open(args.matrix_out, "w") as fh:  # incremental: survive kills
+            json.dump(out, fh, indent=1)
+    print(f"# matrix: {len(out['rows'])} rows -> {args.matrix_out}",
+          flush=True)
 
 
 def _require_devices(timeout_s: float = 600.0):
@@ -67,6 +179,13 @@ def main():
                         "folds BN + pre-lays-out weights, +43%% at "
                         "Large3D bs=16) — the SERVING number")
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--matrix", action="store_true",
+                   help="measure the standard row set (every model/variant "
+                        "x mode x standard batches) and write ONE JSON "
+                        "artifact with a timing field per row")
+    p.add_argument("--matrix-out", default="BENCH_MATRIX.json")
+    p.add_argument("--only", default=None,
+                   help="matrix row filter (substring of the model name)")
     p.add_argument("--s2d", action="store_true",
                    help="space-to-depth stem (exact rewrite; MobileNet3D)")
     p.add_argument("--early-fold", dest="early_fold", action="store_true",
@@ -76,6 +195,10 @@ def main():
     p.add_argument("--fold-span", default=None,
                    help="fold depth (Large3D: block2|block4|boundary)")
     args = p.parse_args()
+    if args.matrix:
+        _require_devices()
+        run_matrix(args)
+        return
     # measured per-(model, batch, mode) plan defaults live in ONE place —
     # utils/autotune.py default_plan (the static table backing the
     # cudnn.benchmark-analog autotuner); the evidence is in docs/BENCH.md.
@@ -145,6 +268,10 @@ def main():
         "value": round(clips_per_sec, 2),
         "unit": "images/s" if is_image else "clips/s",
         "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 2),
+        # timing methodology, so cross-round BENCH_r*.json diffs don't
+        # conflate measurement changes with real speedups (r03 'host' ->
+        # r04 'graph' was ~9-10% of the apparent jump — docs/BENCH.md)
+        "timing": timing,
     }))
 
 

@@ -117,7 +117,8 @@ class ClipDataset:
                  synthetic_len: Optional[int] = None,
                  sample_fps: float = 0.0,
                  transform=None, target_transform=None,
-                 synthetic_classes: int = 13):
+                 synthetic_classes: int = 13,
+                 skip_bad_clips: bool = False):
         self.video_dir = video_dir
         self.backend = backend
         # frame-rate sampling at decode (config.sample_fps; video backends
@@ -131,6 +132,17 @@ class ClipDataset:
         # (single-core) host, per item.
         self.transform = transform
         self.target_transform = target_transform
+        # Bad-clip policy (config.skip_bad_clips). Default STRICT: a
+        # truncated/corrupt/zero-byte file raises with its filename (both
+        # decode backends include the path — tests/test_data.py) so a bad
+        # dataset is found at the first touch, not trained through. The
+        # reference would hang/crash opaquely here (dataloader.py:46-56
+        # np.stack of an empty list). Opt-in skip: substitute the next
+        # good clip and count it in ``bad_clips`` (production resilience —
+        # one corrupt shard must not kill a week-long run).
+        self.skip_bad_clips = bool(skip_bad_clips)
+        self.bad_clips = 0
+        self._bad_seen = set()
         if backend in ("synthetic", "synthetic_learnable"):
             n = synthetic_len or 64
             self.filenames = [f"synthetic_{i}.mp4" for i in range(n)]
@@ -154,7 +166,28 @@ class ClipDataset:
         return len(self.filenames)
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
-        clip, label = self._decode_item(idx)
+        if not self.skip_bad_clips:
+            clip, label = self._decode_item(idx)
+        else:
+            # walk forward past undecodable clips (counted, warned once per
+            # file); if a full cycle finds nothing decodable the dataset is
+            # garbage — raise rather than loop forever
+            for attempt in range(len(self.filenames)):
+                j = (idx + attempt) % len(self.filenames)
+                try:
+                    clip, label = self._decode_item(j)
+                    break
+                except (OSError, RuntimeError, ValueError) as e:
+                    name = self.filenames[j]
+                    self.bad_clips += 1
+                    if name not in self._bad_seen:
+                        self._bad_seen.add(name)
+                        print(f"[dataset] skip_bad_clips: skipping {name} "
+                              f"({type(e).__name__}: {e})")
+            else:
+                raise IOError(
+                    f"skip_bad_clips: no decodable clip in the dataset "
+                    f"({len(self.filenames)} files, all failed)")
         if self.transform is not None:
             clip = self.transform(clip)
         if self.target_transform is not None:

@@ -135,7 +135,7 @@ TRANSIENT_STATE_LEAVES = ("aux_loss",)
 def import_torch_state_dict(
         sd: Dict[str, np.ndarray], variables: Variables,
         key_map=None, strict: bool = True,
-        partial: bool = False) -> Variables:
+        partial: bool = False, stats: Optional[dict] = None) -> Variables:
     """Graft a torch state_dict onto an initialized variables pytree.
 
     ``key_map(torch_key) -> (flat_path, is_state) | None`` lets models remap
@@ -146,12 +146,19 @@ def import_torch_state_dict(
     convert to the target's (e.g. a head trained at a different class
     count) keeps the fresh initialization instead of raising — pair with
     ``strict=False`` so donor-only keys are skipped too.
+
+    ``stats``: pass a dict to receive ``grafted_params``/``grafted_state``
+    (leaf counts actually transferred) and ``unused`` (skipped torch keys).
+    Partial callers MUST check grafted_params > 0 — with strict=False a
+    wrong/foreign donor otherwise grafts ZERO leaves and trains silently
+    from fresh init (the Orbax path raises; this keeps .pth symmetric).
     """
     flat_params = flatten_dict(variables["params"])
     flat_state = flatten_dict(variables["state"])
     new_params = dict(flat_params)
     new_state = dict(flat_state)
     unused = []
+    n_grafted_params = n_grafted_state = 0
     for tk, v in sd.items():
         if tk.rsplit(".", 1)[-1] in TRANSIENT_STATE_LEAVES:
             continue
@@ -182,6 +189,7 @@ def import_torch_state_dict(
                 continue
             new_state[path] = jnp.asarray(
                 np.array(conv, copy=True), flat_state[path].dtype)
+            n_grafted_state += 1
         else:
             # BN affine: our param names are scale/bias, torch weight/bias
             if path not in flat_params:
@@ -206,18 +214,24 @@ def import_torch_state_dict(
                 continue
             new_params[path] = jnp.asarray(
                 np.array(conv, copy=True), flat_params[path].dtype)
+            n_grafted_params += 1
     if unused:
         print(f"[checkpoint] {len(unused)} torch keys unused: {unused[:8]}...")
+    if stats is not None:
+        stats["grafted_params"] = n_grafted_params
+        stats["grafted_state"] = n_grafted_state
+        stats["unused"] = list(unused)
     return {"params": unflatten_dict(new_params),
             "state": unflatten_dict(new_state)}
 
 
 def load_pth(path: str, variables: Variables, key_map=None,
-             strict: bool = True, partial: bool = False) -> Variables:
+             strict: bool = True, partial: bool = False,
+             stats: Optional[dict] = None) -> Variables:
     """One-call reference-checkpoint import (north-star parity gate)."""
     return import_torch_state_dict(load_torch_state_dict(path), variables,
                                    key_map=key_map, strict=strict,
-                                   partial=partial)
+                                   partial=partial, stats=stats)
 
 
 def graft_matching(donor: Any, fresh: Any):

@@ -54,23 +54,37 @@ def _make_datasets(config: Config):
                   synthetic_shape=config.synthetic_shape,
                   synthetic_len=config.synthetic_len,
                   sample_fps=config.sample_fps,
-                  synthetic_classes=config.synthetic_classes)
+                  skip_bad_clips=config.skip_bad_clips,
+                  synthetic_classes=(config.synthetic_classes
+                                     if config.synthetic_classes is not None
+                                     else min(13, config.num_classes)))
+    if config.criterion == "CE" and not config.data_backend.startswith(
+            "synthetic"):
+        # A label >= num_classes hits CE's out-of-bounds NaN-fill gather
+        # and train loss goes silently NaN; a NEGATIVE label wraps in
+        # jnp.take_along_axis (label -1 trains against class C-1) — equally
+        # silent. Fail loudly at startup, and scan the FULL annotation file
+        # BEFORE per-host sharding: post-shard only the process holding the
+        # bad label would raise while its peers proceed to the compile
+        # barrier and hang until timeout. (Synthetic labels are bounded by
+        # the synthetic_classes <= num_classes config check.)
+        from picklebot_tpu.data.dataset import read_annotations
+        for name, path in (("train", config.train_annotations_file),
+                           ("val", config.val_annotations_file)):
+            _, labels = read_annotations(path)
+            labels = np.asarray(labels)
+            if labels.size and (labels.max() >= config.num_classes
+                                or labels.min() < 0):
+                bad = (labels.max() if labels.max() >= config.num_classes
+                       else labels.min())
+                raise ValueError(
+                    f"{name} annotations contain label {bad} but "
+                    f"num_classes={config.num_classes} (labels must be in "
+                    f"[0, num_classes) for CE)")
     train_ds = ClipDataset(config.train_annotations_file, config.video_paths,
                            **kwargs)
     val_ds = ClipDataset(config.val_annotations_file, config.video_paths,
                          **kwargs)
-    if config.criterion == "CE":
-        # a label >= num_classes hits CE's out-of-bounds NaN-fill gather and
-        # train loss goes silently NaN — fail loudly at startup instead
-        # (annotation-file labels are host numpy; synthetic labels are
-        # bounded by the synthetic_classes <= num_classes config check)
-        for name, ds in (("train", train_ds), ("val", val_ds)):
-            labels = np.asarray(ds.labels)
-            if labels.size and labels.max() >= config.num_classes:
-                raise ValueError(
-                    f"{name} annotations contain label {labels.max()} but "
-                    f"num_classes={config.num_classes} (labels must be in "
-                    f"[0, num_classes) for CE)")
     return train_ds, val_ds
 
 
@@ -273,10 +287,21 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         print(f"Loading checkpoint {config.checkpoint}...")
         if config.checkpoint.endswith(".pth"):
             variables = {"params": state.params, "state": state.model_state}
+            pth_stats: dict = {}
             variables = ckpt.load_pth(config.checkpoint, variables,
                                       key_map=key_map_for(config.model_name),
                                       strict=not config.warm_start_partial,
-                                      partial=config.warm_start_partial)
+                                      partial=config.warm_start_partial,
+                                      stats=pth_stats)
+            if (config.warm_start_partial
+                    and pth_stats.get("grafted_params", 0) == 0):
+                # a wrong/foreign .pth donor under strict=False would
+                # otherwise graft ZERO leaves and train silently from
+                # fresh init — mirror the Orbax zero-matches guard
+                raise ValueError(
+                    "warm_start_partial: NO donor param leaf matched the "
+                    f"fresh {config.model_name} — wrong donor .pth? First "
+                    f"unused keys: {pth_stats.get('unused', [])[:5]}")
             state = state._replace(
                 params=variables["params"],
                 model_state=variables["state"],

@@ -169,7 +169,8 @@ def _cache_key(config, mode: str, shape: Tuple[int, ...]) -> str:
 
 def measure_plan(config, plan: Plan, mode: str, shape: Tuple[int, ...],
                  steps: int = 10, warmup: int = 3, min_window: float = 0.3,
-                 repeats: int = 2, timing: str = "host") -> float:
+                 repeats: int = 2, timing: str = "host",
+                 stats: Optional[dict] = None) -> float:
     """Clips(images)/s of one candidate plan at ``shape`` on the default
     device. This IS bench.py's harness (bench.py calls it): device-resident
     uint8 input, jitted whole step, value-readback sync (the remote-TPU
@@ -198,7 +199,13 @@ def measure_plan(config, plan: Plan, mode: str, shape: Tuple[int, ...],
         XLA folds BN into the convs and pre-lays-out weights, the same
         program shape the AOT export / `serve --exported` path runs
         (export.py bakes weights). Measured +43% at Large3D bs=16 —
-        report it as the SERVING number, not the generic inference one."""
+        report it as the SERVING number, not the generic inference one.
+
+    ``stats``: pass a dict to receive XLA's cost analysis of the measured
+    program PER STEP — 'flops_per_step' and 'bytes_per_step' (the chained
+    graph program's totals / steps; graph timings only). Same compile as
+    the timing, no extra device work — this feeds the hardware-utilization
+    (MFU / HBM-bandwidth) table in docs/BENCH.md."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -260,7 +267,6 @@ def measure_plan(config, plan: Plan, mode: str, shape: Tuple[int, ...],
             key0 = jax.random.key(0)
             state = jax.device_put(state)
 
-            @jax.jit
             def looped(st, feats, labels, key):
                 def body(i, carry):
                     st, _ = carry
@@ -270,10 +276,15 @@ def measure_plan(config, plan: Plan, mode: str, shape: Tuple[int, ...],
                 z = jnp.zeros((), jnp.float32)
                 return lax.fori_loop(0, steps, body, (st, z))
 
+            # explicit AOT lower->compile (identical program to jit-and-
+            # call) so the SAME compile also yields XLA's cost analysis
+            compiled = jax.jit(looped).lower(state, feats, labels,
+                                             key0).compile()
+
             def window_graph():
                 nonlocal state
                 t0 = time.perf_counter()
-                state, loss = looped(state, feats, labels, key0)
+                state, loss = compiled(state, feats, labels, key0)
                 sync(loss)
                 return time.perf_counter() - t0
         else:
@@ -297,20 +308,34 @@ def measure_plan(config, plan: Plan, mode: str, shape: Tuple[int, ...],
             if timing == "graph-baked":
                 # weights closed over -> compile-time constants (the AOT
                 # export / serve --exported program shape)
-                looped = jax.jit(lambda f: chained(variables, f))
+                compiled = jax.jit(
+                    lambda f: chained(variables, f)).lower(feats).compile()
 
                 def window_graph():
                     t0 = time.perf_counter()
-                    sync(looped(feats))
+                    sync(compiled(feats))
                     return time.perf_counter() - t0
             else:
-                looped = jax.jit(chained)
+                compiled = jax.jit(chained).lower(variables,
+                                                  feats).compile()
 
                 def window_graph():
                     t0 = time.perf_counter()
-                    sync(looped(variables, feats))
+                    sync(compiled(variables, feats))
                     return time.perf_counter() - t0
 
+        if stats is not None:
+            # per-step program cost from the SAME compile as the timing
+            # (the fori_loop body runs `steps` times; loop-invariant
+            # preprocessing is one-time but O(input), negligible vs a step)
+            try:
+                ca = compiled.cost_analysis() or {}
+            except Exception:   # a backend without cost analysis: timing
+                ca = {}         # is still valid, just no MFU columns
+            if "flops" in ca:
+                stats["flops_per_step"] = float(ca["flops"]) / steps
+            if "bytes accessed" in ca:
+                stats["bytes_per_step"] = float(ca["bytes accessed"]) / steps
         # ONE warmup window always (compile + warm): a graph window is
         # itself `steps` chained iterations, so per-step warmup counts
         # don't apply; `warmup` is a host-mode knob.

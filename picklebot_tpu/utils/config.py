@@ -50,6 +50,12 @@ class Config:
     data_backend: str = "opencv"   # opencv|ffmpeg|npy|synthetic|
     #                                synthetic_learnable
     num_workers: int = 4
+    skip_bad_clips: bool = False        # truncated/corrupt clips: default
+    #                                     STRICT (raise with the filename
+    #                                     at first touch); True skips them
+    #                                     with a per-dataset counter
+    #                                     (dataset.bad_clips) — production
+    #                                     resilience for long runs
     t_bucket: int = 8
     max_frames: int = 256
     apply_mean_std: bool = False        # actually use mean/std keys
@@ -228,11 +234,15 @@ class Config:
     log_dir: str = "runs"
     synthetic_len: Optional[int] = None
     synthetic_shape: Tuple[int, int, int] = (16, 224, 224)
-    synthetic_classes: int = 13         # class count of the synthetic
+    synthetic_classes: Optional[int] = None  # class count of the synthetic
     #                                     backends (the learnable signal
     #                                     separates classes by ~150/n gray
     #                                     levels — fewer classes = higher
-    #                                     SNR; statistical test gates use 4)
+    #                                     SNR; statistical test gates use 4).
+    #                                     None derives min(13, num_classes)
+    #                                     so any synthetic config is valid
+    #                                     out of the box; the CE guard below
+    #                                     fires only on an EXPLICIT mismatch
     profile: bool = False               # jax.profiler trace of first steps
     attention_backend: str = "auto"     # auto | xla | pallas
     space_to_depth: bool = False        # fold 2x2 spatial into the stem conv
@@ -286,6 +296,11 @@ class Config:
         if self.data_backend not in ("opencv", "ffmpeg", "npy", "synthetic",
                                      "synthetic_learnable"):
             raise ValueError(f"Invalid data_backend: {self.data_backend}")
+        if self.synthetic_classes is None:
+            # Derived default: the synthetic label range must fit the logit
+            # range (CE's OOB gather NaN-fills silently), so follow
+            # num_classes, capped at the reference task's 13 classes.
+            self.synthetic_classes = min(13, self.num_classes)
         if (self.data_backend.startswith("synthetic")
                 and self.criterion == "CE"
                 and self.synthetic_classes > self.num_classes):

@@ -20,9 +20,10 @@ def test_bench_main_tiny(monkeypatch, capsys):
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(line)
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline", "timing"}
     assert rec["value"] > 0 and np.isfinite(rec["value"])
     assert rec["unit"] == "clips/s"
+    assert rec["timing"] == "graph"  # the methodology travels with the number
 
 
 def test_bench_infer_tiny(monkeypatch, capsys):
@@ -41,3 +42,25 @@ def test_graft_entry_forward():
     logits = jax.jit(fn)(*args)
     assert logits.shape == (2, 13)
     assert np.all(np.isfinite(np.asarray(logits, np.float32)))
+
+
+def test_bench_matrix_tiny(monkeypatch, capsys, tmp_path):
+    """--matrix writes the incremental JSON artifact with a timing field
+    per row (round-5: machine-generated BENCH_MATRIX, diffable across
+    rounds). One tiny row on CPU; failed rows must be recorded, not fatal."""
+    import bench
+    out = tmp_path / "matrix.json"
+    monkeypatch.setattr(bench, "MATRIX_ROWS", [
+        ("MobileNetLarge3D", None, "train", 2, 2, 32, False),
+        ("MobileNetLarge3D", None, "infer", 2, 2, 32, True),
+    ])
+    monkeypatch.setattr(sys, "argv", [
+        "bench.py", "--matrix", "--matrix-out", str(out),
+        "--steps", "1", "--warmup", "1"])
+    bench.main()
+    rec = json.loads(out.read_text())
+    assert len(rec["rows"]) == 2
+    for row in rec["rows"]:
+        assert row["timing"] in ("graph", "graph-baked")
+        assert row["value"] is None or row["value"] > 0
+    assert rec["rows"][1]["baked"] and rec["rows"][1]["timing"] == "graph-baked"

@@ -257,3 +257,58 @@ def test_transform_hooks():
     clip1, label1 = hooked[1]
     np.testing.assert_array_equal(clip1, clip0[:, ::2, ::2])
     assert label1 == label0 + 100
+
+
+def _write_clip(path, rng, frames=8, wh=(32, 24)):
+    import cv2
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 30, wh)
+    assert w.isOpened()
+    for _ in range(frames):
+        w.write(rng.randint(0, 255, (wh[1], wh[0], 3)).astype(np.uint8))
+    w.release()
+
+
+@pytest.mark.parametrize("backend", ["opencv", "ffmpeg"])
+@pytest.mark.parametrize("corruption", ["truncated", "zero_byte"])
+def test_bad_clip_raises_with_filename(tmp_path, rng, backend, corruption):
+    """Strict default (round-5 hardening): a corrupt mp4 mid-epoch fails
+    with the FILENAME in the error, on both decode backends — the
+    reference would crash opaquely (np.stack of an empty frame list,
+    dataloader.py:46-56)."""
+    pytest.importorskip("cv2")
+    _write_clip(tmp_path / "good.mp4", rng)
+    bad = tmp_path / "bad.mp4"
+    if corruption == "truncated":
+        data = (tmp_path / "good.mp4").read_bytes()
+        bad.write_bytes(data[: len(data) // 3])
+    else:
+        bad.write_bytes(b"")
+    csv = tmp_path / "ann.csv"
+    csv.write_text("filename,zone\ngood.mp4,0\nbad.mp4,1\n")
+    ds = ClipDataset(str(csv), str(tmp_path), backend=backend)
+    with pytest.raises((OSError, RuntimeError), match="bad.mp4"):
+        ds[1]
+
+
+@pytest.mark.parametrize("backend", ["opencv", "ffmpeg"])
+def test_skip_bad_clips_counter(tmp_path, rng, backend):
+    """Opt-in resilience (config.skip_bad_clips): undecodable clips are
+    skipped (next good clip substitutes) and counted, so one corrupt shard
+    doesn't kill a long run; an all-bad dataset still raises."""
+    pytest.importorskip("cv2")
+    _write_clip(tmp_path / "good.mp4", rng)
+    (tmp_path / "bad.mp4").write_bytes(b"\x00" * 2048)
+    csv = tmp_path / "ann.csv"
+    csv.write_text("filename,zone\nbad.mp4,1\ngood.mp4,0\n")
+    ds = ClipDataset(str(csv), str(tmp_path), backend=backend,
+                     skip_bad_clips=True)
+    clip, label = ds[0]          # bad.mp4 -> substitutes good.mp4
+    assert clip.shape[0] > 0 and label == 0
+    assert ds.bad_clips == 1
+    # all-bad dataset must raise, not loop forever
+    csv2 = tmp_path / "ann2.csv"
+    csv2.write_text("filename,zone\nbad.mp4,1\n")
+    ds2 = ClipDataset(str(csv2), str(tmp_path), backend=backend,
+                      skip_bad_clips=True)
+    with pytest.raises(IOError, match="all failed"):
+        ds2[0]

@@ -145,11 +145,12 @@ def test_decode_ffmpeg_sample_fps_matches_opencv(tmp_path):
 # ------------------------------------------------------ train() e2e
 
 @pytest.mark.slow
-@pytest.mark.parametrize("w,h", [(640, 480), (1280, 720)])
+@pytest.mark.parametrize("w,h", [(640, 480), (1280, 720), (1920, 1080)])
 def test_train_on_real_resolution_video(tmp_path, monkeypatch, w, h):
-    """A native-resolution (VGA / 720p) mp4 dataset trains end-to-end with
-    the on-device resize: clips stream to the device as uint8 at native
-    size and the jitted step resamples them to input_size."""
+    """A native-resolution (VGA / 720p / 1080p) mp4 dataset trains
+    end-to-end with the on-device resize: clips stream to the device as
+    uint8 at native size and the jitted step resamples them to
+    input_size. 1080p added round 5 to back the docs' claim."""
     pytest.importorskip("cv2")
     monkeypatch.chdir(tmp_path)
     vids = tmp_path / "vids"
@@ -300,3 +301,137 @@ def test_serve_exported_host_resize(tmp_path, capsys):
     line = [json.loads(l) for l in capsys.readouterr().out.splitlines()
             if l.startswith("{")][-1]
     assert line["clip"] == vid and 0 <= line["pred"] < 13
+
+
+def test_resize_vs_cv2_on_textured_content(rng):
+    """The adversarial case for resampling-kernel mismatch: unsmoothed
+    noise. Pointwise, antialiased-bilinear vs INTER_AREA genuinely differ
+    here (measured max ~48 gray levels, mean ~9 at 96x128->32) — this
+    test RECORDS that honest bound; prediction-level consistency is the
+    e2e test below."""
+    cv2 = pytest.importorskip("cv2")
+    img = rng.randint(0, 255, (96, 128, 3)).astype(np.uint8)
+    ours = np.asarray(resize_frames(img.astype(np.float32), 32))
+    ref = cv2.resize(img, (32, 32), interpolation=cv2.INTER_AREA)
+    d = np.abs(ours - ref.astype(np.float32))
+    assert d.max() < 60.0 and d.mean() < 12.0
+
+
+@pytest.mark.slow
+def test_exported_host_resize_matches_in_graph_predictions(tmp_path, rng):
+    """End-to-end skew bound (round-5): the SAME textured clip through the
+    in-graph resize predictor (training/serving path, antialiased
+    bilinear) and through the `serve --exported` host path (cv2
+    INTER_AREA, serve.py prep()) must agree in ARGMAX on every clip, with
+    logits within atol=2e-3 (5x the measured max of ~4e-4 over 8 clips).
+
+    BN running stats at fresh init are identity (var=1) while true
+    activation variance is tiny, so an un-warmed eval forward underflows
+    to input-INDEPENDENT logits — 120 train-mode applies first converge
+    the running stats (momentum 0.1: 0.9^120 ~ 3e-6 of the init
+    remains) so the comparison can distinguish anything at all."""
+    cv2 = pytest.importorskip("cv2")
+    import jax
+    import jax.numpy as jnp
+    from picklebot_tpu.core.module import DtypePolicy
+    from picklebot_tpu.models.registry import initialize_model
+    from picklebot_tpu.train.step import preprocess
+
+    model = initialize_model(Config(model_name="MobileNetSmall3D",
+                                    num_classes=13))
+    v = model.init(0)
+    policy = DtypePolicy.f32()
+
+    @jax.jit
+    def warm(state, x, key):
+        _, ns = model.apply({"params": v["params"], "state": state}, x,
+                            train=True, policy=policy, rng=key)
+        return ns
+
+    state = v["state"]
+    xw = jnp.asarray(rng.rand(2, 4, 32, 32, 3), jnp.float32)
+    for i in range(120):
+        state = warm(state, xw, jax.random.key(i))
+    vv = {"params": v["params"], "state": state}
+
+    @jax.jit
+    def pred_ingraph(feats):          # the train/serve path
+        x = preprocess(feats, jnp.float32, None, None, input_size=32)
+        return model.apply(vv, x, train=False, policy=policy)[0]
+
+    @jax.jit
+    def pred_plain(feats):            # the exported-artifact program
+        x = preprocess(feats, jnp.float32, None, None)
+        return model.apply(vv, x, train=False, policy=policy)[0]
+
+    max_diff = 0.0
+    for i in range(8):
+        path = tmp_path / f"t{i}.mp4"
+        vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                             30, (96, 64))
+        for _ in range(4):
+            vw.write(rng.randint(0, 255, (64, 96, 3)).astype(np.uint8))
+        vw.release()
+        clip = decode_opencv(str(path))
+        a = np.asarray(pred_ingraph(clip[None]))[0]
+        host = np.stack([cv2.resize(f, (32, 32),
+                                    interpolation=cv2.INTER_AREA)
+                         for f in clip])
+        b = np.asarray(pred_plain(host[None]))[0]
+        assert a.argmax() == b.argmax(), (i, a, b)
+        max_diff = max(max_diff, float(np.abs(a - b).max()))
+    assert max_diff < 2e-3, max_diff
+
+
+@pytest.mark.slow
+def test_serve_1080p_clip(tmp_path, capsys, small_ckpt):
+    """A full-HD (1920x1080) mp4 serves through the CLI and the HTTP
+    endpoint — the last unmeasured point of the 480p/720p/1080p claim
+    (round-5; on-chip cost datapoint in scripts/probe_resize_cost.py)."""
+    pytest.importorskip("cv2")
+    import http.client
+    import threading
+    import time
+
+    from picklebot_tpu import serve
+
+    cfg = _resize_cfg(tmp_path)
+    vid = _write_mp4(tmp_path / "hd.mp4", 1920, 1080, frames=4)
+
+    rc = serve.main([cfg, "--checkpoint", small_ckpt, vid])
+    assert rc == 0
+    line = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    assert line["clip"] == vid and 0 <= line["pred"] < 13
+
+    created = {}
+    orig = serve.make_http_server
+
+    def capture(port, classify, info, **kw):
+        created["srv"] = orig(port, classify, info, **kw)
+        return created["srv"]
+
+    import unittest.mock
+    with unittest.mock.patch.object(serve, "make_http_server", capture):
+        th = threading.Thread(
+            target=serve.main,
+            args=([cfg, "--checkpoint", small_ckpt, "--http", "0"],),
+            daemon=True)
+        th.start()
+        for _ in range(500):
+            if "srv" in created:
+                break
+            time.sleep(0.02)
+        port = created["srv"].server_address[1]
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port,
+                                              timeout=240)
+            conn.request("POST", "/predict",
+                         body=(tmp_path / "hd.mp4").read_bytes())
+            resp = conn.getresponse()
+            assert resp.status == 200
+            rec = json.loads(resp.read())
+            assert 0 <= rec["pred"] < 13
+        finally:
+            created["srv"].shutdown()
+        th.join(timeout=30)
