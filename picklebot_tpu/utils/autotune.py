@@ -202,10 +202,17 @@ def measure_plan(config, plan: Plan, mode: str, shape: Tuple[int, ...],
         report it as the SERVING number, not the generic inference one.
 
     ``stats``: pass a dict to receive XLA's cost analysis of the measured
-    program PER STEP — 'flops_per_step' and 'bytes_per_step' (the chained
-    graph program's totals / steps; graph timings only). Same compile as
-    the timing, no extra device work — this feeds the hardware-utilization
-    (MFU / HBM-bandwidth) table in docs/BENCH.md."""
+    program PER STEP — 'flops_per_step' and 'bytes_per_step' (graph
+    timings only). XLA's HloCostAnalysis visits a while/fori_loop BODY
+    ONCE (verified empirically: a 50-iteration fori_loop of matmuls
+    reports exactly 1 matmul's flops), so the chained program's reported
+    cost already IS per-step — do NOT divide by `steps` (a round-4 draft
+    did, understating MFU 50x). Caveats recorded in docs/BENCH.md: flops
+    of folded programs include the fold's structural-zero MACs, and
+    'bytes accessed' is the optimized-HLO per-op operand/output sum — an
+    approximation that can exceed real DMA traffic (buffer reuse, VMEM
+    residency). Same compile as the timing, no extra device work — this
+    feeds the hardware-utilization table in docs/BENCH.md."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -325,17 +332,19 @@ def measure_plan(config, plan: Plan, mode: str, shape: Tuple[int, ...],
                     return time.perf_counter() - t0
 
         if stats is not None:
-            # per-step program cost from the SAME compile as the timing
-            # (the fori_loop body runs `steps` times; loop-invariant
-            # preprocessing is one-time but O(input), negligible vs a step)
+            # per-step program cost from the SAME compile as the timing.
+            # HloCostAnalysis counts the fori_loop BODY ONCE (trip count
+            # is not multiplied in — verified: a 50-step loop of matmuls
+            # reports one matmul's flops), so ca IS the per-step cost
+            # plus small loop/carry overhead; no /steps division.
             try:
                 ca = compiled.cost_analysis() or {}
             except Exception:   # a backend without cost analysis: timing
                 ca = {}         # is still valid, just no MFU columns
             if "flops" in ca:
-                stats["flops_per_step"] = float(ca["flops"]) / steps
+                stats["flops_per_step"] = float(ca["flops"])
             if "bytes accessed" in ca:
-                stats["bytes_per_step"] = float(ca["bytes accessed"]) / steps
+                stats["bytes_per_step"] = float(ca["bytes accessed"])
         # ONE warmup window always (compile + warm): a graph window is
         # itself `steps` chained iterations, so per-step warmup counts
         # don't apply; `warmup` is a host-mode knob.

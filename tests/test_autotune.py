@@ -220,6 +220,31 @@ def test_measure_plan_graph_timing(mode):
 
 
 @pytest.mark.slow
+def test_graph_stats_are_per_step():
+    # The MFU/HBM columns (bench.py --matrix) come from cost_analysis of
+    # the chained fori_loop program. XLA's HloCostAnalysis counts the loop
+    # BODY ONCE (trip count is NOT multiplied in), so the reported
+    # flops/bytes already are per-step — a /steps division (round-4 draft
+    # bug) would understate MFU by the step count. Pin it: the same
+    # workload at steps=1 and steps=8 must report ~equal flops_per_step.
+    cfg = _cfg()
+    s1, s8 = {}, {}
+    at.measure_plan(cfg, (False, None), "infer", (2, 2, 32, 32, 3),
+                    steps=1, warmup=1, min_window=0.0, repeats=1,
+                    timing="graph", stats=s1)
+    at.measure_plan(cfg, (False, None), "infer", (2, 2, 32, 32, 3),
+                    steps=8, warmup=1, min_window=0.0, repeats=1,
+                    timing="graph", stats=s8)
+    if "flops_per_step" not in s1:
+        pytest.skip("backend exposes no cost analysis")
+    assert s8["flops_per_step"] == pytest.approx(
+        s1["flops_per_step"], rel=0.3)
+    if "bytes_per_step" in s1:
+        assert s8["bytes_per_step"] == pytest.approx(
+            s1["bytes_per_step"], rel=0.5)
+
+
+@pytest.mark.slow
 def test_measure_plan_graph_baked():
     # the SERVING number (bench.py --baked): weights closed over as
     # compile-time constants — the same program shape the AOT export /
