@@ -186,6 +186,12 @@ def main():
     p.add_argument("--matrix-out", default="BENCH_MATRIX.json")
     p.add_argument("--only", default=None,
                    help="matrix row filter (substring of the model name)")
+    p.add_argument("--remat", type=int, default=0,
+                   help="activation-rematerialization depth (config.remat; "
+                        "jax.checkpoint over child-module calls). Trades "
+                        "recompute FLOPs for activation memory — the lever "
+                        "for batches whose activations exceed HBM/compiler "
+                        "limits (train bs=256 fails to compile at remat=0)")
     p.add_argument("--s2d", action="store_true",
                    help="space-to-depth stem (exact rewrite; MobileNet3D)")
     p.add_argument("--early-fold", dest="early_fold", action="store_true",
@@ -231,7 +237,7 @@ def main():
     cfg = Config(model_name=args.model, num_classes=13,
                  dims=vit_dims[0], channels=vit_dims[1],
                  space_to_depth=args.s2d, early_fold=args.early_fold,
-                 fold_span=args.fold_span)
+                 fold_span=args.fold_span, remat=args.remat)
     # MobileViTV2 is the zoo's 2D image classifier (reference
     # mobilevitv2.py:266-305, (B, H, W, C) input, no clip dim)
     is_image = args.model == "MobileViTV2"
@@ -264,7 +270,7 @@ def main():
                   f"{'-' + args.variant if args.model == 'MobileViT' else ''}"
                   f" {name}, "
                   f"bs={args.batch} {tdesc}{args.size}x{args.size} "
-                  f"bf16)",
+                  f"bf16{f' remat={args.remat}' if args.remat else ''})",
         "value": round(clips_per_sec, 2),
         "unit": "images/s" if is_image else "clips/s",
         "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 2),

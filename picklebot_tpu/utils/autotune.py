@@ -243,7 +243,8 @@ def measure_plan(config, plan: Plan, mode: str, shape: Tuple[int, ...],
         opt = OPTIMIZERS[cfg.optimizer](weight_decay=cfg.weight_decay)
         sched = cosine_annealing_lr(cfg.learning_rate, max(cfg.max_iters, 1))
         step = make_train_step(model, opt, cfg.criterion, sched,
-                               policy=policy)
+                               policy=policy,
+                               remat=getattr(cfg, "remat", 0))
         state = create_train_state(model, opt, jax.random.key(0))
         feats = jax.device_put(feats_np[None])              # accum = 1
         hi = 2 if cfg.criterion == "BCE" else cfg.num_classes
