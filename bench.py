@@ -32,17 +32,22 @@ import json
 
 BASELINE_CLIPS_PER_SEC = 2.1  # reference steady-state train step (BASELINE.md)
 
-# The standard matrix: (model, variant, mode, batch, frames, size, baked).
-# Mirrors docs/BENCH.md's curated tables; variant is MobileViT-only. Train
-# rows at bs>=128 are the saturation curve (round-5); baked rows are the
-# AOT serving program. MobileViTV2 is the 2D image model (size 256, no T).
+# The standard matrix: (model, variant, mode, batch, frames, size, baked
+# [, remat]). Mirrors docs/BENCH.md's curated tables; variant is
+# MobileViT-only. Train rows at bs>=128 are the saturation curve
+# (round-5); baked rows are the AOT serving program; the bs=256 rows
+# document the compile wall (remat=0 fails the remote compiler) and the
+# remat=1 lever that fits it (at a measured throughput cost — BENCH.md).
+# MobileViTV2 is the 2D image model (size 256, no T).
 MATRIX_ROWS = [
     ("MobileNetLarge3D", None, "train", 16, 32, 224, False),
     ("MobileNetLarge3D", None, "train", 64, 32, 224, False),
     ("MobileNetLarge3D", None, "train", 128, 32, 224, False),
     ("MobileNetLarge3D", None, "train", 256, 32, 224, False),
+    ("MobileNetLarge3D", None, "train", 256, 32, 224, False, 1),
     ("MobileNetLarge3D", None, "infer", 16, 32, 224, False),
     ("MobileNetLarge3D", None, "infer", 64, 32, 224, False),
+    ("MobileNetLarge3D", None, "infer", 128, 32, 224, False),
     ("MobileNetLarge3D", None, "infer", 256, 32, 224, False),
     ("MobileNetLarge3D", None, "infer", 16, 32, 224, True),
     ("MobileNetLarge3D", None, "infer", 256, 32, 224, True),
@@ -54,17 +59,20 @@ MATRIX_ROWS = [
     ("MobileViT", "xxs", "train", 8, 16, 256, False),
     ("MobileViT", "xxs", "infer", 8, 16, 256, False),
     ("MobileViT", "xs", "train", 8, 16, 256, False),
+    ("MobileViT", "xs", "infer", 8, 16, 256, False),
     ("MobileViT", "s", "train", 8, 16, 256, False),
+    ("MobileViT", "s", "infer", 8, 16, 256, False),
     ("MobileNetLarge2D", None, "train", 8, 16, 224, False),
     ("MobileNetLarge2D", None, "infer", 8, 16, 224, False),
     ("MobileNetSmall2D", None, "train", 8, 16, 224, False),
+    ("MobileNetSmall2D", None, "infer", 8, 16, 224, False),
     ("MobileViTV2", None, "train", 32, 0, 256, False),
     ("MobileViTV2", None, "infer", 32, 0, 256, False),
 ]
 
 
 def _measure_row(model, variant, mode, batch, frames, size, baked,
-                 steps=50, warmup=3):
+                 remat=0, steps=50, warmup=3):
     """One matrix row -> result dict (shared path with the single-line
     bench: default_plan -> measure_plan, timing='graph'/'graph-baked')."""
     from picklebot_tpu.utils.autotune import default_plan, measure_plan
@@ -83,7 +91,7 @@ def _measure_row(model, variant, mode, batch, frames, size, baked,
                                dims=dims if model == "MobileViT" else None)
     cfg = Config(model_name=model, num_classes=13,
                  dims=dims, channels=channels,
-                 early_fold=early, fold_span=span)
+                 early_fold=early, fold_span=span, remat=remat)
     is_image = model == "MobileViTV2"
     shape = ((batch, size, size, 3) if is_image
              else (batch, frames, size, size, 3))
@@ -94,6 +102,8 @@ def _measure_row(model, variant, mode, batch, frames, size, baked,
            "plan": {"early_fold": early, "fold_span": span},
            "timing": timing, "steps": steps,
            "unit": "images/s" if is_image else "clips/s"}
+    if remat:
+        row["remat"] = remat
     try:
         stats: dict = {}
         row["value"] = round(measure_plan(

@@ -53,14 +53,16 @@ def test_bench_matrix_tiny(monkeypatch, capsys, tmp_path):
     monkeypatch.setattr(bench, "MATRIX_ROWS", [
         ("MobileNetLarge3D", None, "train", 2, 2, 32, False),
         ("MobileNetLarge3D", None, "infer", 2, 2, 32, True),
+        ("MobileNetLarge3D", None, "train", 2, 2, 32, False, 1),  # remat
     ])
     monkeypatch.setattr(sys, "argv", [
         "bench.py", "--matrix", "--matrix-out", str(out),
         "--steps", "1", "--warmup", "1"])
     bench.main()
     rec = json.loads(out.read_text())
-    assert len(rec["rows"]) == 2
+    assert len(rec["rows"]) == 3
     for row in rec["rows"]:
         assert row["timing"] in ("graph", "graph-baked")
         assert row["value"] is None or row["value"] > 0
     assert rec["rows"][1]["baked"] and rec["rows"][1]["timing"] == "graph-baked"
+    assert rec["rows"][2]["remat"] == 1 and rec["rows"][2]["value"] > 0
