@@ -50,9 +50,13 @@ MATRIX_ROWS = [
     ("MobileNetLarge3D", None, "infer", 128, 32, 224, False),
     ("MobileNetLarge3D", None, "infer", 256, 32, 224, False),
     ("MobileNetLarge3D", None, "infer", 16, 32, 224, True),
+    ("MobileNetLarge3D", None, "infer", 128, 32, 224, True),
     ("MobileNetLarge3D", None, "infer", 256, 32, 224, True),
     ("MobileNetSmall3D", None, "train", 16, 32, 224, False),
+    ("MobileNetSmall3D", None, "train", 64, 32, 224, False),
     ("MobileNetSmall3D", None, "infer", 16, 32, 224, False),
+    ("MobileNetSmall3D", None, "infer", 64, 32, 224, False),
+    ("MobileNetSmall3D", None, "infer", 64, 32, 224, True),
     ("MoViNetA2", None, "train", 8, 32, 224, False),
     ("MoViNetA2", None, "train", 32, 32, 224, False),
     ("MoViNetA2", None, "infer", 32, 32, 224, False),
@@ -68,6 +72,8 @@ MATRIX_ROWS = [
     ("MobileNetSmall2D", None, "infer", 8, 16, 224, False),
     ("MobileViTV2", None, "train", 32, 0, 256, False),
     ("MobileViTV2", None, "infer", 32, 0, 256, False),
+    ("MobileViTV2", None, "infer", 128, 0, 256, False),
+    ("MobileViTV2", None, "infer", 128, 0, 256, True),
 ]
 
 
@@ -127,15 +133,36 @@ def _measure_row(model, variant, mode, batch, frames, size, baked,
     return row
 
 
+def _row_key(r: dict):
+    return (r["model"], r.get("variant"), r["mode"], r["batch"],
+            r.get("frames") or 0, r["size"], bool(r.get("baked")),
+            int(r.get("remat", 0)))
+
+
 def run_matrix(args) -> None:
+    import os
     import time
     rows = [r for r in MATRIX_ROWS
             if not args.only or args.only.lower() in r[0].lower()]
     out = {"rows": [], "steps": args.steps,
            "device": None, "started": time.strftime("%Y-%m-%d %H:%M:%S")}
+    done = set()
+    if args.matrix_append and os.path.exists(args.matrix_out):
+        # grow an existing artifact: keep measured rows, only run rows
+        # not yet recorded (successful OR failed — a recorded failure is
+        # a datapoint; delete the row from the file to re-attempt it)
+        with open(args.matrix_out) as fh:
+            out = json.load(fh)
+        done = {_row_key(r) for r in out["rows"]}
+        out["appended"] = time.strftime("%Y-%m-%d %H:%M:%S")
     import jax
     out["device"] = str(jax.devices()[0].device_kind)
     for i, r in enumerate(rows):
+        key = (r[0], r[1], r[2], r[3], (0 if r[0] == "MobileViTV2"
+                                        else r[4]), r[5], bool(r[6]),
+               int(r[7]) if len(r) > 7 else 0)
+        if key in done:
+            continue
         t0 = time.time()
         row = _measure_row(*r, steps=args.steps, warmup=args.warmup)
         row["measure_wall_s"] = round(time.time() - t0, 1)
@@ -194,6 +221,13 @@ def main():
                         "x mode x standard batches) and write ONE JSON "
                         "artifact with a timing field per row")
     p.add_argument("--matrix-out", default="BENCH_MATRIX.json")
+    p.add_argument("--matrix-append", action="store_true",
+                   help="grow an existing --matrix-out artifact: rows "
+                        "already recorded (by model/mode/batch/... key) "
+                        "are skipped, new MATRIX_ROWS entries are "
+                        "measured and appended — so extending the "
+                        "standard row set doesn't re-pay ~45 min of "
+                        "re-measurement")
     p.add_argument("--only", default=None,
                    help="matrix row filter (substring of the model name)")
     p.add_argument("--remat", type=int, default=0,

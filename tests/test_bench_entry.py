@@ -66,3 +66,17 @@ def test_bench_matrix_tiny(monkeypatch, capsys, tmp_path):
         assert row["value"] is None or row["value"] > 0
     assert rec["rows"][1]["baked"] and rec["rows"][1]["timing"] == "graph-baked"
     assert rec["rows"][2]["remat"] == 1 and rec["rows"][2]["value"] > 0
+    # --matrix-append: recorded rows are skipped (no re-measurement), new
+    # MATRIX_ROWS entries are measured and appended to the same artifact
+    monkeypatch.setattr(bench, "MATRIX_ROWS", bench.MATRIX_ROWS + [
+        ("MobileNetSmall3D", None, "infer", 2, 2, 32, False),
+    ])
+    monkeypatch.setattr(sys, "argv", [
+        "bench.py", "--matrix", "--matrix-append",
+        "--matrix-out", str(out), "--steps", "1", "--warmup", "1"])
+    bench.main()
+    rec2 = json.loads(out.read_text())
+    assert len(rec2["rows"]) == 4                  # 3 kept + 1 appended
+    assert rec2["rows"][:3] == rec["rows"]         # untouched, not re-run
+    assert rec2["rows"][3]["model"] == "MobileNetSmall3D"
+    assert "appended" in rec2
