@@ -60,20 +60,28 @@ MATRIX_ROWS = [
     ("MoViNetA2", None, "train", 8, 32, 224, False),
     ("MoViNetA2", None, "train", 32, 32, 224, False),
     ("MoViNetA2", None, "infer", 32, 32, 224, False),
+    ("MoViNetA2", None, "infer", 64, 32, 224, False),
+    ("MoViNetA2", None, "infer", 64, 32, 224, True),
     ("MobileViT", "xxs", "train", 8, 16, 256, False),
     ("MobileViT", "xxs", "infer", 8, 16, 256, False),
+    ("MobileViT", "xxs", "infer", 32, 16, 256, False),
+    ("MobileViT", "xxs", "infer", 32, 16, 256, True),
     ("MobileViT", "xs", "train", 8, 16, 256, False),
     ("MobileViT", "xs", "infer", 8, 16, 256, False),
     ("MobileViT", "s", "train", 8, 16, 256, False),
     ("MobileViT", "s", "infer", 8, 16, 256, False),
     ("MobileNetLarge2D", None, "train", 8, 16, 224, False),
     ("MobileNetLarge2D", None, "infer", 8, 16, 224, False),
+    ("MobileNetLarge2D", None, "infer", 64, 16, 224, False),
+    ("MobileNetLarge2D", None, "infer", 64, 16, 224, True),
     ("MobileNetSmall2D", None, "train", 8, 16, 224, False),
     ("MobileNetSmall2D", None, "infer", 8, 16, 224, False),
+    ("MobileNetSmall2D", None, "infer", 64, 16, 224, False),
     ("MobileViTV2", None, "train", 32, 0, 256, False),
     ("MobileViTV2", None, "infer", 32, 0, 256, False),
     ("MobileViTV2", None, "infer", 128, 0, 256, False),
     ("MobileViTV2", None, "infer", 128, 0, 256, True),
+    ("MobileViTV2", None, "infer", 256, 0, 256, False),
 ]
 
 
