@@ -166,9 +166,11 @@ def run_matrix(args) -> None:
     import jax
     out["device"] = str(jax.devices()[0].device_kind)
     for i, r in enumerate(rows):
-        key = (r[0], r[1], r[2], r[3], (0 if r[0] == "MobileViTV2"
-                                        else r[4]), r[5], bool(r[6]),
-               int(r[7]) if len(r) > 7 else 0)
+        model, variant, mode, batch, frames, size, baked = r[:7]
+        key = _row_key({"model": model, "variant": variant, "mode": mode,
+                        "batch": batch, "frames": frames, "size": size,
+                        "baked": baked,
+                        "remat": int(r[7]) if len(r) > 7 else 0})
         if key in done:
             continue
         t0 = time.time()
@@ -176,8 +178,12 @@ def run_matrix(args) -> None:
         row["measure_wall_s"] = round(time.time() - t0, 1)
         out["rows"].append(row)
         print(json.dumps(row), flush=True)
-        with open(args.matrix_out, "w") as fh:  # incremental: survive kills
+        # incremental so a kill loses at most one row — and atomic, so a
+        # kill DURING the write can't truncate the already-measured rows
+        tmp = args.matrix_out + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(out, fh, indent=1)
+        os.replace(tmp, args.matrix_out)
     print(f"# matrix: {len(out['rows'])} rows -> {args.matrix_out}",
           flush=True)
 

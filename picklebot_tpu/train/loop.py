@@ -49,15 +49,28 @@ from picklebot_tpu.utils.config import Config
 
 def _make_datasets(config: Config):
     shard, num_shards = jax.process_index(), jax.process_count()
+    syn_classes = (config.synthetic_classes
+                   if config.synthetic_classes is not None
+                   else min(13, config.num_classes))
     kwargs = dict(backend=config.data_backend, shard=shard,
                   num_shards=num_shards,
                   synthetic_shape=config.synthetic_shape,
                   synthetic_len=config.synthetic_len,
                   sample_fps=config.sample_fps,
                   skip_bad_clips=config.skip_bad_clips,
-                  synthetic_classes=(config.synthetic_classes
-                                     if config.synthetic_classes is not None
-                                     else min(13, config.num_classes)))
+                  synthetic_classes=syn_classes)
+    if (config.criterion == "CE"
+            and config.data_backend.startswith("synthetic")
+            and syn_classes > config.num_classes):
+        # validate() enforces this for load_config() configs, but a Config
+        # built programmatically never runs validate() — re-check here so
+        # the synthetic path can't reach CE's silent OOB NaN-fill either.
+        raise ValueError(
+            f"synthetic_classes={syn_classes} > "
+            f"num_classes={config.num_classes}: labels outside the logit "
+            "range hit CE's out-of-bounds NaN-fill gather and train loss "
+            "goes silently NaN — lower synthetic_classes (fewer classes "
+            "than logits is fine)")
     if config.criterion == "CE" and not config.data_backend.startswith(
             "synthetic"):
         # A label >= num_classes hits CE's out-of-bounds NaN-fill gather
@@ -67,7 +80,7 @@ def _make_datasets(config: Config):
         # BEFORE per-host sharding: post-shard only the process holding the
         # bad label would raise while its peers proceed to the compile
         # barrier and hang until timeout. (Synthetic labels are bounded by
-        # the synthetic_classes <= num_classes config check.)
+        # the synthetic_classes <= num_classes check above.)
         from picklebot_tpu.data.dataset import read_annotations
         for name, path in (("train", config.train_annotations_file),
                            ("val", config.val_annotations_file)):

@@ -74,12 +74,12 @@ def host_resize_ms(h, w, frames=8):
 
 
 def main():
+    global B
     import argparse
     p = argparse.ArgumentParser()
     p.add_argument("--reps", type=int, default=20)
     p.add_argument("--batch", type=int, default=B)
     args = p.parse_args()
-    global B
     B = args.batch
     base = timeit_pre(SIZE, SIZE, reps=args.reps)
     # 1080p (round 5): 16x32x1080x1920x3 = 3.2 GB of uint8 input per

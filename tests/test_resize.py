@@ -6,6 +6,7 @@ instead of being rejected (the north-star data path — BASELINE.json:
 on-device XLA preprocessing graph"; the reference has neither knob and
 assumes dataset-native 224^2, reference dataloader.py:46-56)."""
 
+import contextlib
 import glob
 import json
 import os
@@ -228,19 +229,18 @@ def test_serve_mixed_resolution_clips(tmp_path, capsys, small_ckpt):
     assert alone["pred"] == lines[0]["pred"]
 
 
-@pytest.mark.slow
-def test_serve_http_real_resolution(tmp_path, monkeypatch, small_ckpt):
-    """POST /predict with a non-224^2 (and non-input_size) mp4 returns a
-    200 prediction — previously only dataset-native shapes survived."""
-    pytest.importorskip("cv2")
-    import http.client
+@contextlib.contextmanager
+def _http_serve(cfg, ckpt, wait_s=60.0):
+    """Boot `serve --http 0` on a daemon thread and yield the bound port.
+
+    Shared by every HTTP resize test. Fails with an explicit message (not
+    a bare KeyError) if server creation outruns the wait budget on a slow
+    box."""
     import threading
     import time
+    import unittest.mock
 
     from picklebot_tpu import serve
-
-    cfg = _resize_cfg(tmp_path)
-    body = open(_write_mp4(tmp_path / "v.mp4", 96, 64, frames=4), "rb").read()
 
     created = {}
     orig = serve.make_http_server
@@ -249,27 +249,43 @@ def test_serve_http_real_resolution(tmp_path, monkeypatch, small_ckpt):
         created["srv"] = orig(port, classify, info, **kw)
         return created["srv"]
 
-    monkeypatch.setattr(serve, "make_http_server", capture)
-    th = threading.Thread(
-        target=serve.main,
-        args=([cfg, "--checkpoint", small_ckpt, "--http", "0"],),
-        daemon=True)
-    th.start()
-    for _ in range(500):
-        if "srv" in created:
-            break
-        time.sleep(0.02)
-    port = created["srv"].server_address[1]
-    try:
+    with unittest.mock.patch.object(serve, "make_http_server", capture):
+        th = threading.Thread(
+            target=serve.main,
+            args=([cfg, "--checkpoint", ckpt, "--http", "0"],),
+            daemon=True)
+        th.start()
+        deadline = time.monotonic() + wait_s
+        while "srv" not in created and time.monotonic() < deadline:
+            time.sleep(0.02)
+        if "srv" not in created:
+            raise AssertionError(
+                f"serve --http never created its server within {wait_s}s "
+                "(checkpoint load / startup exceeded the budget)")
+        try:
+            yield created["srv"].server_address[1]
+        finally:
+            created["srv"].shutdown()
+        th.join(timeout=30)
+
+
+@pytest.mark.slow
+def test_serve_http_real_resolution(tmp_path, small_ckpt):
+    """POST /predict with a non-224^2 (and non-input_size) mp4 returns a
+    200 prediction — previously only dataset-native shapes survived."""
+    pytest.importorskip("cv2")
+    import http.client
+
+    cfg = _resize_cfg(tmp_path)
+    body = open(_write_mp4(tmp_path / "v.mp4", 96, 64, frames=4), "rb").read()
+
+    with _http_serve(cfg, small_ckpt) as port:
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
         conn.request("POST", "/predict", body=body)
         resp = conn.getresponse()
         assert resp.status == 200
         rec = json.loads(resp.read())
         assert 0 <= rec["pred"] < 13 and 0 < rec["confidence"] <= 1
-    finally:
-        created["srv"].shutdown()
-    th.join(timeout=30)
 
 
 @pytest.mark.slow
@@ -390,8 +406,6 @@ def test_serve_1080p_clip(tmp_path, capsys, small_ckpt):
     (round-5; on-chip cost datapoint in scripts/probe_resize_cost.py)."""
     pytest.importorskip("cv2")
     import http.client
-    import threading
-    import time
 
     from picklebot_tpu import serve
 
@@ -404,34 +418,11 @@ def test_serve_1080p_clip(tmp_path, capsys, small_ckpt):
             if l.startswith("{")][-1]
     assert line["clip"] == vid and 0 <= line["pred"] < 13
 
-    created = {}
-    orig = serve.make_http_server
-
-    def capture(port, classify, info, **kw):
-        created["srv"] = orig(port, classify, info, **kw)
-        return created["srv"]
-
-    import unittest.mock
-    with unittest.mock.patch.object(serve, "make_http_server", capture):
-        th = threading.Thread(
-            target=serve.main,
-            args=([cfg, "--checkpoint", small_ckpt, "--http", "0"],),
-            daemon=True)
-        th.start()
-        for _ in range(500):
-            if "srv" in created:
-                break
-            time.sleep(0.02)
-        port = created["srv"].server_address[1]
-        try:
-            conn = http.client.HTTPConnection("127.0.0.1", port,
-                                              timeout=240)
-            conn.request("POST", "/predict",
-                         body=(tmp_path / "hd.mp4").read_bytes())
-            resp = conn.getresponse()
-            assert resp.status == 200
-            rec = json.loads(resp.read())
-            assert 0 <= rec["pred"] < 13
-        finally:
-            created["srv"].shutdown()
-        th.join(timeout=30)
+    with _http_serve(cfg, small_ckpt) as port:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=240)
+        conn.request("POST", "/predict",
+                     body=(tmp_path / "hd.mp4").read_bytes())
+        resp = conn.getresponse()
+        assert resp.status == 200
+        rec = json.loads(resp.read())
+        assert 0 <= rec["pred"] < 13

@@ -101,6 +101,18 @@ def test_loop_rejects_csv_labels_past_logits(tmp_path):
         _make_datasets(cfg)
 
 
+def test_loop_rejects_synthetic_labels_past_logits_without_validate():
+    """A programmatically built Config never runs validate() (only
+    load_config calls it) — _make_datasets must still refuse a synthetic
+    label range past the logit range, or CE NaN-fills silently."""
+    from picklebot_tpu.train.loop import _make_datasets
+    from picklebot_tpu.utils.config import Config
+    cfg = Config(model_name="MobileNetSmall3D", num_classes=4,
+                 data_backend="synthetic", synthetic_classes=13)
+    with pytest.raises(ValueError, match="NaN"):
+        _make_datasets(cfg)
+
+
 @pytest.mark.slow
 def test_warm_start_partial_different_head(tmp_path, monkeypatch):
     """End-to-end: a 13-class donor fine-tunes into a 4-class run. At lr=0
