@@ -157,6 +157,12 @@ def main(argv=None):
     model = initialize_model(config)
     variables = model.init(config.seed)
     if args.checkpoint.endswith(".pth"):
+        if args.ema:
+            # .pth files hold one weight set — baking them under --ema
+            # would silently bake raw weights
+            raise SystemExit(
+                "--ema requires an Orbax snapshot (ema_params is part of "
+                "the training state); a .pth file has no EMA stream")
         variables = ckpt.load_pth(args.checkpoint, variables,
                                   key_map=key_map_for(config.model_name))
     else:
@@ -186,7 +192,8 @@ def main(argv=None):
         "model_name": config.model_name,
         "num_classes": config.num_classes,
         "criterion": config.criterion,
-        "frames": args.frames,
+        "frames": (None if config.model_name == "MobileViTV2"
+                   else args.frames),
         "size": size,
         "batch": args.batch,
         # serve --exported strides its decode to this rate (the host-side
@@ -197,7 +204,9 @@ def main(argv=None):
                              if hasattr(policy.compute_dtype, "__name__")
                              else policy.compute_dtype),
         "jax_version": jax.__version__,
-        "input": "uint8 (B, frames, size, size, 3) RGB",
+        "input": ("uint8 (B, size, size, 3) RGB"
+                  if config.model_name == "MobileViTV2"
+                  else "uint8 (B, frames, size, size, 3) RGB"),
         "output": "float32 logits (B, num_classes)",
     }
     save_artifact(args.out, exported, meta)

@@ -112,33 +112,18 @@ def zero_state_specs(state) -> Any:
                        ema_params=ema_specs)
 
 
-def zero_update(optimizer, params: PyTree, grads: PyTree, opt_state: PyTree,
-                lr, n: int, axis: str = "data", max_grad_norm=None):
-    """The sharded optimizer step. Runs INSIDE shard_map (train/step.py):
-    ``grads`` are this rank's locally-accumulated (un-reduced) gradients,
-    ``params`` are replicated, ``opt_state`` moment leaves arrive as
-    (1, ...) slices of the rank stack.
-
-    ``max_grad_norm``: global-norm clipping on the reduced grads — each
-    rank's slice contributes its square-sum, one psum builds the global
-    norm (pad zeros contribute nothing), so it matches the replicated
-    clipped step exactly.
-
-    Returns (new replicated params, new opt_state slices (1, ...),
-    grad_norm or None)."""
-    idx = jax.lax.axis_index(axis)
-
+def _shard_and_clip_grads(grads: PyTree, n: int, axis: str, max_grad_norm):
+    """Reduce-scatter every grad leaf to this rank's flat chunk (DDP mean
+    semantics: sum / n == pmean) and optionally global-norm clip on the
+    slices (each rank psums its slice's square-sum; pad zeros contribute
+    nothing, so this matches the replicated clipped step exactly). Shared
+    by stage 1 and stage 3 — one implementation is what keeps the stages
+    bit-equal (tests/test_zero3.py)."""
     def grad_shard(g):
         c = _chunk(g.size, n)
         f = jnp.pad(g.reshape(-1), (0, n * c - g.size))
-        # reduce-scatter with the DDP mean semantics (sum / n == pmean)
         return jax.lax.psum_scatter(f, axis, scatter_dimension=0,
                                     tiled=True) / n
-
-    def param_shard(p):
-        c = _chunk(p.size, n)
-        f = jnp.pad(p.reshape(-1), (0, n * c - p.size))
-        return jax.lax.dynamic_slice(f, (idx * c,), (c,))
 
     g_sh = jax.tree_util.tree_map(grad_shard, grads)
     grad_norm = None
@@ -148,25 +133,58 @@ def zero_update(optimizer, params: PyTree, grads: PyTree, opt_state: PyTree,
         grad_norm = jnp.sqrt(jax.lax.psum(local_sq, axis))
         scale = jnp.minimum(1.0, max_grad_norm / (grad_norm + 1e-6))
         g_sh = jax.tree_util.tree_map(lambda g: g * scale, g_sh)
-    p_sh = jax.tree_util.tree_map(param_shard, params)
-    opt_sh = {
+    return g_sh, grad_norm
+
+
+def _slice_opt(opt_state: PyTree) -> PyTree:
+    """(1, ...) rank-stack slices -> the flat per-rank state the optimizer
+    runs on."""
+    return {
         "step": opt_state["step"],
         "m": jax.tree_util.tree_map(lambda x: x[0], opt_state["m"]),
         "v": jax.tree_util.tree_map(lambda x: x[0], opt_state["v"]),
     }
-    new_p_sh, new_opt_sh = optimizer.update(g_sh, opt_sh, p_sh, lr)
+
+
+def _stack_opt(opt_sh: PyTree) -> PyTree:
+    """Inverse of _slice_opt: re-add the leading rank-stack axis."""
+    return {
+        "step": opt_sh["step"],
+        "m": jax.tree_util.tree_map(lambda x: x[None], opt_sh["m"]),
+        "v": jax.tree_util.tree_map(lambda x: x[None], opt_sh["v"]),
+    }
+
+
+def zero_update(optimizer, params: PyTree, grads: PyTree, opt_state: PyTree,
+                lr, n: int, axis: str = "data", max_grad_norm=None):
+    """The sharded optimizer step. Runs INSIDE shard_map (train/step.py):
+    ``grads`` are this rank's locally-accumulated (un-reduced) gradients,
+    ``params`` are replicated, ``opt_state`` moment leaves arrive as
+    (1, ...) slices of the rank stack.
+
+    ``max_grad_norm``: global-norm clipping on the reduced grads — see
+    _shard_and_clip_grads.
+
+    Returns (new replicated params, new opt_state slices (1, ...),
+    grad_norm or None)."""
+    idx = jax.lax.axis_index(axis)
+
+    def param_shard(p):
+        c = _chunk(p.size, n)
+        f = jnp.pad(p.reshape(-1), (0, n * c - p.size))
+        return jax.lax.dynamic_slice(f, (idx * c,), (c,))
+
+    g_sh, grad_norm = _shard_and_clip_grads(grads, n, axis, max_grad_norm)
+    p_sh = jax.tree_util.tree_map(param_shard, params)
+    new_p_sh, new_opt_sh = optimizer.update(g_sh, _slice_opt(opt_state),
+                                            p_sh, lr)
 
     def regather(ps, p):
         full = jax.lax.all_gather(ps, axis, tiled=True)  # (n*chunk,)
         return full[: p.size].reshape(p.shape).astype(p.dtype)
 
     new_params = jax.tree_util.tree_map(regather, new_p_sh, params)
-    new_opt = {
-        "step": new_opt_sh["step"],
-        "m": jax.tree_util.tree_map(lambda x: x[None], new_opt_sh["m"]),
-        "v": jax.tree_util.tree_map(lambda x: x[None], new_opt_sh["v"]),
-    }
-    return new_params, new_opt, grad_norm
+    return new_params, _stack_opt(new_opt_sh), grad_norm
 
 
 # --------------------------------------------------------------------------
@@ -256,36 +274,14 @@ def zero3_update(optimizer, param_chunks: PyTree, grads: PyTree,
     no trailing all-gather; the next step's zero3_gather_params rebuilds
     full params. Identical arithmetic to zero_update (stage 1), so stage 3
     == stage 1 == replicated DP exactly."""
-    def grad_shard(g):
-        c = _chunk(g.size, n)
-        f = jnp.pad(g.reshape(-1), (0, n * c - g.size))
-        return jax.lax.psum_scatter(f, axis, scatter_dimension=0,
-                                    tiled=True) / n
-
-    g_sh = jax.tree_util.tree_map(grad_shard, grads)
-    grad_norm = None
-    if max_grad_norm is not None:
-        local_sq = sum(jnp.sum(jnp.square(g))
-                       for g in jax.tree_util.tree_leaves(g_sh))
-        grad_norm = jnp.sqrt(jax.lax.psum(local_sq, axis))
-        scale = jnp.minimum(1.0, max_grad_norm / (grad_norm + 1e-6))
-        g_sh = jax.tree_util.tree_map(lambda g: g * scale, g_sh)
+    g_sh, grad_norm = _shard_and_clip_grads(grads, n, axis, max_grad_norm)
     p_sh = jax.tree_util.tree_map(
         lambda x: x[0].astype(jnp.float32), param_chunks)
-    opt_sh = {
-        "step": opt_state["step"],
-        "m": jax.tree_util.tree_map(lambda x: x[0], opt_state["m"]),
-        "v": jax.tree_util.tree_map(lambda x: x[0], opt_state["v"]),
-    }
-    new_p_sh, new_opt_sh = optimizer.update(g_sh, opt_sh, p_sh, lr)
+    new_p_sh, new_opt_sh = optimizer.update(g_sh, _slice_opt(opt_state),
+                                            p_sh, lr)
     new_chunks = jax.tree_util.tree_map(
         lambda ps, old: ps.astype(old.dtype)[None], new_p_sh, param_chunks)
-    new_opt = {
-        "step": new_opt_sh["step"],
-        "m": jax.tree_util.tree_map(lambda x: x[None], new_opt_sh["m"]),
-        "v": jax.tree_util.tree_map(lambda x: x[None], new_opt_sh["v"]),
-    }
-    return new_chunks, new_opt, grad_norm
+    return new_chunks, _stack_opt(new_opt_sh), grad_norm
 
 
 # --------------------------------------------------------------------------

@@ -349,13 +349,26 @@ def _serve_stream(args, config, model, variables, policy, mean, std):
             h0, c0 = model.init_stream(1)
             carry = (jnp.asarray(h0, policy.compute_dtype),
                      jnp.asarray(c0, policy.compute_dtype))
-        for start in range(0, t_total, args.chunk):
+        tail = t_total % args.chunk
+        for start in range(0, t_total - tail, args.chunk):
             chunk = frames[start:start + args.chunk]
             logits, carry = stream_step(variables, chunk[None], carry)
             rec = decode_logits(np.asarray(logits, np.float32),
                                 config.criterion, config.num_classes)[0]
             print(json.dumps({"clip": clip_path,
                               "frame": start + len(chunk), **rec}))
+        if tail:
+            # ragged final chunk: a (tail,)-shaped input would compile a
+            # NEW program per distinct tail length (minutes each on the
+            # tunneled TPU) — run it frame-by-frame through one 1-frame
+            # program instead; both models are causal so the logits are
+            # identical (chunked == full, tests/test_streaming.py)
+            for i in range(t_total - tail, t_total):
+                logits, carry = stream_step(variables, frames[i:i + 1][None],
+                                            carry)
+            rec = decode_logits(np.asarray(logits, np.float32),
+                                config.criterion, config.num_classes)[0]
+            print(json.dumps({"clip": clip_path, "frame": t_total, **rec}))
     return 0
 
 
@@ -405,15 +418,10 @@ def _serve_exported(args):
                                 np.uint8)])
         return clip
 
-    def classify_path(path):
-        feats = prep(decode_opencv(path, sample_fps))[None]
-        logits = np.asarray(predict(feats), np.float32)
-        return decode_logits(logits, criterion, num_classes)[0]
+    pinned = meta.get("batch", -1)
+    pinned = pinned if isinstance(pinned, int) and pinned > 0 else None
 
     if args.http is not None:
-        pinned = meta.get("batch", -1)
-        pinned = pinned if isinstance(pinned, int) and pinned > 0 else None
-
         def predict_clips(clips):
             feats = np.stack(clips)
             target = pinned or pad_batch_pow2(feats.shape[0], args.batch)
@@ -441,11 +449,18 @@ def _serve_exported(args):
     if not args.clips:
         print("no clips given", file=sys.stderr)
         return 1
-    for start in range(0, len(args.clips), args.batch):
-        names = args.clips[start:start + args.batch]
+    # a --batch N artifact is lowered at a FIXED batch: chunk to it and
+    # pad short tails, or the jax.export call rejects the shape outright
+    step_b = min(args.batch, pinned) if pinned else args.batch
+    for start in range(0, len(args.clips), step_b):
+        names = args.clips[start:start + step_b]
         feats = np.stack([prep(decode_opencv(c, sample_fps))
                           for c in names])
-        logits = np.asarray(predict(feats), np.float32)
+        if pinned:
+            feats, b = pad_batch_to(feats, pinned)
+        else:
+            b = feats.shape[0]
+        logits = np.asarray(predict(feats), np.float32)[:b]
         for name, rec in zip(names, decode_logits(logits, criterion,
                                                   num_classes)):
             print(json.dumps({"clip": name, **rec}))
@@ -483,9 +498,12 @@ def main(argv=None):
     p.add_argument("--max-request-mb", type=float, default=256.0,
                    help="--http: reject POST bodies larger than this "
                         "(413; checked before reading)")
-    p.add_argument("--request-timeout", type=float, default=120.0,
+    p.add_argument("--request-timeout", type=float, default=600.0,
                    help="--http: bound decode+predict per request in "
-                        "seconds (504 on expiry)")
+                        "seconds (504 on expiry). Default covers the "
+                        "first request per clip shape, which pays the "
+                        "XLA compile (minutes on a fresh TPU process); "
+                        "lower it once the server is warm")
     p.add_argument("--ema", action="store_true",
                    help="serve the EMA weights from an Orbax snapshot "
                         "trained with ema_decay > 0 (ema_params)")
@@ -537,6 +555,12 @@ def main(argv=None):
     model = initialize_model(config)
     variables = model.init(config.seed)
     if args.checkpoint.endswith(".pth"):
+        if getattr(args, "ema", False):
+            # .pth files hold one weight set — serving them under --ema
+            # would silently hand back raw weights
+            raise SystemExit(
+                "--ema requires an Orbax snapshot (ema_params is part of "
+                "the training state); a .pth file has no EMA stream")
         variables = ckpt.load_pth(args.checkpoint, variables,
                                   key_map=key_map_for(config.model_name))
     else:
@@ -567,6 +591,17 @@ def main(argv=None):
         return decode_opencv(path, config.sample_fps)
 
     if args.stream:
+        # mirror the --exported validation: streaming is a CLI-only mode
+        # (per-clip carried state) — error instead of silently ignoring
+        # the server/eval/sharding flags
+        unsupported = [f for f, on in (
+            ("--http", args.http is not None),
+            ("--csv", args.csv is not None),
+            ("--data-parallel", args.data_parallel > 1)) if on]
+        if unsupported:
+            print(f"--stream does not support {', '.join(unsupported)} "
+                  f"(drop --stream for those modes)", file=sys.stderr)
+            return 1
         return _serve_stream(args, config, model, variables, policy,
                              mean, std)
 
@@ -668,10 +703,15 @@ def main(argv=None):
         return 0
 
     if args.csv:
+        # decode exactly like training (_make_datasets): without
+        # sample_fps the CSV eval would feed native-frame-rate clips to a
+        # model trained on fps-strided ones and report a wrong accuracy
         ds = ClipDataset(args.csv, config.video_paths,
                          backend=config.data_backend,
                          synthetic_shape=config.synthetic_shape,
-                         synthetic_len=config.synthetic_len)
+                         synthetic_len=config.synthetic_len,
+                         sample_fps=config.sample_fps,
+                         skip_bad_clips=config.skip_bad_clips)
         n = min(len(ds), args.limit or len(ds))
         correct = 0
         for start in range(0, n, args.batch):

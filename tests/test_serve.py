@@ -147,6 +147,13 @@ def test_serve_stream_mode(tmp_path, monkeypatch, capsys, rng, model_name,
 
 
 def test_serve_stream_rejects_nonstream_model(tmp_path, capsys):
+    cfg_path, path = _small3d_cfg_and_ckpt(tmp_path)
+    rc = serve.main([str(cfg_path), "--checkpoint", path, "--stream",
+                     "x.mp4"])
+    assert rc == 1
+
+
+def _small3d_cfg_and_ckpt(tmp_path):
     cfg_path = tmp_path / "cfg.json"
     cfg_path.write_text(json.dumps({
         "model_name": "MobileNetSmall3D", "num_classes": 13,
@@ -163,9 +170,85 @@ def test_serve_stream_rejects_nonstream_model(tmp_path, capsys):
     path = ckpt.save_checkpoint(str(tmp_path / "ck"), 0,
                                 {"params": v["params"],
                                  "model_state": v["state"]})
+    return cfg_path, path
+
+
+def test_serve_stream_rejects_server_flags(tmp_path, capsys):
+    """--stream is a CLI-only mode (per-clip carried state): combining it
+    with --http/--csv/--data-parallel errors instead of silently ignoring
+    the other mode (previously `--stream --http` never started a server)."""
+    cfg_path, path = _small3d_cfg_and_ckpt(tmp_path)
     rc = serve.main([str(cfg_path), "--checkpoint", path, "--stream",
-                     "x.mp4"])
+                     "--http", "0", "x.mp4"])
     assert rc == 1
+    assert "--stream does not support --http" in capsys.readouterr().err
+
+
+def test_serve_ema_rejects_pth(tmp_path):
+    """--ema with a .pth checkpoint must error: a .pth holds one weight
+    set, so serving it under --ema would silently hand back raw weights."""
+    cfg_path, _ = _small3d_cfg_and_ckpt(tmp_path)
+    with pytest.raises(SystemExit, match="EMA"):
+        serve.main([str(cfg_path), "--checkpoint", "donor.pth", "--ema",
+                    "x.mp4"])
+
+
+def test_export_ema_rejects_pth(tmp_path):
+    """Same guard on the export surface (it would bake raw weights)."""
+    from picklebot_tpu import export as pexp
+    cfg_path, _ = _small3d_cfg_and_ckpt(tmp_path)
+    with pytest.raises(SystemExit, match="EMA"):
+        pexp.main([str(cfg_path), "--checkpoint", "donor.pth", "--ema",
+                   "--out", str(tmp_path / "m.pbz"), "--frames", "4",
+                   "--size", "32"])
+
+
+@pytest.mark.slow
+def test_serve_stream_ragged_tail(tmp_path, monkeypatch, capsys, rng):
+    """A clip whose length is not a multiple of --chunk: the tail runs
+    frame-by-frame through ONE extra compiled shape (not one per tail
+    length) and its prediction equals the whole-clip pass (causal)."""
+    cv2 = pytest.importorskip("cv2")
+    monkeypatch.chdir(tmp_path)
+    from picklebot_tpu.models.registry import initialize_model
+    from picklebot_tpu.train import checkpoint as ckpt
+    from picklebot_tpu.utils.config import Config
+
+    size = 32
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "model_name": "MoViNetA2Stream", "num_classes": 13,
+        "criterion": "CE", "use_autocast": False,
+        "batch_size": 1, "effective_batch_size": 1,
+        "train_annotations_file": "", "val_annotations_file": "",
+        "video_paths": "", "data_backend": "synthetic",
+        "synthetic_len": 2, "synthetic_shape": [6, size, size],
+        "t_bucket": 6, "max_frames": 6}))
+    model = initialize_model(Config(model_name="MoViNetA2Stream",
+                                    num_classes=13))
+    v = model.init(0)
+    path = ckpt.save_checkpoint(str(tmp_path / "ck"), 0,
+                                {"params": v["params"],
+                                 "model_state": v["state"]})
+    vid = tmp_path / "c.mp4"
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                        (size, size))
+    for _ in range(6):
+        w.write(rng.randint(0, 255, (size, size, 3)).astype(np.uint8))
+    w.release()
+
+    rc = serve.main([str(cfg_path), "--checkpoint", path, "--stream",
+                     "--chunk", "4", str(vid)])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert [l["frame"] for l in lines] == [4, 6]  # main chunk + 2-frame tail
+
+    rc = serve.main([str(cfg_path), "--checkpoint", path, str(vid)])
+    assert rc == 0
+    full = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    assert full["pred"] == lines[-1]["pred"]
 
 
 @pytest.mark.slow
