@@ -26,6 +26,8 @@ Per-host sharding (``shard``/``num_shards``) replaces DistributedSampler
 from __future__ import annotations
 
 import os
+import threading
+import zipfile
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -93,7 +95,9 @@ def decode_npy(path: str) -> np.ndarray:
     arr = np.load(path)
     if hasattr(arr, "files"):  # npz
         arr = arr[arr.files[0]]
-    assert arr.ndim == 4 and arr.shape[-1] == 3, arr.shape
+    if arr.ndim != 4 or arr.shape[-1] != 3:
+        # ValueError (not assert) so skip_bad_clips can catch it
+        raise ValueError(f"{path}: expected (T, H, W, 3), got {arr.shape}")
     return np.ascontiguousarray(arr, np.uint8)
 
 
@@ -143,6 +147,10 @@ class ClipDataset:
         self.skip_bad_clips = bool(skip_bad_clips)
         self.bad_clips = 0
         self._bad_seen = set()
+        # guards the counter/warn-set: __getitem__ runs on DataLoader
+        # worker THREADS, and an unlocked += undercounts the telemetry
+        self._bad_lock = threading.Lock()
+        self._synthetic_ids = None
         if backend in ("synthetic", "synthetic_learnable"):
             n = synthetic_len or 64
             self.filenames = [f"synthetic_{i}.mp4" for i in range(n)]
@@ -152,6 +160,12 @@ class ClipDataset:
             # far above seed noise; default 13 = the zone task)
             self.labels = (np.arange(n) % max(1, synthetic_classes)
                            ).astype(np.int64)
+            # content generation must key on the GLOBAL index and the
+            # GLOBAL class count: post-shard locals would make different
+            # hosts render byte-identical clips with conflicting labels
+            # (and disagree on the brightness scale) under num_shards > 1
+            self._synthetic_ids = np.arange(n)
+            self._synthetic_n_cls = max(int(self.labels.max()) + 1, 1)
         else:
             self.filenames, self.labels = read_annotations(annotations_file)
         self.synthetic_shape = synthetic_shape
@@ -161,6 +175,9 @@ class ClipDataset:
             per_host = len(self.filenames) // num_shards
             self.filenames = self.filenames[shard::num_shards][:per_host]
             self.labels = self.labels[shard::num_shards][:per_host]
+            if self._synthetic_ids is not None:
+                self._synthetic_ids = (
+                    self._synthetic_ids[shard::num_shards][:per_host])
 
     def __len__(self) -> int:
         return len(self.filenames)
@@ -177,11 +194,16 @@ class ClipDataset:
                 try:
                     clip, label = self._decode_item(j)
                     break
-                except (OSError, RuntimeError, ValueError) as e:
+                except (OSError, RuntimeError, ValueError,
+                        zipfile.BadZipFile) as e:
+                    # BadZipFile: np.load on a truncated .npz (it is NOT a
+                    # ValueError subclass)
                     name = self.filenames[j]
-                    self.bad_clips += 1
-                    if name not in self._bad_seen:
+                    with self._bad_lock:
+                        self.bad_clips += 1
+                        warn = name not in self._bad_seen
                         self._bad_seen.add(name)
+                    if warn:
                         print(f"[dataset] skip_bad_clips: skipping {name} "
                               f"({type(e).__name__}: {e})")
             else:
@@ -198,17 +220,20 @@ class ClipDataset:
         label = int(self.labels[idx])
         if self.backend in ("synthetic", "synthetic_learnable"):
             t, h, w = self.synthetic_shape
-            rng = np.random.RandomState(idx)
+            # key content on the GLOBAL index (== idx at num_shards=1):
+            # per-host locals would collide across shards (see __init__)
+            gidx = int(self._synthetic_ids[idx])
+            rng = np.random.RandomState(gidx)
             # vary T to exercise the bucket/padding path
-            t_i = max(1, t - (idx % 4))
+            t_i = max(1, t - (gidx % 4))
             if self.backend == "synthetic_learnable":
                 # plant a class-dependent signal that survives global
                 # average pooling: noise in [0, 100) plus a per-class
                 # brightness offset — a task the stack must learn quickly
                 # (plain 'synthetic' is pure memorization of noise)
-                n_cls = max(int(self.labels.max()) + 1, 1)
                 clip = (rng.randint(0, 100, (t_i, h, w, 3)) +
-                        (label * 150) // n_cls).astype(np.uint8)
+                        (label * 150) // self._synthetic_n_cls
+                        ).astype(np.uint8)
             else:
                 clip = rng.randint(0, 255, (t_i, h, w, 3)).astype(np.uint8)
             return clip, label

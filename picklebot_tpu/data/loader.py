@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Callable, Iterator, List, Tuple
 
 import numpy as np
@@ -137,12 +138,15 @@ class DataLoader:
                                   self.max_frames)
         finally:
             stop.set()
-            # drain so workers blocked on put() can exit
-            try:
-                while True:
+            # drain until every worker exits: a single drain is not enough
+            # when more workers than free queue slots are blocked on put()
+            # (each would re-fill the queue and the rest stay blocked
+            # forever, leaking a thread + a decoded clip per early abort)
+            while any(t.is_alive() for t in threads):
+                try:
                     item_q.get_nowait()
-            except queue.Empty:
-                pass
+                except queue.Empty:
+                    time.sleep(0.002)
 
 
 def accumulate_batches(loader_iter, accum_steps: int):

@@ -634,10 +634,13 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         tot_conf = None
         print("Evaluating...")
         batches = 0
-        dummy = None
+        dummy_shape = None
         for feats, labels in iter(val_loader):
             feats, labels, mask = pad_val_batch(feats, labels)
-            dummy = (np.zeros_like(feats), np.zeros_like(labels))
+            # only the shapes — building np.zeros_like(feats) every batch
+            # allocated (and discarded) a full batch-sized host array
+            dummy_shape = ((feats.shape, feats.dtype),
+                           (labels.shape, labels.dtype))
             if eval_sharding is not None:
                 feats, labels, mask = (
                     put_global(a, eval_sharding)
@@ -651,12 +654,15 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             batches += 1
         # multi-host: hosts with smaller val shards feed fully-masked dummy
         # batches so every host joins the same number of collectives
-        if nb_val_sync is not None and batches < nb_val_sync and dummy is None:
+        if (nb_val_sync is not None and batches < nb_val_sync
+                and dummy_shape is None):
             raise RuntimeError(
                 "this host's val shard is empty while another host has "
                 "batches to evaluate; give every host at least one sample")
         while nb_val_sync is not None and batches < nb_val_sync:
-            feats, labels = dummy
+            (f_shape, f_dtype), (l_shape, l_dtype) = dummy_shape
+            feats = np.zeros(f_shape, f_dtype)
+            labels = np.zeros(l_shape, l_dtype)
             mask = np.zeros((local_batch,), np.float32)
             feats, labels, mask = (put_global(a, eval_sharding)
                                    for a in (feats, labels, mask))
@@ -664,6 +670,11 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             tot_loss_sum += float(out["loss_sum"])
             tot_correct += float(out["correct"])
             tot_n += float(out["samples"])
+            # the psum'd outputs during a dummy round still carry the OTHER
+            # hosts' real contributions — dropping confusion here would
+            # undercount the saved matrix on the short-shard host
+            conf = np.asarray(out["confusion"], np.float64)
+            tot_conf = conf if tot_conf is None else tot_conf + conf
             batches += 1
         if tot_n == 0:
             return float("nan"), float("nan"), 0.0, None

@@ -160,6 +160,11 @@ def _cache_key(config, mode: str, shape: Tuple[int, ...]) -> str:
         arch.append("s2d")
     if config.attention_backend != "auto":
         arch.append(f"attn={config.attention_backend}")
+    if mode == "train" and getattr(config, "remat", 0):
+        # remat changes both compile success and the speed ordering
+        # (bs=256 fails at remat=0, runs at remat=1 — round 5), so a
+        # cached remat=0 verdict must not answer a remat=1 query
+        arch.append(f"remat{config.remat}")
     return "|".join([
         f"{dev.platform}:{dev.device_kind}", config.model_name, mode,
         "x".join(map(str, shape)), dtype, f"nc{config.num_classes}",
@@ -475,11 +480,25 @@ def autotune_config(config, mode: str = "train", **kw):
     if jax.process_count() > 1:
         plans = plan_candidates(config.model_name)
         idx = 0
+        err = None
         if jax.process_index() == 0:
-            idx = plans.index(autotune(config, mode, **kw))
+            # if the search raises (e.g. every candidate fails to
+            # compile), still JOIN the broadcast with a sentinel: raising
+            # before it would leave every other host blocked in the
+            # collective until its timeout instead of exiting cleanly
+            try:
+                idx = plans.index(autotune(config, mode, **kw))
+            except Exception as e:
+                idx, err = -1, e
         import numpy as np
         from jax.experimental import multihost_utils
         idx = int(multihost_utils.broadcast_one_to_all(np.int32(idx)))
+        if idx < 0:
+            if err is not None:
+                raise err
+            raise RuntimeError(
+                "autotune failed on process 0 (see its log); aborting on "
+                f"process {jax.process_index()}")
         early_fold, fold_span = plans[idx]
     else:
         early_fold, fold_span = autotune(config, mode, **kw)

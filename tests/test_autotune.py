@@ -162,6 +162,11 @@ def test_cache_key_separates_architectures(tmp_path, monkeypatch):
     at.autotune(s2d, "train", cache_path=cache)
     at.autotune(_cfg(), "train", cache_path=cache)
     assert len(json.load(open(cache))) == 4
+    # remat changes compile success AND the speed ordering (round 5:
+    # bs=256 fails at remat=0, runs at remat=1) — a remat=1 query must
+    # not be answered by the cached remat=0 verdict
+    at.autotune(_cfg(remat=1), "train", cache_path=cache)
+    assert len(json.load(open(cache))) == 5
 
 
 def test_autotune_config_applies_winner(tmp_path, monkeypatch):

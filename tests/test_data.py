@@ -69,6 +69,28 @@ def test_synthetic_dataset_and_loader():
     assert a != c
 
 
+def test_loader_early_abort_releases_workers():
+    """Breaking out of the loader mid-epoch must unblock EVERY decode
+    worker, even with more workers than free queue slots blocked on put()
+    — a single drain pass used to leave the surplus blocked forever (one
+    leaked daemon thread + one decoded clip per early abort)."""
+    import threading
+    import time
+    ds = ClipDataset("", "", backend="synthetic", synthetic_len=64,
+                     synthetic_shape=(4, 8, 8))
+    baseline = threading.active_count()
+    for _ in range(3):  # repeated aborts used to accumulate leaks
+        loader = DataLoader(ds, batch_size=1, num_workers=8,
+                            prefetch_batches=2)
+        it = iter(loader)
+        next(it)
+        it.close()  # generator close runs the finally drain
+    deadline = time.time() + 10
+    while threading.active_count() > baseline and time.time() < deadline:
+        time.sleep(0.02)
+    assert threading.active_count() <= baseline
+
+
 def test_dataset_sharding():
     full = ClipDataset("", "", backend="synthetic", synthetic_len=16)
     shards = [ClipDataset("", "", backend="synthetic", synthetic_len=16,
@@ -78,6 +100,26 @@ def test_dataset_sharding():
     for s in shards:
         seen.update(s.filenames)
     assert len(seen) == 16  # disjoint cover
+
+
+@pytest.mark.parametrize("backend", ["synthetic", "synthetic_learnable"])
+def test_synthetic_shard_content_matches_global(backend):
+    """Sharded synthetic clips must be the SAME (pixels, label) pairs as
+    the unsharded dataset's — seeding content by the post-shard local index
+    made different hosts render byte-identical clips carrying different
+    labels (a contradictory multi-host task), and made the learnable
+    brightness scale disagree across hosts."""
+    kw = dict(backend=backend, synthetic_len=10, synthetic_classes=4,
+              synthetic_shape=(4, 8, 8))
+    full = ClipDataset("", "", **kw)
+    by_name = {full.filenames[i]: full[i] for i in range(len(full))}
+    for shard in range(2):
+        ds = ClipDataset("", "", shard=shard, num_shards=2, **kw)
+        for i in range(len(ds)):
+            clip, label = ds[i]
+            g_clip, g_label = by_name[ds.filenames[i]]
+            assert label == g_label
+            np.testing.assert_array_equal(clip, g_clip)
 
 
 def test_accumulate_batches(rng):
