@@ -187,8 +187,11 @@ def import_torch_state_dict(
                     raise
                 unused.append(tk)
                 continue
-            new_state[path] = jnp.asarray(
-                np.array(conv, copy=True), flat_state[path].dtype)
+            # host-side numpy (NOT jnp.asarray): a device commit here is
+            # one tunnel RPC per leaf on the remote-TPU platform, and the
+            # whole init pipeline is host-numpy by design (CLAUDE.md)
+            new_state[path] = np.array(conv, dtype=flat_state[path].dtype,
+                                       copy=True)
             n_grafted_state += 1
         else:
             # BN affine: our param names are scale/bias, torch weight/bias
@@ -212,8 +215,8 @@ def import_torch_state_dict(
                     raise
                 unused.append(tk)
                 continue
-            new_params[path] = jnp.asarray(
-                np.array(conv, copy=True), flat_params[path].dtype)
+            new_params[path] = np.array(conv, dtype=flat_params[path].dtype,
+                                        copy=True)
             n_grafted_params += 1
     if unused:
         print(f"[checkpoint] {len(unused)} torch keys unused: {unused[:8]}...")
@@ -435,8 +438,7 @@ def wait_for_checkpoints() -> None:
 def restore_checkpoint(path: str, target: Any = None) -> Any:
     """Restore a snapshot; ``target=None`` returns the raw saved pytree
     (numpy leaves) — used by serving, which doesn't know the optimizer."""
-    import orbax.checkpoint as ocp
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     if target is None:
         return ckptr.restore(os.path.abspath(path))
     return ckptr.restore(os.path.abspath(path), target=target)

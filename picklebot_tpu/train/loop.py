@@ -49,9 +49,7 @@ from picklebot_tpu.utils.config import Config
 
 def _make_datasets(config: Config):
     shard, num_shards = jax.process_index(), jax.process_count()
-    syn_classes = (config.synthetic_classes
-                   if config.synthetic_classes is not None
-                   else min(13, config.num_classes))
+    syn_classes = config.resolved_synthetic_classes()
     kwargs = dict(backend=config.data_backend, shard=shard,
                   num_shards=num_shards,
                   synthetic_shape=config.synthetic_shape,
@@ -71,6 +69,14 @@ def _make_datasets(config: Config):
             "range hit CE's out-of-bounds NaN-fill gather and train loss "
             "goes silently NaN — lower synthetic_classes (fewer classes "
             "than logits is fine)")
+    if (config.criterion == "BCE"
+            and config.data_backend.startswith("synthetic")
+            and syn_classes > 2):
+        # same re-check as validate(): BCE targets are binary — integer
+        # labels > 1 make the loss silently meaningless
+        raise ValueError(
+            f"synthetic_classes={syn_classes} with criterion='BCE': BCE "
+            "targets are binary probabilities; use synthetic_classes <= 2")
     if config.criterion == "CE" and not config.data_backend.startswith(
             "synthetic"):
         # A label >= num_classes hits CE's out-of-bounds NaN-fill gather

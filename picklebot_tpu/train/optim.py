@@ -198,20 +198,34 @@ class AdamW(Optimizer):
             "v": jax.tree_util.tree_map(zeros, params),
         }
 
+    def _decode_moments(self, p, m_st, v_st):
+        """Hook: stored moment leaves -> fp32 arrays (identity here;
+        AdamW8bit dequantizes). The Adam math itself lives once, in
+        update() below, for BOTH optimizers."""
+        return m_st, v_st
+
+    def _encode_moments(self, m, v, m_st, v_st):
+        """Hook: fp32 moments -> stored moment leaves (identity here).
+        ``m_st``/``v_st`` are the INCOMING stored leaves so subclasses can
+        dispatch on the storage structure per leaf."""
+        return m, v
+
     def update(self, grads, opt_state, params, lr):
         step = opt_state["step"] + 1
         b1, b2 = self.b1, self.b2
         bc1 = 1 - b1 ** step.astype(jnp.float32)
         bc2 = 1 - b2 ** step.astype(jnp.float32)
 
-        def upd(p, g, m, v):
+        def upd(p, g, m_st, v_st):
             g = g.astype(jnp.float32)
+            m, v = self._decode_moments(p, m_st, v_st)
             m = b1 * m + (1 - b1) * g
             v = b2 * v + (1 - b2) * g * g
             denom = jnp.sqrt(v / bc2) + self.eps
             p32 = p.astype(jnp.float32)
             p32 = p32 - lr * (m / bc1 / denom + self.weight_decay * p32)
-            return p32.astype(p.dtype), m, v
+            new_m, new_v = self._encode_moments(m, v, m_st, v_st)
+            return p32.astype(p.dtype), new_m, new_v
 
         flat_p, treedef = jax.tree_util.tree_flatten(params)
         flat_g = treedef.flatten_up_to(grads)
@@ -225,10 +239,14 @@ class AdamW(Optimizer):
         return new_p, {"step": step, "m": new_m, "v": new_v}
 
 
-class AdamW8bit(Optimizer):
+class AdamW8bit(AdamW):
     """Blockwise 8-bit AdamW (bitsandbytes AdamW8bit capability,
     reference train.py:208-212). Moments of tensors with >= min_8bit_size
     elements are stored quantized; small tensors stay fp32 like bnb.
+
+    The Adam arithmetic is AdamW.update verbatim (inherited) — this class
+    only overrides the moment storage hooks, so the two optimizers cannot
+    numerically drift apart.
 
     Tensor parallelism: pass ``model_shards`` (pytree of ints) at init —
     each TP-sharded parameter's moments are quantized PER LOCAL SHARD, laid
@@ -239,9 +257,7 @@ class AdamW8bit(Optimizer):
     def __init__(self, betas=(0.9, 0.999), eps: float = 1e-8,
                  weight_decay: float = 0.0,
                  min_8bit_size: int = MIN_8BIT_SIZE):
-        self.b1, self.b2 = betas
-        self.eps = eps
-        self.weight_decay = weight_decay
+        super().__init__(betas=betas, eps=eps, weight_decay=weight_decay)
         self.min_8bit_size = min_8bit_size
 
     def _quant8(self, p, shards: int = 1) -> bool:
@@ -280,45 +296,22 @@ class AdamW8bit(Optimizer):
             "v": jax.tree_util.tree_map(init_v, params, model_shards),
         }
 
-    def update(self, grads, opt_state, params, lr):
-        step = opt_state["step"] + 1
-        b1, b2 = self.b1, self.b2
-        bc1 = 1 - b1 ** step.astype(jnp.float32)
-        bc2 = 1 - b2 ** step.astype(jnp.float32)
+    # dispatch on the STATE structure, not p.size: under TP these hooks
+    # run inside shard_map on the local param shard, whose size is
+    # 1/shards of what init saw
 
-        def upd(p, g, m_st, v_st):
-            g = g.astype(jnp.float32)
-            # dispatch on the STATE structure, not p.size: under TP this
-            # runs inside shard_map on the local param shard, whose size is
-            # 1/shards of what init saw
-            is8 = isinstance(m_st, dict)
-            if is8:
-                m = _dequantize_signed(m_st["q"], m_st["s"], p.shape)
-                v = _dequantize_unsigned(v_st["q"], v_st["s"], p.shape)
-            else:
-                m, v = m_st, v_st
-            m = b1 * m + (1 - b1) * g
-            v = b2 * v + (1 - b2) * g * g
-            denom = jnp.sqrt(v / bc2) + self.eps
-            p32 = p.astype(jnp.float32)
-            p32 = p32 - lr * (m / bc1 / denom + self.weight_decay * p32)
-            if is8:
-                mq, ms = _quantize_signed(m)
-                vq, vs = _quantize_unsigned(v)
-                return p32.astype(p.dtype), {"q": mq, "s": ms}, \
-                    {"q": vq, "s": vs}
-            return p32.astype(p.dtype), m, v
+    def _decode_moments(self, p, m_st, v_st):
+        if isinstance(m_st, dict):
+            return (_dequantize_signed(m_st["q"], m_st["s"], p.shape),
+                    _dequantize_unsigned(v_st["q"], v_st["s"], p.shape))
+        return m_st, v_st
 
-        flat_p, treedef = jax.tree_util.tree_flatten(params)
-        flat_g = treedef.flatten_up_to(grads)
-        flat_m = treedef.flatten_up_to(opt_state["m"])
-        flat_v = treedef.flatten_up_to(opt_state["v"])
-        out = [upd(p, g, m, v)
-               for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
-        new_p = treedef.unflatten([o[0] for o in out])
-        new_m = treedef.unflatten([o[1] for o in out])
-        new_v = treedef.unflatten([o[2] for o in out])
-        return new_p, {"step": step, "m": new_m, "v": new_v}
+    def _encode_moments(self, m, v, m_st, v_st):
+        if isinstance(m_st, dict):
+            mq, ms = _quantize_signed(m)
+            vq, vs = _quantize_unsigned(v)
+            return {"q": mq, "s": ms}, {"q": vq, "s": vs}
+        return m, v
 
 
 def cosine_annealing_lr(base_lr: float, t_max: int,

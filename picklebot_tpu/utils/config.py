@@ -270,6 +270,18 @@ class Config:
     #                                     Large2D: block2|boundary
     #                                     Small2D: block3|boundary
 
+    def resolved_synthetic_classes(self) -> int:
+        """The synthetic-backend class count with the derived default
+        applied: the label range must fit the logit range (CE's OOB gather
+        NaN-fills silently), so follow num_classes, capped at the reference
+        task's 13 classes. BCE is a binary head (num_classes=1) with {0,1}
+        float targets — derive 2 so the task actually has both classes.
+        Shared by validate() and train/loop.py's _make_datasets (which must
+        agree on programmatically built, never-validated configs)."""
+        if self.synthetic_classes is not None:
+            return self.synthetic_classes
+        return 2 if self.criterion == "BCE" else min(13, self.num_classes)
+
     def validate(self) -> "Config":
         from picklebot_tpu.models.registry import MODELS
         if self.model_name not in MODELS:
@@ -285,9 +297,24 @@ class Config:
             raise ValueError(
                 "criterion='BCE' requires num_classes=1 (binary head; "
                 f"got num_classes={self.num_classes})")
+        if self.batch_size < 1 or self.effective_batch_size < 1:
+            # checked before the divisibility test: batch_size=0 would
+            # otherwise surface as an opaque ZeroDivisionError
+            raise ValueError(
+                f"batch_size={self.batch_size} / effective_batch_size="
+                f"{self.effective_batch_size}: both must be >= 1")
         if self.effective_batch_size % self.batch_size != 0:
             raise ValueError(  # reference asserts this (train.py:245)
                 "Batch size must divide effective batch size")
+        for knob in ("model_parallel", "sequence_parallel",
+                     "pipeline_parallel", "expert_parallel",
+                     "dcn_data_parallel"):
+            if getattr(self, knob) < 1:
+                raise ValueError(f"{knob}={getattr(self, knob)}: parallel "
+                                 "degrees must be >= 1")
+        if self.data_parallel is not None and self.data_parallel < 1:
+            raise ValueError(f"data_parallel={self.data_parallel}: must be "
+                             ">= 1 (or omitted for all local devices)")
         if self.optimizer not in ("adamw", "adamw8bit"):
             raise ValueError(f"Invalid optimizer: {self.optimizer}")
         if self.apply_mean_std and (self.mean is None or self.std is None):
@@ -297,10 +324,7 @@ class Config:
                                      "synthetic_learnable"):
             raise ValueError(f"Invalid data_backend: {self.data_backend}")
         if self.synthetic_classes is None:
-            # Derived default: the synthetic label range must fit the logit
-            # range (CE's OOB gather NaN-fills silently), so follow
-            # num_classes, capped at the reference task's 13 classes.
-            self.synthetic_classes = min(13, self.num_classes)
+            self.synthetic_classes = self.resolved_synthetic_classes()
         if (self.data_backend.startswith("synthetic")
                 and self.criterion == "CE"
                 and self.synthetic_classes > self.num_classes):
@@ -310,6 +334,13 @@ class Config:
                 "range hit CE's out-of-bounds NaN-fill gather and train "
                 "loss goes silently NaN — lower synthetic_classes (fewer "
                 "classes than logits is fine)")
+        if (self.data_backend.startswith("synthetic")
+                and self.criterion == "BCE" and self.synthetic_classes > 2):
+            raise ValueError(
+                f"synthetic_classes={self.synthetic_classes} with "
+                "criterion='BCE': BCE targets are binary probabilities — "
+                "integer labels > 1 make the loss silently meaningless; "
+                "use synthetic_classes <= 2")
         if self.model_parallel > 1:
             if self.model_name != "MobileViT":
                 raise ValueError(
@@ -491,8 +522,10 @@ def load_config(path: str) -> Config:
     if unknown:
         warnings.warn(f"unknown config keys ignored: {sorted(unknown)}")
     kwargs = {k: v for k, v in raw.items() if k in known}
-    if "synthetic_shape" in kwargs:
+    if kwargs.get("synthetic_shape") is not None:
         kwargs["synthetic_shape"] = tuple(kwargs["synthetic_shape"])
+    elif "synthetic_shape" in kwargs:
+        del kwargs["synthetic_shape"]  # JSON null -> the dataclass default
     if kwargs.get("autotune_shape") is not None:
         kwargs["autotune_shape"] = tuple(kwargs["autotune_shape"])
     return Config(**kwargs).validate()

@@ -138,3 +138,41 @@ def test_every_registry_model_has_interop_surfaces():
                  "MobileViT", "MobileNetLarge2D", "MobileNetSmall2D"):
         spans = fold_spans_for(name)
         assert spans, f"{name}: empty fold_span vocabulary"
+
+
+def test_nonpositive_batch_and_degree_knobs_rejected():
+    """batch_size=0 used to surface as an opaque ZeroDivisionError from
+    the divisibility check; degree knobs < 1 crashed later at mesh build.
+    Both must be loud config errors."""
+    with pytest.raises(ValueError, match="must be >= 1"):
+        _cfg(model_name="MobileNetSmall3D", batch_size=0)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        _cfg(model_name="MobileNetSmall3D", effective_batch_size=-4)
+    with pytest.raises(ValueError, match="model_parallel"):
+        _cfg(model_name="MobileViT", model_parallel=0)
+    with pytest.raises(ValueError, match="data_parallel"):
+        _cfg(model_name="MobileNetSmall3D", data_parallel=0)
+
+
+def test_bce_synthetic_label_range():
+    """BCE targets are binary: an explicit synthetic_classes > 2 would
+    feed integer labels > 1 into BCEWithLogits semantics — a silently
+    meaningless loss (the CE guard didn't cover this). The derived
+    default for BCE is 2 so the synthetic task has both classes."""
+    with pytest.raises(ValueError, match="BCE"):
+        _cfg(model_name="MobileNetSmall3D", criterion="BCE", num_classes=1,
+             data_backend="synthetic_learnable", synthetic_classes=4)
+    cfg = _cfg(model_name="MobileNetSmall3D", criterion="BCE",
+               num_classes=1, data_backend="synthetic_learnable")
+    assert cfg.synthetic_classes == 2
+
+
+def test_load_config_null_synthetic_shape(tmp_path):
+    """A JSON null synthetic_shape means 'use the default', not
+    TypeError: tuple(None) (generators emit explicit nulls)."""
+    import json
+    from picklebot_tpu.utils.config import Config, load_config
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({"model_name": "MobileNetSmall3D",
+                             "synthetic_shape": None}))
+    assert load_config(str(p)).synthetic_shape == Config().synthetic_shape
