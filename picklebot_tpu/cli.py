@@ -25,8 +25,9 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=None,
                         help="stop after N optimizer steps (smoke runs)")
     parser.add_argument("--jax-profile-dir", type=str, default=None,
-                        help="capture a jax.profiler trace of the first "
-                             "steps to this dir (TensorBoard-viewable)")
+                        help="capture a jax.profiler trace of the whole "
+                             "run to this dir (TensorBoard-viewable); "
+                             "combine with --steps to bound it")
     args = parser.parse_args(argv)
 
     import os

@@ -47,14 +47,16 @@ def main(argv=None):
     from picklebot_tpu.utils.config import load_config
 
     config = load_config(args.config)
-    model = initialize_model(config)
-    variables = model.init(config.seed)
     key_map = key_map_for(config.model_name)
 
     if args.src.endswith(".pth"):
         if args.ema:
             raise SystemExit("--ema applies to Orbax snapshots only "
                              "(.pth files hold a single weight set)")
+        # only the .pth import needs the fresh-init target tree (shapes to
+        # graft into); the Orbax path restores a complete tree, so a full
+        # host init of every leaf there is pure waste
+        variables = initialize_model(config).init(config.seed)
         variables = ckpt.load_pth(args.src, variables, key_map=key_map)
     else:
         payload = ckpt.restore_checkpoint(args.src, None)

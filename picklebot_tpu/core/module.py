@@ -56,9 +56,13 @@ def _deep_merge(old, new):
 
 
 def as_seed(seed_or_key) -> int:
-    """Accept an int seed or a jax PRNG key (tests/back-compat)."""
-    if isinstance(seed_or_key, int):
-        return seed_or_key
+    """Accept an int seed (incl. numpy integer scalars) or a jax PRNG key
+    (tests/back-compat)."""
+    import numbers
+    if isinstance(seed_or_key, numbers.Integral):
+        # numbers.Integral, not int: np.int64(1234) is not a Python int
+        # and would fall into the key branch with a confusing TypeError
+        return int(seed_or_key)
     import numpy as np
     data = np.asarray(jax.random.key_data(seed_or_key)).reshape(-1)
     return int(data[-1]) & 0xFFFFFFFF
@@ -211,8 +215,13 @@ class Module:
             # wrap in an implicit ModuleList: registering dotted 'name.i'
             # keys here would make init_params store literal dotted dict
             # keys while Ctx/_child_path walk nested dicts — params would
-            # init at params['name.0'] but apply via params['name']['0']
-            self._children[name] = ModuleList(value)
+            # init at params['name.0'] but apply via params['name']['0'].
+            # The WRAP becomes the attribute too: keeping the raw list
+            # would let `self.blocks.append(m)` mutate the attribute while
+            # registration kept the snapshot (KeyError at trace time with
+            # no hint); on the ModuleList, append registers.
+            value = ModuleList(value)
+            self._children[name] = value
         object.__setattr__(self, name, value)
 
     def _child_name(self, child: "Module") -> str:
@@ -274,8 +283,31 @@ class Module:
                 out[name] = sub
         return out
 
+    def _assert_no_shared_children(self):
+        """Weight sharing is not supported: one Module instance registered
+        at two tree positions gets two INDEPENDENT param copies at init,
+        but _child_path resolves every forward call to the first position
+        — the second copy silently gets zero grads while weight decay
+        drifts it. Fail loudly at init instead."""
+        seen: Dict[int, str] = {}
+
+        def walk(mod, path):
+            for name, child in mod._children.items():
+                p = f"{path}.{name}" if path else name
+                if id(child) in seen:
+                    raise ValueError(
+                        f"{type(child).__name__} instance is registered at "
+                        f"both '{seen[id(child)]}' and '{p}': weight "
+                        "sharing is not supported — construct a separate "
+                        "instance per site")
+                seen[id(child)] = p
+                walk(child, p)
+
+        walk(self, "")
+
     def init(self, seed) -> Variables:
         """seed: int or jax PRNG key. Returns host-numpy variable pytrees."""
+        self._assert_no_shared_children()
         return {"params": self.init_params(seed), "state": self.init_state()}
 
     def apply(self, variables: Variables, *args, train: bool = False,

@@ -53,6 +53,17 @@ def make_mesh(data: Optional[int] = None, model: int = 1, seq: int = 1,
     inner = model * seq * pipe * expert
     if data is None:
         data = len(devices) // inner
+        if data < 1:
+            # floor-division to 0 would build a zero-sized 'data' axis and
+            # surface as a cryptic Mesh/shard_map error downstream
+            raise ValueError(
+                f"pipe={pipe} x seq={seq} x expert={expert} x model={model} "
+                f"needs {inner} devices per data replica but only "
+                f"{len(devices)} are available")
+        if len(devices) % inner:
+            print(f"[mesh] {len(devices) % inner} of {len(devices)} devices "
+                  f"idle: inner degrees ({inner}) don't divide the device "
+                  f"count, data axis rounded down to {data}")
     total = data * inner
     if total > len(devices):
         raise ValueError(
@@ -191,6 +202,18 @@ def train_state_specs(state, rules):
 
 def init_multihost(coordinator: Optional[str] = None):
     """Multi-host rendezvous (the jax.distributed analog of
-    dist.init_process_group, reference train.py:35). No-op single-host."""
-    if jax.process_count() > 1 or coordinator:
+    dist.init_process_group, reference train.py:35). No-op single-host.
+
+    Deliberately does NOT call jax.process_count() to decide: that
+    instantiates the XLA backends, after which jax.distributed.initialize
+    raises ("must be called before backends are initialized") — the old
+    `process_count() > 1 or coordinator` order made this entry point
+    unusable with an explicit coordinator address. Without a coordinator,
+    initialize only when the standard env rendezvous variables are set
+    (TPU pod / GKE auto-config)."""
+    import os
+    if coordinator:
         jax.distributed.initialize(coordinator_address=coordinator)
+    elif (os.environ.get("JAX_COORDINATOR_ADDRESS")
+          or os.environ.get("COORDINATOR_ADDRESS")):
+        jax.distributed.initialize()

@@ -243,7 +243,11 @@ class Config:
     #                                     so any synthetic config is valid
     #                                     out of the box; the CE guard below
     #                                     fires only on an EXPLICIT mismatch
-    profile: bool = False               # jax.profiler trace of first steps
+    profile: bool = False               # cProfile the run -> train_stats
+    #                                     .prof (reference train_stats.prof
+    #                                     analog; the device-side
+    #                                     jax.profiler trace is the CLI's
+    #                                     --jax-profile-dir flag)
     attention_backend: str = "auto"     # auto | xla | pallas
     space_to_depth: bool = False        # fold 2x2 spatial into the stem conv
     early_fold: bool = False            # lane-folded early stage (exact;
