@@ -188,7 +188,7 @@ def run_matrix(args) -> None:
           flush=True)
 
 
-def _require_devices(timeout_s: float = 600.0):
+def _require_devices(timeout_s: float = 900.0):
     """Fail fast (with an explicit JSON line) when the remote-TPU tunnel is
     dead instead of hanging forever (shared watchdog:
     picklebot_tpu/utils/devices.py). Compiles are NOT under this timeout —

@@ -54,8 +54,7 @@ def ring_attention(q, k, v, axis_name: str, scale: Optional[float] = None):
     l0 = jnp.zeros(q.shape[:-1] + (1,), jnp.float32)
     acc0 = jnp.zeros(q.shape[:-1] + (q.shape[-1],), jnp.float32)
 
-    def step(carry, _):
-        k_cur, v_cur, m, l, acc = carry
+    def accumulate(k_cur, v_cur, m, l, acc):
         s = jnp.einsum("...nd,...md->...nm", q, k_cur,
                        preferred_element_type=jnp.float32) * scale
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -65,12 +64,22 @@ def ring_attention(q, k, v, axis_name: str, scale: Optional[float] = None):
         acc = acc * corr + jnp.einsum(
             "...nm,...md->...nd", p.astype(v_cur.dtype), v_cur,
             preferred_element_type=jnp.float32)
-        # rotate the K/V blocks one neighbor around the ring; the final
-        # rotation returns them home (kept: scan carries must be uniform)
-        k_next = jax.lax.ppermute(k_cur, axis_name, perm)
-        v_next = jax.lax.ppermute(v_cur, axis_name, perm)
-        return (k_next, v_next, m_new, l, acc), None
+        return m_new, l, acc
+
+    # resident block first (no rotation), then rotate-and-accumulate
+    # size-1 times: a rotate-AFTER-accumulate scan of length size would
+    # emit one final wasted full K/V ppermute pair that XLA cannot DCE
+    # inside the uniform loop body — pure ICI traffic returning blocks to
+    # a home position nobody reads
+    m, l, acc = accumulate(k, v, m0, l0, acc0)
+
+    def step(carry, _):
+        k_cur, v_cur, m, l, acc = carry
+        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+        m, l, acc = accumulate(k_cur, v_cur, m, l, acc)
+        return (k_cur, v_cur, m, l, acc), None
 
     (_, _, _, l, acc), _ = jax.lax.scan(
-        step, (k, v, m0, l0, acc0), None, length=size)
+        step, (k, v, m, l, acc), None, length=size - 1)
     return (acc / l).astype(q.dtype)

@@ -35,10 +35,21 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from picklebot_tpu.parallel.megatron import tp_copy_in
+
 
 def _local_block(x, axis_name: str, token_axis: int):
     n = x.shape[token_axis]
     size = jax.lax.axis_size(axis_name)
+    if n % size:
+        # dynamic_slice clamps out-of-range starts, so a non-divisible
+        # token count would silently drop tokens (and overlap blocks on
+        # the high ranks) — every caller must pre-check divisibility (the
+        # TransformerStack falls back to replicated execution); fail
+        # loudly for any new caller that doesn't
+        raise ValueError(
+            f"sequence parallelism needs the token count ({n}) divisible "
+            f"by the '{axis_name}' axis size ({size})")
     n_local = n // size
     start = jax.lax.axis_index(axis_name) * n_local
     return jax.lax.dynamic_slice_in_dim(x, start, n_local, axis=token_axis)
@@ -83,21 +94,10 @@ def _sp_gather_bwd(axis_name, token_axis, _, g):
 sp_gather_tokens.defvjp(_sp_gather_fwd, _sp_gather_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def sp_sync_param(p, axis_name: str):
-    """Identity forward; psum the cotangent over the SP axis backward."""
-    return p
-
-
-def _sp_sync_param_fwd(p, axis_name):
-    return p, None
-
-
-def _sp_sync_param_bwd(axis_name, _, g):
-    return (jax.lax.psum(g, axis_name),)
-
-
-sp_sync_param.defvjp(_sp_sync_param_fwd, _sp_sync_param_bwd)
+# identity forward / psum backward is EXACTLY Megatron's 'f' applied to a
+# parameter leaf — one custom-VJP definition of the operator, not two
+# copies to keep in sync
+sp_sync_param = tp_copy_in
 
 
 def sp_wrap_params(params, axis_name: str):

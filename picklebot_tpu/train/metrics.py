@@ -135,6 +135,11 @@ class SummaryWriter:
     def add_scalar(self, tag: str, value: float, step: int):
         self._write_record(_event(time.time(), int(step),
                                   summary=_summary_value(tag, float(value))))
+        # flush per record (they're ~60 bytes): torch's writer auto-flushes
+        # every ~120 s — without this, live TensorBoard shows a stale run
+        # until the ~8 KB buffer fills, and a crash/preemption discards the
+        # buffered tail of the event file
+        self._fh.flush()
 
     def flush(self):
         self._fh.flush()

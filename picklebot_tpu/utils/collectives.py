@@ -73,7 +73,21 @@ def collective_stats(hlo_text: str) -> Dict[str, Dict[str, int]]:
             # operand alone would make all-gather/reduce-scatter bytes
             # differ by a factor of N from the sync spelling. Normalize
             # to the RESULT: tuple bytes minus operand bytes.
-            operand_bytes = _shape_bytes(line[m.end():line.rfind(")")])
+            # scan to the MATCHING close paren of the operand list:
+            # rfind(')') would land inside trailing attributes whenever
+            # metadata contains parens (op_name="pjit(train_step)/..."),
+            # letting shape-like tokens there count as phantom operands
+            seg = line[m.end():]
+            depth, end = 1, len(seg)
+            for i, ch in enumerate(seg):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            operand_bytes = _shape_bytes(seg[:end])
             if shape_text.startswith("("):
                 nbytes = _shape_bytes(shape_text) - operand_bytes
                 if nbytes <= 0:  # unexpected spelling: fall back

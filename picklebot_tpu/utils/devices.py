@@ -17,9 +17,14 @@ class DeviceDiscoveryTimeout(RuntimeError):
     """jax.devices() did not return within the watchdog window."""
 
 
-def require_devices(timeout_s: float = 600.0):
+def require_devices(timeout_s: float = 900.0):
     """Return ``jax.devices()``, raising :class:`DeviceDiscoveryTimeout`
     (with remediation steps) if discovery does not complete in time.
+
+    Default 900 s: after a ~1 h idle gap the FIRST contact through a
+    HEALTHY tunnel was measured at 625.7 s before recovering on its own
+    (CLAUDE.md round 5) — a 600 s watchdog declared that live tunnel dead.
+    The window must sit above the cold-warm-up worst case.
 
     Honors ``PICKLEBOT_PLATFORM`` (e.g. ``cpu``) before probing, so the
     remediation step in the timeout message works for *every* entry point
@@ -48,6 +53,8 @@ def require_devices(timeout_s: float = 600.0):
     if "devices" not in got:
         raise DeviceDiscoveryTimeout(
             f"device discovery (jax.devices()) hung for {timeout_s:.0f}s — "
-            "the TPU tunnel is unreachable. Set PICKLEBOT_PLATFORM=cpu to "
-            "run on the host CPU, or restore the TPU connection and retry.")
+            "the TPU tunnel is unreachable (note: the first contact after "
+            "a long idle gap can itself take 10+ min before recovering). "
+            "Set PICKLEBOT_PLATFORM=cpu to run on the host CPU, or restore "
+            "the TPU connection and retry.")
     return got["devices"]
