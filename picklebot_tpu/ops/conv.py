@@ -125,6 +125,15 @@ class _ConvNd(Module):
         caller to keep folded or unfold (ops/folded.unfold_nd)."""
         from picklebot_tpu.ops.folded import gather_weights
         assert self.groups == 1, "folded conv requires groups == 1"
+        # fold plans are built for dilation 1 (folded_conv_map has no
+        # dilation parameter): running a dilated conv through one would
+        # return plausible-shaped but numerically WRONG activations
+        assert all(d == 1 for d in self.dilation), \
+            f"folded conv requires dilation 1, got {self.dilation}"
+        assert (plan.cin, plan.cout) == (self.in_channels,
+                                         self.out_channels), \
+            (f"fold plan built for cin={plan.cin}/cout={plan.cout} handed "
+             f"to a {self.in_channels}->{self.out_channels} conv")
         dt = cx.policy.compute_dtype
         wf = gather_weights(plan, cx.param("w")).astype(dt)
         out = lax.conv_general_dilated(
@@ -151,23 +160,13 @@ class _ConvNd(Module):
                 raise ValueError(
                     f"space_to_depth needs even input size on dim {i}, "
                     f"got {x.shape[1 + i]} (input shape {x.shape})")
-        # ---- fold input: (.., n, ..) -> (.., n/2, ..) with phases in C
-        shape = [x.shape[0]]
-        for i in range(self.rank):
-            n = x.shape[1 + i]
-            shape += [n // 2, 2] if i in fold else [n]
-        shape += [x.shape[-1]]
-        z = x.reshape(shape)
-        perm, phases = [0], []
-        j = 1
-        for i in range(self.rank):
-            perm.append(j)
-            j += 1
-            if i in fold:
-                phases.append(j)
-                j += 1
-        z = z.transpose(perm + phases + [j])
-        z = z.reshape(z.shape[:1 + self.rank] + (-1,))
+        # ---- fold input: the shared block-major fold (ops/folded.fold_nd)
+        # with G=2 on the folded dims — one implementation of the
+        # phase-into-channel-minor layout, not a second copy to keep in
+        # sync with folded.py's
+        from picklebot_tpu.ops.folded import fold_nd
+        z = fold_nd(x, tuple(2 if i in fold else 1
+                             for i in range(self.rank)))
         # ---- fold kernel: pad 3->4 (leading zero tap), reshape (2, 2)
         pads = [(1, 0) if i in fold else (0, 0) for i in range(self.rank)]
         wp = jnp.pad(w, pads + [(0, 0), (0, 0)])

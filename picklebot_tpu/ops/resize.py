@@ -10,11 +10,17 @@ as uint8 and are resampled at HBM speed instead of on the (single-core)
 host: jax.image.resize lowers to two separable weight-matrix contractions
 (H then W) that XLA maps onto the MXU and fuses with the /255 cast.
 
-Semantics match the offline tool (scripts/preprocess_dataset.py: cv2.resize
-to (size, size), aspect ratio NOT preserved) and torchvision's
-``Resize((s, s), antialias=True)``: bilinear, antialiased on downscale.
-Linear in the pixels, so it commutes exactly with the affine mean/std
-normalization applied after it.
+Semantics match torchvision's ``Resize((s, s), antialias=True)``: bilinear
+(tent filter), antialiased on downscale, aspect ratio NOT preserved —
+same output-geometry CONVENTION as the offline tool
+(scripts/preprocess_dataset.py, cv2 INTER_AREA) but a different resampling
+kernel: INTER_AREA is a box filter, so pixels differ slightly on
+non-integer downscale. The cross-kernel skew is bounded end-to-end by
+tests/test_resize.py (argmax parity + logits atol on smooth AND textured
+clips vs the serve --exported host-resize path); for strict
+train-vs-offline pixel identity, preprocess offline and train at native
+size instead of mixing the two paths. Linear in the pixels, so it commutes
+exactly with the affine mean/std normalization applied after it.
 """
 
 from __future__ import annotations

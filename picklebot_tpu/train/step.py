@@ -151,7 +151,9 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
     """Build the jitted train step.
 
     Returns step(state, features, labels, rng) ->
-      (state, {'loss': (A,), 'correct': (), 'samples': (), 'lr': ()})
+      (state, {'loss': (A,), 'correct': (A,), 'samples': (), 'lr': ()})
+    — loss/correct are per-microbatch vectors stacked by the accumulation
+    scan (loop.py sums/averages them); samples is the scalar A*B count —
     with features (A, B, T, H, W, C) uint8 and labels (A, B) int32;
     under a mesh, B is the *global* batch and arrays are sharded on 'data'.
 
@@ -384,7 +386,14 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
         if grad_norm is not None:
             metrics["grad_norm"] = grad_norm
         ema = state.ema_params
-        if ema_decay > 0.0 and ema is not None:
+        if ema_decay > 0.0:
+            if ema is None:
+                # trace-time (None is static): silently skipping would
+                # train with no EMA ever accumulated and only surface at
+                # serve/export --ema, much later
+                raise ValueError(
+                    "ema_decay > 0 but state.ema_params is None — build "
+                    "the state with create_train_state(ema=True)")
             d = jnp.asarray(ema_decay, jnp.float32)
             ema = jax.tree_util.tree_map(
                 lambda e, p: (d * e.astype(jnp.float32)
@@ -520,8 +529,9 @@ def make_sharded_predict_fn(model: Module, mesh: Mesh,
     runs the local forward, logits gather back sharded-by-batch. The
     serving-side counterpart of the shard_map train/eval steps — scales
     throughput over ICI exactly like DDP inference would over NCCL.
-    TP-sharded params keep their layouts via ``state_specs`` (same
-    contract as make_eval_step)."""
+    TP-sharded params keep their layouts via ``state_specs`` — shaped
+    like the VARIABLES dict passed here ({'params': specs, 'state': P()}),
+    NOT the TrainState-shaped tree make_eval_step takes."""
     policy = policy or DtypePolicy.bf16()
 
     def local_predict(variables, features):
