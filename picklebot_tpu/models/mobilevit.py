@@ -392,6 +392,10 @@ class MobileViT(Module):
                                pipeline_axis=pa,
                                pipeline_microbatches=pm, **moe)),
             Sequential(
+                # reference quirk (mobilevit.py:180): trunk[1]'s expansion
+                # is computed from channels[7] (the NEXT stage's width),
+                # not its own in-channels channels[5] — load-bearing for
+                # checkpoint/logit parity, do NOT "fix"
                 B(ch[5], ch[6], expanded_channels=ch[7] * expansion,
                   stride=2),
                 MobileViTBlock(dims[1], depths[1], ch[7], kernel_size,
@@ -400,6 +404,9 @@ class MobileViT(Module):
                                pipeline_axis=pa,
                                pipeline_microbatches=pm, **moe)),
             Sequential(
+                # reference quirk (mobilevit.py:185): literal *4 here, NOT
+                # *expansion — diverges for any non-default expansion;
+                # parity depends on keeping it literal
                 B(ch[7], ch[8], expanded_channels=ch[7] * 4, stride=2),
                 MobileViTBlock(dims[2], depths[2], ch[9], kernel_size,
                                patch_size, int(dims[2] * 4), backend=be,

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 
 import jax.numpy as jnp
+import numpy as np
 
 from picklebot_tpu.core import initializers as pinit
 from picklebot_tpu.core.module import Ctx, Module, Sequential
@@ -293,12 +294,7 @@ class MoViNetA2(Module):
                 x = unfold_nd(z, (1, 1, 8), 16)
                 for stage in self._stages():
                     x = cx(stage, x)
-                x = act.hardswish(cx(self.head_bn, cx(self.head_conv, x)))
-                x = cx(self.head_dropout, x)
-                x = cx(self.pool, x)
-                x = act.hardswish(cx(self.fc1_bn, cx(self.fc1, x)))
-                x = cx(self.fc_dropout, x)
-                return cx(self.fc2, x)
+                return self._head(cx, x)
             for i, key in enumerate(("b2_0", "b2_1", "b2_2")):
                 z = cx(self.block2.layers[i], z, folded=plans[key])
             if self._fold_span == "block4":
@@ -331,6 +327,13 @@ class MoViNetA2(Module):
             x = act.hardswish(cx(self.stem_bn, cx(self.stem_conv, x)))
             for stage in self._stages():
                 x = cx(stage, x)
+        return self._head(cx, x)
+
+    def _head(self, cx: Ctx, x):
+        """The shared classifier head: head conv -> dropout -> global pool
+        (B, 640) -> fc1 -> dropout -> fc2. One implementation for both
+        forward exits (the stream variant re-orders only the pool, which
+        is cumulative there)."""
         x = act.hardswish(cx(self.head_bn, cx(self.head_conv, x)))
         x = cx(self.head_dropout, x)
         x = cx(self.pool, x)                              # (B, 640)
@@ -376,12 +379,16 @@ class MoViNetA2Stream(Module):
             conv = block.conv
             c = conv.conv.in_channels
             tctx = conv.t_context
-            buffers.append(jnp.zeros((batch, tctx, h, w, c), dtype))
+            # host numpy, NOT jnp: ~28 jnp.zeros here = one tiny device
+            # RPC per buffer through the remote-TPU tunnel (CLAUDE.md);
+            # the first apply commits them in one transfer anyway (same
+            # convention as _FrameLSTMNet.init_stream)
+            buffers.append(np.zeros((batch, tctx, h, w, c), dtype))
             st = conv.conv.stride
             h = -(-h // st[1])
             w = -(-w // st[2])
-        pooled = (jnp.zeros((batch, 640), jnp.float32),
-                  jnp.zeros((), jnp.float32))
+        pooled = (np.zeros((batch, 640), np.float32),
+                  np.zeros((), np.float32))
         return tuple(buffers), pooled
 
     def forward(self, cx: Ctx, x, carry):
@@ -403,6 +410,11 @@ class MoViNetA2Stream(Module):
             if stage_cx.collected_state() is not None:
                 sub.new_state[stage_name] = stage_cx.collected_state()
         x = act.hardswish(sub(net.head_bn, sub(net.head_conv, x)))
+        # same head regularization as the offline forward (_head): in eval
+        # mode both dropouts no-op, so serving is unchanged — this keeps
+        # TRAIN-mode outputs (fine-tuning through the stream path) from
+        # silently diverging
+        x = sub(net.head_dropout, x)
         # cumulative causal average-pool over all frames seen so far
         t = x.shape[1]
         frame_feats = jnp.mean(x.astype(jnp.float32), axis=(2, 3))  # (B,T,C)
@@ -410,6 +422,7 @@ class MoViNetA2Stream(Module):
         count = count + t
         pooled = (pool_sum / count).astype(x.dtype)
         y = act.hardswish(sub(net.fc1_bn, sub(net.fc1, pooled)))
+        y = sub(net.fc_dropout, y)
         logits = sub(net.fc2, y)
         if sub.collected_state() is not None:
             cx.new_state["net"] = sub.collected_state()

@@ -114,7 +114,24 @@ def _key_pad_mask(j, heads: int, bq: int, bk: int, n_valid: int):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
-                *, heads: int, scale: float, n_valid: int, block_k: int):
+                *, heads: int, scale: float, n_valid: int):
+    _fwd_compute(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
+                 heads=heads, scale=scale, n_valid=n_valid)
+
+
+def _fwd_kernel_nolse(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                      *, heads: int, scale: float, n_valid: int):
+    """Inference-path variant: no lse output. The lse array is only a
+    backward residual, but pallas_call writes every declared output to
+    HBM — on the no-gradient path that was a dead f32 (batch, nq*bq,
+    inner) store per call, ~doubling the kernel's output bytes on a
+    bandwidth-bound chip."""
+    _fwd_compute(q_ref, k_ref, v_ref, o_ref, None, m_ref, l_ref, acc_ref,
+                 heads=heads, scale=scale, n_valid=n_valid)
+
+
+def _fwd_compute(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
+                 *, heads: int, scale: float, n_valid: int):
     j = pl.program_id(2)
     inner = q_ref.shape[-1]
     dim_head = inner // heads
@@ -158,12 +175,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
     @pl.when(j == pl.num_programs(2) - 1)
     def _finish():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
-        lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
+        if lse_ref is not None:          # static: nolse variant omits it
+            lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
 
 
 def _block_sizes(n: int, block_q: int, block_k: int):
     bq = min(block_q, max(8, 1 << (n - 1).bit_length()))
-    bq = min(bq, block_q)
     bk = min(block_k, bq) if n < block_k else block_k
     return bq, bk
 
@@ -174,7 +191,8 @@ def _pad_nd(x, n_pad):
     return x
 
 
-def _packed_forward(q, k, v, heads, scale, block_q, block_k, interpret):
+def _packed_forward(q, k, v, heads, scale, block_q, block_k, interpret,
+                    with_lse=True):
     orig_shape = q.shape
     n, inner = q.shape[-2], q.shape[-1]
     batch = math.prod(q.shape[:-2])
@@ -190,23 +208,21 @@ def _packed_forward(q, k, v, heads, scale, block_q, block_k, interpret):
     v3 = _pad_nd(v3, nk * bk - n)
 
     grid = (batch, nq, nk)
-    out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, heads=heads, scale=scale,
-                          n_valid=n, block_k=bk),
+    qi_spec = pl.BlockSpec((1, bq, inner), lambda b, i, j: (b, i, 0))
+    kernel = _fwd_kernel if with_lse else _fwd_kernel_nolse
+    outs = pl.pallas_call(
+        functools.partial(kernel, heads=heads, scale=scale, n_valid=n),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, inner), lambda b, i, j: (b, i, 0)),
+            qi_spec,
             pl.BlockSpec((1, bk, inner), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, inner), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, bq, inner), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bq, inner), lambda b, i, j: (b, i, 0)),
-        ],
+        out_specs=[qi_spec] + ([qi_spec] if with_lse else []),
         out_shape=[
             jax.ShapeDtypeStruct((batch, nq * bq, inner), q.dtype),
-            jax.ShapeDtypeStruct((batch, nq * bq, inner), jnp.float32),
-        ],
+        ] + ([jax.ShapeDtypeStruct((batch, nq * bq, inner), jnp.float32)]
+             if with_lse else []),
         scratch_shapes=[
             pltpu.VMEM((bq, inner), jnp.float32),   # running max (replicated)
             pltpu.VMEM((bq, inner), jnp.float32),   # running sum (replicated)
@@ -214,6 +230,8 @@ def _packed_forward(q, k, v, heads, scale, block_q, block_k, interpret):
         ],
         interpret=interpret,
     )(q3, k3, v3)
+    out = outs[0]                       # out_shape is a list either way
+    lse = outs[1] if with_lse else None
     return out[:, :n, :].reshape(orig_shape), lse
 
 
@@ -251,7 +269,7 @@ def _recompute_p_ds(q, k, v, do, lse, dd, j, heads, dim_head, scale,
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref, acc_ref,
-               *, heads: int, scale: float, n_valid: int, block_k: int):
+               *, heads: int, scale: float, n_valid: int):
     j = pl.program_id(2)
     dim_head = q_ref.shape[-1] // heads
 
@@ -285,7 +303,7 @@ def _fold_rows(x, heads: int, dim_head: int, bk: int):
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc,
-                *, heads: int, scale: float, n_valid: int, block_k: int):
+                *, heads: int, scale: float, n_valid: int):
     i = pl.program_id(2)
     j = pl.program_id(1)
     dim_head = q_ref.shape[-1] // heads
@@ -339,7 +357,7 @@ def _packed_backward(q, k, v, lse, dd, g, heads, scale, block_q, block_k,
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, heads=heads, scale=scale,
-                          n_valid=n, block_k=bk),
+                          n_valid=n),
         grid=(batch, nq, nk),
         in_specs=[q_spec, k_spec, k_spec, q_spec, q_spec, q_spec],
         out_specs=q_spec,
@@ -352,7 +370,7 @@ def _packed_backward(q, k, v, lse, dd, g, heads, scale, block_q, block_k,
     kj_spec = pl.BlockSpec((1, bk, inner), lambda b, j, i: (b, j, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, heads=heads, scale=scale,
-                          n_valid=n, block_k=bk),
+                          n_valid=n),
         grid=(batch, nk, nq),
         in_specs=[qi_spec, kj_spec, kj_spec, qi_spec, qi_spec, qi_spec],
         out_specs=[kj_spec, kj_spec],
@@ -373,9 +391,11 @@ def _packed_backward(q, k, v, lse, dd, g, heads, scale, block_q, block_k,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash_packed(q, k, v, heads, scale, block_q, block_k):
+    # primal (no-gradient) path: skip the lse output entirely — it is
+    # only a backward residual (_flash_packed_fwd keeps it)
     interpret = jax.default_backend() != "tpu"
     out, _ = _packed_forward(q, k, v, heads, scale, block_q, block_k,
-                             interpret)
+                             interpret, with_lse=False)
     return out
 
 

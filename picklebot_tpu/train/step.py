@@ -251,15 +251,25 @@ def make_train_step(model: Module, optimizer: Optimizer, criterion: str,
     aug = augment if augment is not None and augment.enabled() else None
 
     def micro_loss(params, model_state, feats, labels, rng):
-        x = preprocess(feats, policy.compute_dtype, mean, std,
-                       input_size=input_size)
         if aug is not None:
             # in-graph per-sample augmentation (data/augment.py) — keys
             # salted off the same micro rng, so dropout is untouched and
             # the whole stream stays position-keyed (exact mid-epoch
-            # resume includes the augmentation draws)
+            # resume includes the augmentation draws). Runs in the /255
+            # LUMINANCE domain, BEFORE mean/std standardization: scaling
+            # mean-subtracted deviations would push dark pixels *more*
+            # negative on a 'brighten' draw (and crop padding would be
+            # mean-gray, not black) — so standardize afterwards.
             from picklebot_tpu.data.augment import apply_augment
+            x = preprocess(feats, policy.compute_dtype,
+                           input_size=input_size)
             x = apply_augment(x, aug, rng)
+            if mean is not None and std is not None:
+                x = ((x - jnp.asarray(mean, policy.compute_dtype))
+                     / jnp.asarray(std, policy.compute_dtype))
+        else:
+            x = preprocess(feats, policy.compute_dtype, mean, std,
+                           input_size=input_size)
         logits, new_state = model.apply(
             {"params": params, "state": model_state}, x,
             train=True, rng=rng, policy=policy, remat=remat)

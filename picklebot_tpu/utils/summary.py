@@ -70,8 +70,9 @@ def cost_summary(model, input_shape, policy=None, train=False,
         if model_name == "MoViNetA2Stream":
             carry = model.init_stream(x.shape[0], x.shape[2], x.shape[3],
                                       dtype=policy.compute_dtype)
-            (logits, _), _ = model.apply(variables, x, carry, train=False,
-                                         policy=policy)
+            (logits, _), _ = model.apply(
+                variables, x, carry, train=train, policy=policy,
+                rng=jax.random.key(0) if train else None)
             return logits
         out = model.apply(variables, x, train=train, policy=policy,
                           rng=jax.random.key(0) if train else None)
