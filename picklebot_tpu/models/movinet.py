@@ -374,21 +374,25 @@ class MoViNetA2Stream(Module):
         # stem conv k3 p1 s2: out = ceil(h/2) (floor would mis-size buffers
         # for odd inputs)
         h, w = -(-height // 2), -(-width // 2)
+        # host numpy, NOT jnp: ~28 jnp.zeros here = one tiny device RPC
+        # per buffer through the remote-TPU tunnel (CLAUDE.md); the first
+        # apply commits them in one transfer anyway (same convention as
+        # _FrameLSTMNet.init_stream). jnp only for a SYMBOLIC batch dim
+        # (jax.export lowering — export.py calls this inside the trace,
+        # where numpy cannot size the array).
+        zeros = (np.zeros if isinstance(batch, (int, np.integer))
+                 else jnp.zeros)
         buffers = []
         for block in self._causal_blocks():
             conv = block.conv
             c = conv.conv.in_channels
             tctx = conv.t_context
-            # host numpy, NOT jnp: ~28 jnp.zeros here = one tiny device
-            # RPC per buffer through the remote-TPU tunnel (CLAUDE.md);
-            # the first apply commits them in one transfer anyway (same
-            # convention as _FrameLSTMNet.init_stream)
-            buffers.append(np.zeros((batch, tctx, h, w, c), dtype))
+            buffers.append(zeros((batch, tctx, h, w, c), dtype))
             st = conv.conv.stride
             h = -(-h // st[1])
             w = -(-w // st[2])
-        pooled = (np.zeros((batch, 640), np.float32),
-                  np.zeros((), np.float32))
+        pooled = (zeros((batch, 640), np.float32),
+                  zeros((), np.float32))
         return tuple(buffers), pooled
 
     def forward(self, cx: Ctx, x, carry):
